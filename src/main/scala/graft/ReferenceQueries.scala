@@ -1,0 +1,370 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.cdc.Envelope
+import graft.ops.{Denormalize, Materialize, Toast}
+
+/** Driver-verifiable queries covering the reference's operator surface
+  * (SURVEY.md §2) over the driver parquet tables. Each entry has a DuckDB
+  * oracle in [[ReferenceQueries.oracle]] with IDENTICAL column names and an
+  * explicit deterministic ORDER BY.
+  *
+  * Determinism rules used throughout (Spark vs DuckDB hash-compare):
+  *  - never `sum` raw doubles (accumulation order differs) — cast to DECIMAL
+  *    first (exact), cast the final back to DOUBLE;
+  *  - per-row double arithmetic is IEEE-deterministic, safe to pass through;
+  *  - every query ends in a total ORDER BY on a unique key set.
+  */
+object ReferenceQueries {
+  type Q = (SparkSession, String) => DataFrame
+  private val dec = DecimalType(18, 2)
+  private val dec4 = DecimalType(18, 4)
+
+  val queries: Map[String, Q] = Map(
+    // A2-adjacent pricing summary: scan→filter→hash agg with partial combine.
+    // Filter + 4-col projection push into the parquet scan.
+    "q_agg_pricing" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-01").cast(TimestampType))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast(dec)).cast(DoubleType).as("sum_qty"),
+          sum(col("l_extendedprice").cast(dec)).cast(DoubleType).as("sum_price"),
+          (sum(col("l_extendedprice").cast(dec)).cast(DoubleType) / count(lit(1))).as("avg_price"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // J3/A2 flagship: denormalized orders (poc.md:14-27). Join key == group
+    // key → single shuffle, exchange reuse between join and agg.
+    "q_denorm_orders_lines" -> ((s, d) => {
+      Denormalize.ordersWithLines(
+        Tables.orders(s, d), Tables.lineitem(s, d),
+        "o_orderkey", "l_orderkey",
+        Seq("l_linenumber", "l_partkey", "l_quantity", "l_extendedprice"))
+        .orderBy("o_orderkey")
+    }),
+
+    // P1/P12: projection + filter, pushed to the scan.
+    "q_proj_filter" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_returnflag") === "R" && col("l_quantity") > 30)
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // P4/P5: CASE WHEN + NULLIF against a sentinel.
+    "q_case_nullif" -> ((s, d) => {
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        nullif(col("lang"), lit("und")).as("lang_checked"),
+        when(col("n_chars") < 100, "short")
+          .when(col("n_chars") < 300, "mid")
+          .otherwise("long").as("size_bucket"))
+        .orderBy("doc_id")
+    }),
+
+    // P7/P8: split/split_part + concat_ws (txId:commitLsn parsing shape).
+    "q_split_concat" -> ((s, d) => {
+      Tables.customer(s, d).select(
+        col("c_custkey"),
+        split_part(col("c_name"), lit("#"), lit(2)).cast(LongType).as("name_num"),
+        concat_ws(".", col("c_mktsegment"), col("c_name")).as("qualified"))
+        .orderBy("c_custkey")
+    }),
+
+    // P9: epoch-day / epoch-millis conversions (Debezium temporal encodings).
+    "q_epoch_dates" -> ((s, d) => {
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast(DateType))
+          .cast(LongType).as("epoch_day"),
+        unix_millis(col("o_orderdate").cast(TimestampType)).as("epoch_ms"),
+        date_add(lit("1970-01-01").cast(DateType),
+          datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast(DateType)))
+          .cast(TimestampType).as("roundtrip_date"))
+        .orderBy("o_orderkey")
+    }),
+
+    // P6: op-dependent key extraction shape — COALESCE over an outer join.
+    // nation is tiny → Catalyst broadcasts automatically.
+    "q_coalesce_key" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"), "left")
+        .select(col("c_custkey"),
+          coalesce(col("n_name"), lit("UNKNOWN")).as("nation_name"))
+        .orderBy("c_custkey")
+    }),
+
+    // P11/S1: JSON field extraction (events.props stands in for envelope JSON).
+    "q_json_get" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(
+          sum(get_json_object(col("props"), "$.k").cast(LongType)).cast(LongType).as("sum_k"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
+
+    // S1+S4+S5: full envelope encode→decode roundtrip. Build a Debezium
+    // envelope JSON from each event row, decode it with the typed schema,
+    // re-derive txId/commitLsn (P7) — output must equal the source rows.
+    "q_envelope_roundtrip" -> ((s, d) => {
+      val rowSchema = StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("event_type", StringType), StructField("value", DoubleType)))
+      val enveloped = Tables.events(s, d).select(to_json(struct(
+        lit(null).cast(rowSchema).as("before"),
+        struct(col("event_id"), col("user_id"), col("event_type"), col("value")).as("after"),
+        struct(
+          lit("3.4.0.Final").as("version"), lit("postgresql").as("connector"),
+          lit("dbserver1").as("name"), unix_millis(col("ts")).as("ts_ms"),
+          lit("false").as("snapshot"), lit("postgres").as("db"),
+          lit(null).cast(StringType).as("sequence"),
+          lit("inventory").as("schema"), lit("events").as("table"),
+          col("event_id").as("txId"), col("event_id").as("lsn"),
+          lit(null).cast(LongType).as("xmin")).as("source"),
+        lit("c").as("op"), unix_millis(col("ts")).as("ts_ms"),
+        struct(concat_ws(":", col("event_id"), col("event_id") * 10).as("id")).as("transaction")
+      )).as("payload"))
+      val env = Envelope.decode(enveloped, "payload", rowSchema)
+      env.select(
+        col("after.event_id").as("event_id"),
+        col("after.user_id").as("user_id"),
+        col("after.event_type").as("event_type"),
+        col("after.value").as("value"),
+        col("op"), col("source.lsn").as("lsn"),
+        Envelope.txId(col("transaction.id")).as("tx_id"),
+        Envelope.commitLsn(col("transaction.id")).as("commit_lsn"),
+        Envelope.qualifiedTable(col("source")).as("tbl"))
+        .orderBy("event_id")
+    }),
+
+    // O8/A3/S3: changelog → current table, latest row per key. map-side
+    // combining max_by keeps shuffle volume at |keys|, not |events|.
+    "q_changelog_materialize" -> ((s, d) => {
+      Materialize.latestByKey(
+        Tables.events(s, d), Seq("user_id"), struct(col("ts"), col("event_id")))
+        .select("user_id", "event_id", "event_type", "value")
+        .orderBy("user_id")
+    }),
+
+    // S3/O8 with deletes: upsert semantics where event_type='error' acts as a
+    // tombstone — keys whose latest event is a delete drop out of the table.
+    "q_upsert_with_deletes" -> ((s, d) => {
+      val norm = Tables.events(s, d).select(
+        col("user_id").as("key"),
+        when(col("event_type") === "error", "d").otherwise("u").as("op"),
+        struct(col("event_id"), col("event_type"), col("value")).as("after"),
+        col("event_id").as("lsn"))
+      Materialize.latestByKey(norm, Seq("key"), col("lsn"))
+        .filter(col("op") =!= "d")
+        .select(col("key").as("user_id"), col("after.event_id").as("event_id"),
+          col("after.event_type").as("event_type"))
+        .orderBy("user_id")
+    }),
+
+    // O7: at-least-once dedup — duplicate delivery simulated by self-union.
+    "q_dedup_events" -> ((s, d) => {
+      val e = Tables.events(s, d).select("event_id", "user_id", "event_type")
+      e.union(e).dropDuplicates("event_id").orderBy("event_id")
+    }),
+
+    // W1/O1: TOAST backfill, batch OVER-agg form (SqlOverAggJob.java:109-135).
+    // events.props plays the TOAST column; 'click' rows carry the sentinel.
+    "q_toast_backfill" -> ((s, d) => {
+      val src = Tables.events(s, d).select(
+        col("user_id").as("id"), col("event_id").as("lsn"),
+        when(col("event_type") === "click", Envelope.ToastSentinel)
+          .otherwise(col("props")).as("biography"))
+      Toast.backfill(src, "id", col("lsn"), "biography")
+        .orderBy("id", "lsn")
+    }),
+
+    // J4: latest-version-per-key as-of a point (the tx join's row resolution).
+    "q_latest_asof" -> ((s, d) => {
+      val cutoff = lit("1997-01-01").cast(TimestampType)
+      Materialize.latestByKey(
+        Tables.lineitem(s, d).filter(col("l_shipdate") <= cutoff),
+        Seq("l_orderkey"),
+        struct(col("l_shipdate"), col("l_linenumber"), col("l_partkey"), col("l_suppkey")))
+        .select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
+        .orderBy("l_orderkey")
+    }),
+
+    // J2 shape: fact × broadcast dims enrich + aggregate.
+    "q_broadcast_enrich" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+      val p = Tables.part(s, d)
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec4))
+            .cast(DoubleType).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("p_brand")
+    }),
+
+    // A4: per-group event counting joined back to the parent (tx-completeness
+    // check shape: actual count vs expected).
+    "q_count_per_group" -> ((s, d) => {
+      val counts = Tables.lineitem(s, d).groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n_lines"))
+      val o = Tables.orders(s, d)
+      o.join(counts, o("o_orderkey") === counts("l_orderkey"), "left")
+        .select(col("o_orderkey"),
+          coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+          when(coalesce(col("n_lines"), lit(0L)) >= 4, "complete")
+            .otherwise("partial").as("status"))
+        .orderBy("o_orderkey")
+    }),
+
+    // §2.7: set operations (union / intersect / except).
+    "q_set_ops" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val a = c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val b = c.filter(col("c_mktsegment") === "AUTOMOBILE").select("c_custkey")
+      val rich = c.filter(col("c_acctbal") > 1000).select("c_custkey")
+      val n3 = c.filter(col("c_nationkey") === 3).select("c_custkey")
+      a.union(b).distinct().intersect(rich).except(n3).orderBy("c_custkey")
+    }),
+
+    // §2.7: global sort + limit (top-k). TakeOrderedAndProject — no full sort
+    // shuffle; each partition keeps k, driver merges.
+    "q_topk_orders" -> ((s, d) => {
+      Tables.orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+        | count(*) AS n_rows
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_denorm_orders_lines" ->
+      """SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus, o.o_totalprice,
+        | o.o_orderdate, o.o_orderpriority,
+        | coalesce(array_agg({'l_linenumber': l.l_linenumber, 'l_partkey': l.l_partkey,
+        |   'l_quantity': l.l_quantity, 'l_extendedprice': l.l_extendedprice}
+        |   ORDER BY l.l_linenumber, l.l_partkey, l.l_quantity, l.l_extendedprice)
+        |   FILTER (WHERE l.l_orderkey IS NOT NULL), []) AS lines
+        |FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |GROUP BY ALL ORDER BY o.o_orderkey""".stripMargin,
+
+    "q_proj_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice
+        |FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 30
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_case_nullif" ->
+      """SELECT doc_id, nullif(lang, 'und') AS lang_checked,
+        | CASE WHEN n_chars < 100 THEN 'short' WHEN n_chars < 300 THEN 'mid'
+        |      ELSE 'long' END AS size_bucket
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_split_concat" ->
+      """SELECT c_custkey,
+        | CAST(split_part(c_name, '#', 2) AS BIGINT) AS name_num,
+        | concat_ws('.', c_mktsegment, c_name) AS qualified
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_epoch_dates" ->
+      """SELECT o_orderkey,
+        | CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS epoch_day,
+        | epoch_ms(o_orderdate) AS epoch_ms,
+        | CAST(DATE '1970-01-01' + CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS INT) AS TIMESTAMP) AS roundtrip_date
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_coalesce_key" ->
+      """SELECT c_custkey, coalesce(n_name, 'UNKNOWN') AS nation_name
+        |FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_json_get" ->
+      """SELECT event_type,
+        | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        | count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_envelope_roundtrip" ->
+      """SELECT event_id, user_id, event_type, value, 'c' AS op,
+        | event_id AS lsn, event_id AS tx_id, event_id * 10 AS commit_lsn,
+        | 'inventory.events' AS tbl
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_changelog_materialize" ->
+      """SELECT user_id, event_id, event_type, value FROM (
+        | SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        | FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q_upsert_with_deletes" ->
+      """SELECT user_id, event_id, event_type FROM (
+        | SELECT user_id, event_id, event_type,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        | FROM events) WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id""".stripMargin,
+
+    "q_dedup_events" ->
+      """SELECT DISTINCT event_id, user_id, event_type FROM events ORDER BY event_id""".stripMargin,
+
+    "q_toast_backfill" ->
+      """WITH src AS (
+        | SELECT user_id AS id, event_id AS lsn,
+        |  CASE WHEN event_type = 'click' THEN '__debezium_unavailable_value'
+        |       ELSE props END AS biography
+        | FROM events)
+        |SELECT id, lsn,
+        | CASE WHEN biography = '__debezium_unavailable_value' THEN
+        |  last_value(nullif(biography, '__debezium_unavailable_value') IGNORE NULLS)
+        |   OVER (PARTITION BY id ORDER BY lsn ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        | ELSE biography END AS biography
+        |FROM src ORDER BY id, lsn""".stripMargin,
+
+    "q_latest_asof" ->
+      """SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity FROM (
+        | SELECT *, row_number() OVER (PARTITION BY l_orderkey
+        |   ORDER BY l_shipdate DESC, l_linenumber DESC, l_partkey DESC, l_suppkey DESC) AS rn
+        | FROM lineitem WHERE l_shipdate <= TIMESTAMP '1997-01-01')
+        |WHERE rn = 1 ORDER BY l_orderkey""".stripMargin,
+
+    "q_broadcast_enrich" ->
+      """SELECT p_brand,
+        | CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q_count_per_group" ->
+      """SELECT o_orderkey, coalesce(n_lines, 0) AS n_lines,
+        | CASE WHEN coalesce(n_lines, 0) >= 4 THEN 'complete' ELSE 'partial' END AS status
+        |FROM orders LEFT JOIN (
+        | SELECT l_orderkey, count(*) AS n_lines FROM lineitem GROUP BY l_orderkey) c
+        |ON o_orderkey = c.l_orderkey ORDER BY o_orderkey""".stripMargin,
+
+    "q_set_ops" ->
+      """(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        | UNION
+        | SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
+        |INTERSECT
+        |SELECT c_custkey FROM customer WHERE c_acctbal > 1000
+        |EXCEPT
+        |SELECT c_custkey FROM customer WHERE c_nationkey = 3
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_topk_orders" ->
+      """SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+  )
+}

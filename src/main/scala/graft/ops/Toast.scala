@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.cdc.Envelope
+
+/** O1 / O2 / W1: TOAST-column backfill — replace Debezium's
+  * `__debezium_unavailable_value` placeholder in update events with the last
+  * known real value for the key.
+  *
+  * Batch form mirrors the reference's SQL OVER-aggregation job exactly
+  * (`postgres-toast-backfill/.../SqlOverAggJob.java:109-135`): a
+  * `LAST_VALUE(NULLIF(col, sentinel)) IGNORE NULLS` latch per key, with a
+  * CASE that preserves genuine NULLs (only the sentinel is substituted).
+  * The keyed-process-function variant (`DataStreamJob.java:60-101`) lives in
+  * `graft.streaming.ToastStream`.
+  *
+  * Scale: single shuffle on the key + per-partition sort — the minimal plan
+  * for any per-key ordered latch. The running `last` frame
+  * (unbounded-preceding → current row) evaluates incrementally, O(1) per row.
+  */
+object Toast {
+
+  /** Backfill `targetCol` (a top-level column) in-place.
+    *
+    * @param ord strictly increasing per key — LSN, offset, or proctime.
+    */
+  def backfill(df: DataFrame, keyCol: String, ord: Column, targetCol: String,
+               sentinel: String = Envelope.ToastSentinel): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(ord)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val latch = last(nullif(col(targetCol), lit(sentinel)), ignoreNulls = true).over(w)
+    // CASE preserves genuine NULL vs sentinel (`SqlOverAggJob.java:117-127`)
+    df.withColumn(targetCol,
+      when(col(targetCol) === sentinel, latch).otherwise(col(targetCol)))
+  }
+
+  /** Backfill a field inside the envelope's `after` struct — the reference's
+    * actual call shape (`after.biography`), rebuilding the ROW with one field
+    * replaced (P3, `SqlOverAggJob.java:113-129`).
+    */
+  def backfillEnvelope(env: DataFrame, keyField: String, field: String,
+                       sentinel: String = Envelope.ToastSentinel): DataFrame = {
+    val key = Envelope.keyOf(col("after"), col("before"), keyField)
+    val w = Window.partitionBy(key).orderBy(col("source.lsn"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cur = col("after").getField(field)
+    val latch = last(nullif(cur, lit(sentinel)), ignoreNulls = true).over(w)
+    env.withColumn("after",
+      when(col("after").isNull, col("after"))
+        .otherwise(col("after").withField(field,
+          when(cur === sentinel, latch).otherwise(cur))))
+  }
+}
