@@ -1,24 +1,37 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+/** Benchmark main. Per-query timing with FULL materialization — a
+  * `format("noop")` write evaluates every output column (a bare `.count()`
+  * would let Catalyst prune aggregate payloads and drop final sorts). One
+  * untimed warmup pass absorbs JVM/codegen warmup so per-query numbers are
+  * steady-state. The JSON result line goes to stdout AND to BENCH.json in the
+  * working directory (sbt log prefixes would otherwise hide it from parsers).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val spark = Sessions.build("graft-bench")
+
+    def materialize(name: String): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try SparkEntry.queries(name)(spark, sfDir)
+        .write.mode("overwrite").format("noop").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        return -1.0
+      }
+      (System.nanoTime() - t0) / 1e9
     }
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    names.foreach(materialize) // warmup: codegen + parquet footer caches
+    val results = names.map(n => n -> materialize(n))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    Files.writeString(Paths.get("BENCH.json"), line + "\n")
     spark.stop()
   }
 }

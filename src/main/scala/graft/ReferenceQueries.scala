@@ -40,12 +40,15 @@ object ReferenceQueries {
     }),
 
     // J3/A2 flagship: denormalized orders (poc.md:14-27). Join key == group
-    // key → single shuffle, exchange reuse between join and agg.
+    // key → single shuffle, exchange reuse between join and agg. The nested
+    // lines array is emitted as canonical JSON text so the driver's scalar
+    // hash compare works (arrays of structs aren't hashable driver-side).
     "q_denorm_orders_lines" -> ((s, d) => {
       Denormalize.ordersWithLines(
         Tables.orders(s, d), Tables.lineitem(s, d),
         "o_orderkey", "l_orderkey",
         Seq("l_linenumber", "l_partkey", "l_quantity", "l_extendedprice"))
+        .withColumn("lines", to_json(col("lines")))
         .orderBy("o_orderkey")
     }),
 
@@ -257,10 +260,10 @@ object ReferenceQueries {
     "q_denorm_orders_lines" ->
       """SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus, o.o_totalprice,
         | o.o_orderdate, o.o_orderpriority,
-        | coalesce(array_agg({'l_linenumber': l.l_linenumber, 'l_partkey': l.l_partkey,
+        | to_json(coalesce(array_agg({'l_linenumber': l.l_linenumber, 'l_partkey': l.l_partkey,
         |   'l_quantity': l.l_quantity, 'l_extendedprice': l.l_extendedprice}
         |   ORDER BY l.l_linenumber, l.l_partkey, l.l_quantity, l.l_extendedprice)
-        |   FILTER (WHERE l.l_orderkey IS NOT NULL), []) AS lines
+        |   FILTER (WHERE l.l_orderkey IS NOT NULL), [])) AS lines
         |FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
         |GROUP BY ALL ORDER BY o.o_orderkey""".stripMargin,
 

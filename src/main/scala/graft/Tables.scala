@@ -12,12 +12,15 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
 
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark rejects outright
-    * (PARQUET_TYPE_ILLEGAL). Read it as raw nanos via the legacy conf and
-    * surface it as a regular microsecond TimestampType — the same truncation
-    * DuckDB applies (its TIMESTAMP is micros), so oracle values align.
+    * (PARQUET_TYPE_ILLEGAL). It is read as raw nanos via
+    * `spark.sql.legacy.parquet.nanosAsLong=true` — set ONCE at session build
+    * (see [[graft.Sessions]]), never mutated here — and surfaced as a regular
+    * microsecond TimestampType, the same truncation DuckDB applies (its
+    * TIMESTAMP is micros), so oracle values align.
     */
   private def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "session must be built with spark.sql.legacy.parquet.nanosAsLong=true (see graft.Sessions)")
     t(spark, dir, "events")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))
