@@ -1,0 +1,173 @@
+package graft.tx
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** J1/A1/O3/O4/O9/O10 — the transactionally consistent CDC join+aggregation
+  * engine, re-expressed as a bounded (per-micro-batch) LSN-ordered replay in
+  * declarative DataFrame ops.
+  *
+  * Reference semantics being reproduced (all paths under
+  * `/root/reference/transactional-cdc-processing/src/main/java/dev/morling/demos/txbuffering/`):
+  *
+  *  - commit-LSN enrichment: data events buffer until their transaction's END
+  *    event arrives, then carry the END event's LSN as `commit_lsn`
+  *    (`join/CommitLsnFixer.java:37-152`). In bounded replay this is a join
+  *    against the (small) tx dimension; events whose tx never ended stay
+  *    buffered — i.e. are excluded from this batch's output.
+  *  - tx completeness → watermark: a tx is complete when the received event
+  *    count per table equals the count announced by the tx END event
+  *    (`join/WatermarkInjector.java:74-144`). The watermark advances only
+  *    through CONTIGUOUS complete txs in commit-LSN order — one incomplete tx
+  *    stalls everything after it (`WatermarkInjector.java:127-147`).
+  *  - per-LSN flush: for each watermark L and key: if the left (order) changed
+  *    at L, pair it with the latest right per line-id as-of L
+  *    (`join/TxAwareTwoInputNonBroadcastJoinProcessOperator.java:221-266,308-331`);
+  *    if only the right changed, pair the rights at L with the latest left
+  *    as-of L (`:287-306,333-350`). INNER semantics: no left as-of → nothing.
+  *  - aggregation/emission: exactly ONE document per (key, tx): header from
+  *    the latest left, lines = latest right per line-id with deletes removed,
+  *    `deleted=true` when the left's latest op is a delete
+  *    (`join/TxAwareAggregationFunction.java:33-100`,
+  *    `model/purchaseorder/OrderWithLines.java:47-101`). A left-changed key
+  *    emits only if at least one right event exists as-of L (the reference
+  *    emits nothing when the pair set is empty).
+  *  - tombstones: deleted docs encode as null values keyed by id
+  *    (`join/OrderWithLinesSerializationSchema.java:41-75`).
+  *
+  * Scale design (100 TB): the tx dimension (one row per transaction) is tiny
+  * relative to events — completeness and the stall point are plain aggregates
+  * (no global sort, no single-partition window). Event-side work is hash
+  * shuffles on the join key only; the as-of resolution joins probes to events
+  * per key, costing O(versions × probes) per key within the batch — bounded
+  * in streaming use because each micro-batch replays only its own events
+  * against compacted state (the reference's `cleanupState` compaction is our
+  * micro-batch boundary). Keys are independent → parallel across executors;
+  * the reference runs the whole pipeline at parallelism 1 (poc.md:264-266),
+  * so this is strictly more parallel with the same per-key guarantees.
+  *
+  * Input contracts (column names):
+  *  - left  (parent stream):  key LONG, op STRING, lsn LONG, tx_id LONG, row STRUCT
+  *  - right (child stream):   key LONG, line_id LONG, op STRING, lsn LONG, tx_id LONG, row STRUCT
+  *  - txEnds (END events):    tx_id LONG, commit_lsn LONG, expected_left LONG, expected_right LONG
+  */
+object TxReplay {
+
+  /** O4: enrich change events with the commit LSN announced by their tx END
+    * event (`CommitLsnFixer.java:63-93`). Events of unfinished transactions
+    * (no END yet) are withheld, exactly like the fixer's buffer. The tx
+    * dimension is broadcast — it is orders of magnitude smaller than events.
+    */
+  def fixCommitLsn(events: DataFrame, txEnds: DataFrame): DataFrame =
+    events.join(broadcast(txEnds.select("tx_id", "commit_lsn")), Seq("tx_id"), "inner")
+
+  /** O3/A4: per-tx completeness — actual event counts per stream vs the
+    * counts announced in the END event (`WatermarkInjector.java:74-144`,
+    * `TransactionEvent.countFor`). Returns the tx dimension with
+    * `n_left`, `n_right`, `complete`, and `reachable` (complete AND below the
+    * first incomplete tx — the contiguity rule that makes one stalled tx stop
+    * the watermark). All plain aggregates: no global ordering needed, because
+    * "contiguous complete prefix" ≡ commit_lsn < min(incomplete commit_lsn).
+    */
+  def txCompleteness(left: DataFrame, right: DataFrame, txEnds: DataFrame): DataFrame = {
+    val nl = left.groupBy("tx_id").agg(count(lit(1)).as("n_left"))
+    val nr = right.groupBy("tx_id").agg(count(lit(1)).as("n_right"))
+    val flagged = txEnds
+      .join(nl, Seq("tx_id"), "left")
+      .join(nr, Seq("tx_id"), "left")
+      .withColumn("n_left", coalesce(col("n_left"), lit(0L)))
+      .withColumn("n_right", coalesce(col("n_right"), lit(0L)))
+      .withColumn("complete",
+        col("n_left") === col("expected_left") && col("n_right") === col("expected_right"))
+    // stall point: min commit_lsn among incomplete txs (MAX_LONG if none)
+    val stall = flagged.agg(
+      coalesce(min(when(!col("complete"), col("commit_lsn"))), lit(Long.MaxValue))
+        .as("stall_lsn"))
+    flagged.crossJoin(broadcast(stall))
+      .withColumn("reachable", col("complete") && col("commit_lsn") < col("stall_lsn"))
+      .drop("stall_lsn")
+  }
+
+  /** The full bounded replay: left/right change streams + tx END events →
+    * the emission sequence — one row per (key, commit_lsn) where the key
+    * changed in a reachable tx. Output columns:
+    * key, commit_lsn, row (header struct), lines ARRAY<STRUCT(line_id, row)>
+    * sorted by line_id, deleted BOOLEAN.
+    */
+  def replay(left: DataFrame, right: DataFrame, txEnds: DataFrame): DataFrame = {
+    val l = fixCommitLsn(left, txEnds)
+    val r = fixCommitLsn(right, txEnds)
+
+    val reachableTx = txCompleteness(left, right, txEnds)
+      .filter(col("reachable")).select("tx_id", "commit_lsn")
+
+    // Data events restricted to reachable txs (broadcast tx dimension).
+    val lr = l.join(broadcast(reachableTx.select("tx_id")), Seq("tx_id"))
+    val rr = r.join(broadcast(reachableTx.select("tx_id")), Seq("tx_id"))
+
+    // Emission probes: every (key, L) where the key changed in tx L
+    // (flushBuffers iterates watermarks × keys; only keys with an event at L
+    // produce pairs — TxAware…Operator.java:221-266).
+    val probes = lr.select(col("key"), col("commit_lsn"))
+      .union(rr.select(col("key"), col("commit_lsn")))
+      .distinct()
+      .withColumnRenamed("commit_lsn", "probe_lsn")
+
+    // Header as-of: latest left per key with commit_lsn <= L, ordered by
+    // (commit_lsn, lsn) — the in-tx tiebreak matches the buffer scan order
+    // being "latest wins" (getLatestLeftByCommitLsn uses >=).
+    val header = probes.join(lr, Seq("key"))
+      .where(col("commit_lsn") <= col("probe_lsn"))
+      .groupBy("key", "probe_lsn")
+      .agg(max_by(
+        struct(col("commit_lsn"), col("op"), col("row")),
+        struct(col("commit_lsn"), col("lsn"))).as("h"))
+      .select(col("key"), col("probe_lsn"),
+        col("h.commit_lsn").as("left_lsn"), col("h.op").as("left_op"),
+        col("h.row").as("row"))
+
+    // Lines as-of: latest right per (key, line_id) with commit_lsn <= L;
+    // deletes participate in the pair count (they are still "latest per id",
+    // getLatestRightPerIdByCommitLsn includes op='d') but are dropped from
+    // the doc (OrderWithLines.updateFromDataChangeEventPair removes them).
+    val latestLines = probes.join(rr, Seq("key"))
+      .where(col("commit_lsn") <= col("probe_lsn"))
+      .groupBy("key", "probe_lsn", "line_id")
+      .agg(max_by(
+        struct(col("op"), col("row")),
+        struct(col("commit_lsn"), col("lsn"))).as("v"))
+    val lines = latestLines
+      .groupBy("key", "probe_lsn")
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sort_array(collect_list(
+          when(col("v.op") =!= "d", struct(col("line_id"), col("v.row").as("row")))))
+          .as("lines"))
+
+    // Assemble + emission gating. A probe with no header is dropped (INNER
+    // join semantics). A left-changed probe with zero right events as-of L
+    // produces no pairs → no emission (the reference emits only from
+    // processRecord calls), so every emitted row has a non-null lines array.
+    // deleted ⇔ the header's latest op is a delete.
+    header.join(lines, Seq("key", "probe_lsn"), "left")
+      .withColumn("n_pairs", coalesce(col("n_pairs"), lit(0L)))
+      .where(col("left_lsn") < col("probe_lsn") || col("n_pairs") > 0)
+      .select(
+        col("key"),
+        col("probe_lsn").as("commit_lsn"),
+        col("row"),
+        col("lines"),
+        (col("left_op") === "d").as("deleted"))
+  }
+
+  /** S8/O10: tombstone encoding of the replay output — key JSON + value JSON,
+    * null value for deleted docs (`OrderWithLinesSerializationSchema.java:41-75`).
+    */
+  def encodeTombstones(emitted: DataFrame): DataFrame =
+    emitted.select(
+      to_json(struct(col("key").as("id"))).as("kafka_key"),
+      when(col("deleted"), lit(null).cast(StringType))
+        .otherwise(to_json(struct(col("key"), col("commit_lsn"), col("row"), col("lines"))))
+        .as("kafka_value"))
+}
