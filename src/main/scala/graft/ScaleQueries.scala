@@ -1,0 +1,184 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.scale.{NearDup, TextOps}
+
+/** Driver-verifiable queries for the training-data-pipeline operators
+  * (`graft.scale`) over the `documents` table, each with a DuckDB oracle
+  * computing the identical deterministic result.
+  */
+object ScaleQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val markersSql = TextOps.EnglishMarkers.map(m => s"'$m'").mkString("[", ", ", "]")
+
+  val queries: Map[String, Q] = Map(
+    // Token counting / text stats: per-row projection only.
+    "q_text_stats" -> ((s, d) => {
+      TextOps.textStats(Tables.documents(s, d).select("doc_id", "text"), "text")
+        .drop("text")
+        .orderBy("doc_id")
+    }),
+
+    // Language-ID heuristic: deterministic function-word scoring.
+    "q_lang_id" -> ((s, d) => {
+      TextOps.languageId(Tables.documents(s, d).select("doc_id", "text"), "text")
+        .drop("text")
+        .orderBy("doc_id")
+    }),
+
+    // Quality scoring: diversity + stopword + length mix.
+    "q_quality_score" -> ((s, d) => {
+      TextOps.qualityScore(Tables.documents(s, d).select("doc_id", "text"), "text")
+        .drop("text")
+        .orderBy("doc_id")
+    }),
+
+    // Exact dedup via md5 fingerprint. The corpus has no duplicate texts, so
+    // duplicates are injected deterministically (every 5th doc re-appears
+    // under doc_id+10000) — the dedup must identify exactly those.
+    "q_dedup_exact" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val dups = docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+      TextOps.exactDedup(docs.union(dups), "doc_id", "text")
+        .select("doc_id", "fingerprint", "canonical_id", "group_size", "is_dup")
+        .orderBy("doc_id")
+    }),
+
+    // Corpus token frequency: explode + hash agg, deterministic top-k.
+    "q_token_freq" -> ((s, d) => {
+      TextOps.tokenFrequency(Tables.documents(s, d), "text")
+        .orderBy(col("n").desc, col("token"))
+        .limit(50)
+    }),
+
+    // MinHash-LSH near-dedup: banded signatures → bucket join → exact
+    // Jaccard verify. Oracle = exact all-pairs (the LSH banding at r=3/b=32
+    // misses a J≥0.5 pair with P < 1.4e-2 at the threshold and < 1e-9 for
+    // the planted J≥0.8 dups; equality at sf0.01 verified empirically).
+    "q_dedup_minhash" -> ((s, d) => {
+      NearDup.minHashDedup(Tables.documents(s, d), "doc_id", "text", threshold = 0.5)
+        .orderBy("a_id", "b_id")
+    }),
+
+    // SimHash signatures — md5-derived, reproducible bit-for-bit by any
+    // engine (the point of a content fingerprint).
+    "q_simhash" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), NearDup.simHash(col("text")).as("simhash"))
+        .orderBy("doc_id")
+    }),
+
+    // SimHash near-dedup: 6-block banding is exact for hamming ≤ 5
+    // (pigeonhole), verification keeps hamming ≤ 3.
+    "q_dedup_simhash" -> ((s, d) => {
+      NearDup.simHashDedup(Tables.documents(s, d), "doc_id", "text", maxHamming = 3)
+        .orderBy("a_id", "b_id")
+    }),
+
+    // EXACT set-similarity join via prefix filtering (AllPairs) — no
+    // probabilistic recall; candidates provably cover every J ≥ 0.4 pair.
+    "q_ngram_jaccard" -> ((s, d) => {
+      NearDup.ngramJaccardJoin(Tables.documents(s, d), "doc_id", "text", threshold = 0.4)
+        .orderBy("a_id", "b_id")
+    })
+  )
+
+  /** Shared oracle fragment: distinct 3-word shingles per document. */
+  private val shinglesCte =
+    """sh AS (
+      | SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks)-2),
+      |     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+      | FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))""".stripMargin
+
+  private def allPairsJaccardSql(threshold: Double) =
+    s"""WITH $shinglesCte
+      |SELECT a_id, b_id, jac FROM (
+      | SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |  CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+      |    / len(list_distinct(list_concat(a.shingles, b.shingles))) AS jac
+      | FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      |WHERE jac >= $threshold ORDER BY a_id, b_id""".stripMargin
+
+  private val simhashCte =
+    s"""WITH $shinglesCte,
+      |h AS (SELECT doc_id,
+      |  list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS hs
+      |  FROM sh),
+      |sim AS (SELECT doc_id,
+      |  CAST(list_sum(list_transform(range(0, 60), j ->
+      |    CASE WHEN 2 * len(list_filter(hs, x -> ((x >> j) & 1) = 1)) > len(hs)
+      |         THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS BIGINT) AS simhash
+      |  FROM h)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q_text_stats" ->
+      """SELECT doc_id, length(text) AS n_chars_calc,
+        | len(string_split(text, ' ')) AS n_tokens,
+        | len(list_distinct(string_split(text, ' '))) AS n_uniq,
+        | CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) AS avg_token_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_lang_id" ->
+      s"""SELECT doc_id,
+        | CAST(len(list_filter(string_split(text, ' '),
+        |   t -> list_contains($markersSql, t))) AS DOUBLE)
+        |   / len(string_split(text, ' ')) AS en_ratio,
+        | CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+        |   t -> list_contains($markersSql, t))) AS DOUBLE)
+        |   / len(string_split(text, ' ')) >= 0.08 THEN 'en' ELSE 'und' END AS predicted
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_quality_score" ->
+      s"""WITH t AS (
+        | SELECT doc_id,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |    / len(string_split(text, ' ')) AS uniq_ratio,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |    x -> list_contains($markersSql, x))) AS DOUBLE)
+        |    / len(string_split(text, ' ')) AS stop_ratio,
+        |  least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS len_score
+        | FROM documents)
+        |SELECT doc_id, uniq_ratio, stop_ratio, len_score,
+        | uniq_ratio * 0.4 + stop_ratio * 0.3 + len_score * 0.3 AS quality
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_exact" ->
+      """WITH all_docs AS (
+        | SELECT doc_id, text FROM documents
+        | UNION ALL
+        | SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0),
+        |fp AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+        |       FROM all_docs),
+        |canon AS (SELECT fingerprint, min(doc_id) AS canonical_id, count(*) AS group_size
+        |          FROM fp GROUP BY fingerprint)
+        |SELECT doc_id, fingerprint, canonical_id, group_size,
+        | doc_id <> canonical_id AS is_dup
+        |FROM fp JOIN canon USING (fingerprint) ORDER BY doc_id""".stripMargin,
+
+    "q_token_freq" ->
+      """SELECT token, count(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin,
+
+    "q_dedup_minhash" -> allPairsJaccardSql(0.5),
+
+    "q_simhash" ->
+      s"""$simhashCte
+        |SELECT doc_id, simhash FROM sim ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_simhash" ->
+      s"""$simhashCte
+        |SELECT a_id, b_id, hamming FROM (
+        | SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        | FROM sim a JOIN sim b ON a.doc_id < b.doc_id)
+        |WHERE hamming <= 3 ORDER BY a_id, b_id""".stripMargin,
+
+    "q_ngram_jaccard" -> allPairsJaccardSql(0.4)
+  )
+}

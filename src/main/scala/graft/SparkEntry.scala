@@ -18,11 +18,11 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ReferenceQueries.queries ++ TxQueries.queries
+    ReferenceQueries.queries ++ TxQueries.queries ++ ScaleQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    ReferenceQueries.oracle ++ TxQueries.oracle
+    ReferenceQueries.oracle ++ TxQueries.oracle ++ ScaleQueries.oracle
 }

@@ -1,0 +1,149 @@
+package graft.scale
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Near-duplicate detection at training-corpus scale: MinHash+LSH banding,
+  * SimHash with block banding, and an EXACT set-similarity join via prefix
+  * filtering. All three follow the same scale discipline: never materialize
+  * all pairs — generate candidates through equi-join-able bucket keys
+  * (shuffle on bucket), then verify only candidates.
+  *
+  *  - MinHash-LSH: probabilistic candidate recall; banded signatures make
+  *    P(miss | J ≥ t) = (1 - t^r)^b — with r=3, b=32 and t=0.5 that is
+  *    < 1e-9 per pair. Candidates are verified with exact Jaccard, so false
+  *    positives never escape.
+  *  - SimHash: 60-bit signature from md5-derived shingle hashes (md5 so an
+  *    external system — and the DuckDB oracle — can reproduce it bit-for-bit).
+  *    Block banding is EXACT by pigeonhole: splitting 60 bits into 6 blocks
+  *    catches every pair with hamming distance ≤ 5.
+  *  - Prefix filter: exact set-similarity join (AllPairs/PPJoin family) —
+  *    any pair with J ≥ t must share a token within the first
+  *    |X| - ⌈t·|X|⌉ + 1 elements of a canonical global order, so an
+  *    equi-join on exploded prefixes loses nothing.
+  */
+object NearDup {
+
+  /** Distinct k-word shingles of a token array. */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val toks = split(text, " ")
+    array_distinct(transform(
+      sequence(lit(0), size(toks) - k),
+      i => concat_ws(" ", (0 until k).map(off => get(toks, i + off)): _*)))
+  }
+
+  /** Exact Jaccard over two pre-distinct shingle arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast(DoubleType) / size(array_union(a, b))
+
+  private def withShingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    df.select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
+
+  /** Verify candidate (a_id, b_id) pairs with exact Jaccard ≥ threshold. */
+  private def verifyPairs(candidates: DataFrame, docs: DataFrame,
+                          threshold: Double): DataFrame = {
+    val a = docs.select(col("id").as("a_id"), col("sh").as("a_sh"))
+    val b = docs.select(col("id").as("b_id"), col("sh").as("b_sh"))
+    candidates
+      .join(a, Seq("a_id")).join(b, Seq("b_id"))
+      .withColumn("jac", jaccard(col("a_sh"), col("b_sh")))
+      .filter(col("jac") >= threshold)
+      .select("a_id", "b_id", "jac")
+  }
+
+  /** MinHash-LSH near-dup join. numHashes = bands * rowsPerBand; signatures
+    * use Spark's codegen'd murmur3 `hash(seed, shingle)` (internal only —
+    * verification is exact Jaccard, so output is hash-agnostic).
+    */
+  def minHashDedup(df: DataFrame, idCol: String, textCol: String,
+                   threshold: Double = 0.5, bands: Int = 32, rowsPerBand: Int = 3,
+                   shingleK: Int = 3): DataFrame = {
+    val docs = withShingles(df, idCol, textCol, shingleK)
+
+    val sig = array((0 until bands * rowsPerBand).map { i =>
+      array_min(transform(col("sh"), s => hash(lit(i), s).cast(LongType)))
+    }: _*)
+    val banded = docs.withColumn("sig", sig)
+      .select(col("id"), posexplode(array((0 until bands).map { b =>
+        hash((0 until rowsPerBand).map(r => col("sig")(b * rowsPerBand + r)): _*)
+      }: _*)).as(Seq("band", "band_key")))
+
+    // bucket self-join: only docs sharing a (band, band_key) bucket pair up
+    val left = banded.select(col("band"), col("band_key"), col("id").as("a_id"))
+    val right = banded.select(col("band"), col("band_key"), col("id").as("b_id"))
+    val candidates = left.join(right, Seq("band", "band_key"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+
+    verifyPairs(candidates, docs, threshold)
+  }
+
+  /** 60-bit SimHash from md5-derived shingle hashes: bit j is set when more
+    * than half the shingles have bit j set in their 60-bit hash. md5 (not
+    * murmur) so any engine can recompute the signature exactly.
+    * The per-bit filter scan is O(60·|shingles|) per row — fine codegen'd;
+    * a single-pass custom Expression is the optimization path if this ever
+    * dominates a profile.
+    */
+  def simHash(text: Column, shingleK: Int = 3): Column = {
+    val sh = shingles(text, shingleK)
+    val hashes = transform(sh, s =>
+      conv(substring(md5(s), 1, 15), 16, 10).cast(LongType))
+    val n = size(hashes)
+    (0 until 60).map { j =>
+      val nSet = size(filter(hashes, h => shiftright(h, j).bitwiseAND(lit(1L)) === 1))
+      when(nSet * 2 > n, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** SimHash near-dup join: block banding (exact for hamming < blocks by
+    * pigeonhole), then exact hamming verification via bit_count(xor).
+    */
+  def simHashDedup(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3, blocks: Int = 6,
+                   shingleK: Int = 3): DataFrame = {
+    require(maxHamming < blocks, "pigeonhole exactness needs maxHamming < blocks")
+    val bitsPerBlock = 60 / blocks
+    val mask = (1L << bitsPerBlock) - 1
+    val docs = df.select(col(idCol).as("id"), simHash(col(textCol), shingleK).as("sim"))
+
+    val banded = docs.select(col("id"), col("sim"),
+      posexplode(array((0 until blocks).map { b =>
+        shiftright(col("sim"), b * bitsPerBlock).bitwiseAND(lit(mask))
+      }: _*)).as(Seq("block", "block_key")))
+
+    val left = banded.select(col("block"), col("block_key"),
+      col("id").as("a_id"), col("sim").as("a_sim"))
+    val right = banded.select(col("block"), col("block_key"),
+      col("id").as("b_id"), col("sim").as("b_sim"))
+    left.join(right, Seq("block", "block_key"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_sim").bitwiseXOR(col("b_sim"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** EXACT n-gram-Jaccard similarity join via prefix filtering: canonical
+    * (lexicographic) global order; a doc's prefix is its first
+    * |sh| - ⌈t·|sh|⌉ + 1 sorted shingles; qualifying pairs must share a
+    * prefix shingle, so the exploded-prefix equi-join is lossless.
+    */
+  def ngramJaccardJoin(df: DataFrame, idCol: String, textCol: String,
+                       threshold: Double, shingleK: Int = 3): DataFrame = {
+    val docs = withShingles(df, idCol, textCol, shingleK)
+      .withColumn("sh", sort_array(col("sh")))
+    val prefixLen = (size(col("sh")) - ceil(lit(threshold) * size(col("sh"))) + 1)
+      .cast(IntegerType)
+    val prefixes = docs.select(col("id"),
+      explode(slice(col("sh"), lit(1), prefixLen)).as("tok"))
+
+    val candidates = prefixes.select(col("tok"), col("id").as("a_id"))
+      .join(prefixes.select(col("tok"), col("id").as("b_id")), Seq("tok"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+
+    verifyPairs(candidates, docs, threshold)
+  }
+}
