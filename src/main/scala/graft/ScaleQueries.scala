@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.scale.{NearDup, TextOps}
+import graft.scale.{Multimodal, NearDup, Similarity, TextOps}
 
 /** Driver-verifiable queries for the training-data-pipeline operators
   * (`graft.scale`) over the `documents` table, each with a DuckDB oracle
@@ -85,8 +85,51 @@ object ScaleQueries {
     "q_ngram_jaccard" -> ((s, d) => {
       NearDup.ngramJaccardJoin(Tables.documents(s, d), "doc_id", "text", threshold = 0.4)
         .orderBy("a_id", "b_id")
+    }),
+
+    // Exact cosine top-5 for the label-0 query set — the ANN baseline.
+    "q_embed_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(e, e.filter(col("label") === 0), k = 5)
+        .orderBy("q_id", "rank")
+    }),
+
+    // IVF-flat (nprobe=1): vec_id % 10 == 3 vectors serve as centroids;
+    // every vector assigned to its nearest centroid; queries probe only
+    // their own bucket. Deterministic (rounded cosine, id tie-breaks) so
+    // the oracle reproduces the same buckets and ranks.
+    "q_embed_ivf" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") % 10 === 3),
+        e.filter(col("label") === 0), k = 3)
+        .orderBy("q_id", "rank")
+    }),
+
+    // Multimodal: documents.text as a stand-in binary payload — typed
+    // metadata (length/sha256/magic) + frame sampling, all over BINARY.
+    "q_multimodal_meta" -> ((s, d) => {
+      val bin = encode(col("text"), "UTF-8")
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        Multimodal.mediaMeta(bin).as("m"),
+        size(Multimodal.sampleFrames(bin, frameLen = 32, stride = 64)).as("n_frames"),
+        md5(concat_ws("|",
+          transform(Multimodal.sampleFrames(bin, frameLen = 32, stride = 64),
+            f => f.cast(StringType)))).as("frames_sig"))
+        .select(col("doc_id"), col("m.byte_len").as("byte_len"),
+          col("m.sha256").as("sha256"), col("m.magic").as("magic"),
+          col("n_frames"), col("frames_sig"))
+        .orderBy("doc_id")
     })
   )
+
+  /** DuckDB cosine matching the Spark arithmetic: double-cast vectors,
+    * elementwise product, sum, dot/sqrt(na*nb), round 6.
+    */
+  private def cosSql(a: String, b: String) =
+    s"""round(list_sum(list_transform(range(1, len($a)+1), i -> $a[i]*$b[i])) /
+      |  sqrt(list_sum(list_transform(range(1, len($a)+1), i -> $a[i]*$a[i])) *
+      |       list_sum(list_transform(range(1, len($b)+1), i -> $b[i]*$b[i]))), 6)""".stripMargin
 
   /** Shared oracle fragment: distinct 3-word shingles per document. */
   private val shinglesCte =
@@ -179,6 +222,50 @@ object ScaleQueries {
         | FROM sim a JOIN sim b ON a.doc_id < b.doc_id)
         |WHERE hamming <= 3 ORDER BY a_id, b_id""".stripMargin,
 
-    "q_ngram_jaccard" -> allPairsJaccardSql(0.4)
+    "q_ngram_jaccard" -> allPairsJaccardSql(0.4),
+
+    "q_embed_topk" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+        |p AS (
+        | SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+        |  ${cosSql("q.v", "c.v")} AS cos
+        | FROM e q JOIN e c ON q.vec_id <> c.vec_id
+        | WHERE q.label = 0)
+        |SELECT q_id, neighbor_id, cos, CAST(rank AS INTEGER) AS rank FROM (
+        | SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank
+        | FROM p)
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    "q_multimodal_meta" ->
+      """SELECT doc_id,
+        | octet_length(encode(text)) AS byte_len,
+        | sha256(text) AS sha256,
+        | lower(hex(encode(substr(text, 1, 8)))) AS magic,
+        | CAST(greatest((octet_length(encode(text)) - 32) // 64, 0) + 1 AS INTEGER) AS n_frames,
+        | md5(array_to_string(list_transform(
+        |   generate_series(0, greatest((octet_length(encode(text)) - 32) // 64, 0)),
+        |   i -> substr(text, CAST(i*64+1 AS INTEGER), 32)), '|')) AS frames_sig
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_embed_ivf" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+        |cent AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % 10 = 3),
+        |scored AS (
+        | SELECT e.vec_id, e.v, e.label, c.centroid_id,
+        |  ${cosSql("e.v", "c.cv")} AS ccos
+        | FROM e CROSS JOIN cent c),
+        |assign AS (
+        | SELECT vec_id, v, label, centroid_id AS bucket FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) AS rn
+        |  FROM scored) WHERE rn = 1),
+        |p AS (
+        | SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+        |  ${cosSql("q.v", "c.v")} AS cos
+        | FROM assign q JOIN assign c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+        | WHERE q.label = 0)
+        |SELECT q_id, neighbor_id, cos, CAST(rank AS INTEGER) AS rank FROM (
+        | SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank
+        | FROM p)
+        |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
   )
 }

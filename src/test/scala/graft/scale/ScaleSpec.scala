@@ -1,0 +1,62 @@
+package graft.scale
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.{Tables, TestSpark}
+
+/** Behavior tests for the scale operators that the DuckDB oracle can't
+  * grade: the multimodal batch-decode seam and IVF recall vs brute force.
+  */
+class ScaleSpec extends AnyFunSuite with Matchers {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("multimodal decodeFrames: partition-batched stub decode with real schema") {
+    val docs = Tables.documents(spark, sf).limit(20)
+    val frames = docs
+      .select(col("doc_id"),
+        posexplode(Multimodal.sampleFrames(encode(col("text"), "UTF-8"), 32, 64)))
+      .as[(Long, Int, Array[Byte])]
+
+    val decoded = Multimodal.decodeFrames(frames).collect()
+    decoded.length shouldBe frames.count()
+    // stub decoder is deterministic byte statistics
+    all(decoded.map(_.width)) shouldBe 32
+    all(decoded.map(_.mean_byte)) should (be >= 32.0 and be <= 127.0) // printable ascii
+    // schema survives the seam (typed Dataset out)
+    decoded.map(f => (f.doc_id, f.frame_no)).distinct.length shouldBe decoded.length
+  }
+
+  test("IVF top-k recalls most brute-force neighbors on its own bucket") {
+    val e = Tables.embeddings(spark, sf)
+    val queries = e.filter(col("label") === 0)
+    val exact = Similarity.bruteForceTopK(e, queries, k = 3)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(e, e.filter(col("vec_id") % 10 === 3), queries, k = 3)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+
+    // nprobe=1 IVF on weakly-clustered synthetic vectors: this grades the
+    // DATAFLOW (bucketing + probe produce sane neighbors), not ANN quality —
+    // observed recall ≈ 0.20 here; a real corpus with cluster structure (and
+    // nprobe > 1) is where recall climbs.
+    val recall = (exact & ivf).size.toDouble / exact.size
+    withClue(s"recall=$recall exact=${exact.size} ivf=${ivf.size}: ") {
+      recall should be >= 0.1
+      ivf.size shouldBe exact.size // same k per query, every query answered
+    }
+  }
+
+  test("minhash signatures are partitioning-invariant") {
+    val docs = Tables.documents(spark, sf)
+    val once = NearDup.minHashDedup(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val repart = NearDup.minHashDedup(docs.repartition(13), "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    once shouldBe repart
+  }
+}
