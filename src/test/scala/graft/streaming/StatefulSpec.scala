@@ -1,0 +1,92 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.TestSpark
+import graft.streaming.Stateful.{ToastEvent, UpsertEvent}
+
+/** MemoryStream-driven suites for the streaming stateful operators —
+  * multi-batch, so the keyed state genuinely carries across micro-batches
+  * (the property the batch OVER-window form can't test).
+  */
+class StatefulSpec extends AnyFunSuite with Matchers {
+
+  private lazy val spark = {
+    val s = TestSpark.spark
+    // transformWithState requires the RocksDB state store provider
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    s
+  }
+
+  private def checkpoint(): String =
+    Files.createTempDirectory("graft-stream-ckpt").toString
+
+  test("streaming toast backfill latches across micro-batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[ToastEvent]
+    val q = Stateful.toastBackfill(input.toDS())
+      .writeStream.format("memory").queryName("toast_stream")
+      .outputMode("update").option("checkpointLocation", checkpoint())
+      .start()
+    try {
+      // batch 1: snapshot read seeds the latch
+      input.addData(ToastEvent(1, "r", 1, "bio-v1"), ToastEvent(2, "r", 2, "other"))
+      q.processAllAvailable()
+      // batch 2: sentinel update must backfill from batch 1's latch;
+      // a real update advances the latch
+      input.addData(
+        ToastEvent(1, "u", 3, graft.cdc.Envelope.ToastSentinel),
+        ToastEvent(2, "u", 4, "other-v2"))
+      q.processAllAvailable()
+      // batch 3: sentinel again — now latched to other-v2; delete clears
+      input.addData(
+        ToastEvent(2, "u", 5, graft.cdc.Envelope.ToastSentinel),
+        ToastEvent(1, "d", 6, null))
+      q.processAllAvailable()
+
+      val out = spark.table("toast_stream").as[ToastEvent].collect()
+        .sortBy(e => (e.lsn)).toList
+      out.map(e => (e.id, e.op, e.value)) shouldBe List(
+        (1L, "r", "bio-v1"), (2L, "r", "other"),
+        (1L, "u", "bio-v1"),    // sentinel replaced by latch
+        (2L, "u", "other-v2"),
+        (2L, "u", "other-v2"),  // sentinel replaced by advanced latch
+        (1L, "d", null))
+    } finally q.stop()
+  }
+
+  test("streaming keep-latest materializer emits current row per key, tombstone on delete") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[UpsertEvent]
+    val q = Stateful.keepLatest(input.toDS())
+      .writeStream.format("memory").queryName("upsert_stream")
+      .outputMode("update").option("checkpointLocation", checkpoint())
+      .start()
+    try {
+      input.addData(
+        UpsertEvent(1, "c", 1, "a1"), UpsertEvent(1, "u", 2, "a2"),
+        UpsertEvent(2, "c", 3, "b1"))
+      q.processAllAvailable() // in-batch fold: key 1 emits only a2
+      input.addData(UpsertEvent(1, "u", 4, "a3"), UpsertEvent(2, "d", 5, "ignored"))
+      q.processAllAvailable()
+      // out-of-order stale event (lsn 1 < state lsn 4) must not regress state
+      input.addData(UpsertEvent(1, "u", 1, "stale"))
+      q.processAllAvailable()
+
+      val out = spark.table("upsert_stream").as[UpsertEvent].collect()
+        .sortBy(_.lsn).toList
+      out.map(e => (e.key, e.lsn, e.payload)) shouldBe List(
+        (1L, 2L, "a2"), (2L, 3L, "b1"),
+        (1L, 4L, "a3"),                 // batch 2
+        (1L, 4L, "a3"),                 // batch 3: stale ignored, current re-emitted
+        (2L, 5L, null))                 // tombstone
+    } finally q.stop()
+  }
+}

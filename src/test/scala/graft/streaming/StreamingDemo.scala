@@ -1,0 +1,33 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.streaming.Stateful.ToastEvent
+
+/** Hand-runnable drive of the streaming surface (forked, proper JVM opts):
+  * `sbt "Test/runMain graft.streaming.StreamingDemo"`.
+  */
+object StreamingDemo {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.Sessions.build("graft-streaming-demo")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+
+    val in = MemoryStream[ToastEvent]
+    val q = Stateful.toastBackfill(in.toDS()).writeStream.format("memory")
+      .queryName("t").outputMode("update")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-demo-ckpt").toString)
+      .start()
+    in.addData(ToastEvent(9, "c", 1, "hello-bio"))
+    q.processAllAvailable()
+    in.addData(ToastEvent(9, "u", 2, graft.cdc.Envelope.ToastSentinel))
+    q.processAllAvailable()
+    println("DRIVE-RESULT: " + spark.table("t").as[ToastEvent].collect()
+      .sortBy(_.lsn).map(e => (e.id, e.op, e.value)).mkString(" | "))
+    q.stop()
+    spark.stop()
+  }
+}
