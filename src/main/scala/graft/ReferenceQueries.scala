@@ -244,6 +244,57 @@ object ReferenceQueries {
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .limit(100)
         .select("o_orderkey", "o_totalprice", "o_orderpriority")
+    }),
+
+    // S5 encode: change rows → Debezium-style changelog JSON (deletes carry
+    // before, inserts carry after; explicit nulls like the real envelope).
+    "q_changelog_encode" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val isDel = col("event_type") === "error"
+      val img = struct(col("event_id"), col("value"))
+      val norm = ev.select(
+        col("event_id"),
+        when(isDel, "d").otherwise("c").as("op"),
+        when(isDel, img).as("before"),
+        when(!isDel, img).as("after"),
+        unix_millis(col("ts")).as("ts_ms"))
+      val (k, v) = Envelope.encodeChangelogJson(
+        col("event_id"), col("before"), col("after"), col("op"), col("ts_ms"))
+      norm.select(col("event_id"), k.as("kafka_key"), v.as("kafka_value"))
+        .orderBy("event_id")
+    }),
+
+    // S6/S8 encode: upsert materialization → kafka key/value with NULL-value
+    // tombstones for keys whose latest change is a delete.
+    "q_upsert_encode" -> ((s, d) => {
+      val norm = Tables.events(s, d).select(
+        col("user_id").as("key"),
+        when(col("event_type") === "error", "d").otherwise("u").as("op"),
+        struct(col("event_id"), col("event_type")).as("after"),
+        col("event_id").as("lsn"))
+      val latest = Materialize.latestByKey(norm, Seq("key"), col("lsn"))
+      val (k, v) = Envelope.encodeUpsertKV(col("key"), col("after"), col("op") === "d")
+      latest.select(col("key"), k.as("kafka_key"), v.as("kafka_value"))
+        .orderBy("key")
+    }),
+
+    // S7: generic (schema-less) envelope mode — row images as
+    // MAP<STRING,STRING>, values extracted by key, numbers as strings.
+    "q_generic_envelope" -> ((s, d) => {
+      val payload = Tables.events(s, d).select(
+        col("event_id").as("src_id"),
+        to_json(struct(
+          lit(null).cast(StringType).as("before"),
+          struct(col("event_id"), col("event_type"), col("value")).as("after"),
+          lit("c").as("op"),
+          unix_millis(col("ts")).as("ts_ms"))).as("payload"))
+      Envelope.decodeGeneric(payload, "payload")
+        .select(
+          element_at(col("after"), "event_id").cast(LongType).as("event_id"),
+          element_at(col("after"), "event_type").as("event_type_str"),
+          element_at(col("after"), "value").as("value_str"),
+          col("op"))
+        .orderBy("event_id")
     })
   )
 
@@ -368,6 +419,31 @@ object ReferenceQueries {
 
     "q_topk_orders" ->
       """SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
-        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q_changelog_encode" ->
+      """SELECT event_id,
+        | to_json({'id': event_id}) AS kafka_key,
+        | to_json({
+        |  'before': CASE WHEN event_type = 'error'
+        |    THEN {'event_id': event_id, 'value': value} ELSE NULL END,
+        |  'after': CASE WHEN event_type = 'error'
+        |    THEN NULL ELSE {'event_id': event_id, 'value': value} END,
+        |  'op': CASE WHEN event_type = 'error' THEN 'd' ELSE 'c' END,
+        |  'ts_ms': epoch_ms(ts)}) AS kafka_value
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_upsert_encode" ->
+      """SELECT user_id AS key, to_json({'id': user_id}) AS kafka_key,
+        | CASE WHEN event_type = 'error' THEN NULL
+        |      ELSE to_json({'event_id': event_id, 'event_type': event_type}) END AS kafka_value
+        |FROM (SELECT user_id, event_id, event_type,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |      FROM events) WHERE rn = 1 ORDER BY key""".stripMargin,
+
+    "q_generic_envelope" ->
+      """SELECT event_id, event_type AS event_type_str,
+        | CAST(value AS VARCHAR) AS value_str, 'c' AS op
+        |FROM events ORDER BY event_id""".stripMargin
   )
 }

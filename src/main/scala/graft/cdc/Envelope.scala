@@ -150,13 +150,16 @@ object Envelope {
       col("ts_ms")
     )
 
-  /** S5: encode change rows back into a Debezium-style envelope JSON value.
-    * `sourceName` fills the minimal `source` block.
+  /** JSON options for encoders: Debezium envelopes carry explicit nulls
+    * (`"before": null` on inserts), so null fields must render.
     */
+  private val jsonOpts = Map("ignoreNullFields" -> "false")
+
+  /** S5: encode change rows back into a Debezium-style envelope JSON value. */
   def encodeChangelogJson(keyCol: Column, before: Column, after: Column,
                           op: Column, tsMs: Column): (Column, Column) = {
     val value = to_json(struct(
-      before.as("before"), after.as("after"), op.as("op"), tsMs.as("ts_ms")))
+      before.as("before"), after.as("after"), op.as("op"), tsMs.as("ts_ms")), jsonOpts)
     (to_json(struct(keyCol.as("id"))), value)
   }
 
@@ -166,5 +169,13 @@ object Envelope {
     */
   def encodeUpsertKV(keyCol: Column, payload: Column, deleted: Column): (Column, Column) =
     (to_json(struct(keyCol.as("id"))),
-     when(deleted, lit(null).cast(StringType)).otherwise(to_json(payload)))
+     when(deleted, lit(null).cast(StringType)).otherwise(to_json(payload, jsonOpts)))
+
+  /** S7: generic (schema-less) decode — row images land as
+    * MAP<STRING,STRING>, mirroring the reference's `Map<String,Object>` mode
+    * (`DataChangeEvent.java:16-18`).
+    */
+  def decodeGeneric(df: DataFrame, jsonCol: String): DataFrame =
+    df.withColumn("_env", from_json(col(jsonCol), genericSchema))
+      .select(col("_env.*"))
 }
