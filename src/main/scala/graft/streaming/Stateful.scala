@@ -99,6 +99,60 @@ object Stateful {
     }
   }
 
+  /** Event for the streaming commit-LSN fixer: data events (`kind="e"`) and
+    * tx END markers (`kind="end"`, commit_lsn set) share one stream keyed by
+    * tx id — the data-plane substitute for the reference's broadcast state.
+    */
+  case class TxKeyedEvent(tx_id: Long, kind: String, key: Long, op: String,
+                          lsn: Long, payload: String, commit_lsn: Long)
+
+  /** Streaming CommitLsnFixer (`CommitLsnFixer.java:37-152`): per-tx buffer
+    * of data events until the END marker arrives, then re-emit each with the
+    * corrected commit LSN; events arriving after the END flow straight
+    * through. State clears once a tx's END has been seen and its buffer
+    * flushed (the reference GCs heuristically; keyed state lets us clear
+    * exactly).
+    */
+  class CommitLsnFixerProcessor
+      extends StatefulProcessor[Long, TxKeyedEvent, TxKeyedEvent] {
+
+    @transient private var buffer: ListState[TxKeyedEvent] = _
+    @transient private var endLsn: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      buffer = getHandle.getListState[TxKeyedEvent](
+        "buffer", Encoders.product[TxKeyedEvent], TTLConfig.NONE)
+      endLsn = getHandle.getValueState[Long](
+        "endLsn", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(txId: Long, rows: Iterator[TxKeyedEvent],
+                                 timerValues: TimerValues): Iterator[TxKeyedEvent] = {
+      val out = Vector.newBuilder[TxKeyedEvent]
+      var commit: Option[Long] = if (endLsn.exists()) Some(endLsn.get()) else None
+      rows.toSeq.sortBy(_.lsn).foreach { ev =>
+        if (ev.kind == "end") {
+          commit = Some(ev.commit_lsn)
+          endLsn.update(ev.commit_lsn)
+          // flush everything buffered before the END arrived
+          buffer.get().foreach(b => out += b.copy(commit_lsn = ev.commit_lsn))
+          buffer.clear()
+        } else commit match {
+          case Some(lsn) => out += ev.copy(commit_lsn = lsn)
+          case None => buffer.appendValue(ev)
+        }
+      }
+      out.result().iterator
+    }
+  }
+
+  /** Streaming commit-LSN enrichment over a tx-keyed event stream. */
+  def fixCommitLsn(events: Dataset[TxKeyedEvent]): Dataset[TxKeyedEvent] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.tx_id)
+      .transformWithState(new CommitLsnFixerProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
   /** Streaming TOAST backfill over a typed event stream. */
   def toastBackfill(events: Dataset[ToastEvent],
                     sentinel: String = Envelope.ToastSentinel): Dataset[ToastEvent] = {

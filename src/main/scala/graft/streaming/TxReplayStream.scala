@@ -1,0 +1,102 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.tx.TxReplay
+
+/** Streaming execution of the transactionally consistent join+aggregation:
+  * the micro-batch LSN-ordered replay design (SURVEY §7.3 path (a)).
+  *
+  * Each micro-batch contributes new left/right change events and tx END
+  * events. The engine buffers them (versioned parquet state dirs — the
+  * operator-state analogue of the reference's checkpointed ListState,
+  * `TxAware…Operator.java:100-160`), replays the full buffer with
+  * [[TxReplay.replay]], emits only documents for transactions whose commit
+  * LSN is above the previous watermark (exactly-once per (key, tx) across
+  * batches), advances the watermark to the largest reachable commit LSN, and
+  * compacts state exactly like the reference's `cleanupState`
+  * (`TxAware…Operator.java:357-430`): latest record per key (left) / per
+  * (key, line) (right) among emitted transactions, plus all future and
+  * still-unfinished (no END yet) events.
+  *
+  * Scale: state lives in parquet partitions, all operations are the same
+  * keyed shuffles as the batch replay; the driver holds only the watermark
+  * scalar and batch counter (orchestration state, like any streaming
+  * engine's). Per-batch replay cost is bounded by the compacted buffer, not
+  * the full history.
+  */
+class TxReplayStream(spark: SparkSession, stateRoot: String) {
+
+  private def dir(version: Long, name: String) = s"$stateRoot/v$version/$name"
+
+  private def readState(version: Long, name: String): Option[DataFrame] = {
+    val p = dir(version, name)
+    if (Files.exists(Paths.get(p))) Some(spark.read.parquet(p)) else None
+  }
+
+  private def unionWith(state: Option[DataFrame], fresh: DataFrame): DataFrame =
+    state.map(_.unionByName(fresh)).getOrElse(fresh)
+
+  @volatile private var version: Long = -1
+  @volatile private var watermark: Long = Long.MinValue
+
+  /** Process one micro-batch of new events; returns the emitted documents
+    * (TxReplay.replay output schema). Call from `foreachBatch` — or directly
+    * for deterministic batch-at-a-time testing.
+    */
+  def processBatch(newLeft: DataFrame, newRight: DataFrame,
+                   newEnds: DataFrame): DataFrame = {
+    val left = unionWith(readState(version, "left"), newLeft)
+    val right = unionWith(readState(version, "right"), newRight)
+    val ends = unionWith(readState(version, "ends"), newEnds)
+
+    // reachable txs over the full buffer; watermark = max reachable LSN
+    val reach = TxReplay.txCompleteness(left, right, ends)
+      .filter(col("reachable"))
+    val newWm = reach.agg(max("commit_lsn")).collect()(0) match {
+      case r if r.isNullAt(0) => watermark
+      case r => math.max(r.getLong(0), watermark)
+    }
+
+    // one doc per (key, tx) not yet emitted in an earlier batch
+    val emitted = TxReplay.replay(left, right, ends)
+      .filter(col("commit_lsn") > lit(watermark))
+
+    // compaction (cleanupState): enrich to learn each event's commit LSN;
+    // unfinished events (no END yet) stay raw in the buffer
+    val endsKeyed = ends.select("tx_id", "commit_lsn")
+    def split(ev: DataFrame, latestKeys: Seq[String]): DataFrame = {
+      val enriched = ev.join(broadcast(endsKeyed), Seq("tx_id"))
+      val unfinished = ev.join(broadcast(endsKeyed.select("tx_id")), Seq("tx_id"), "left_anti")
+      val past = enriched.filter(col("commit_lsn") <= newWm)
+      val latestPast = past
+        .groupBy(latestKeys.map(col): _*)
+        .agg(max_by(struct(ev.columns.map(col).toIndexedSeq: _*),
+          struct(col("commit_lsn"), col("lsn"))).as("_keep"))
+        .select(col("_keep.*"))
+      val future = enriched.filter(col("commit_lsn") > newWm).select(ev.columns.map(col).toIndexedSeq: _*)
+      latestPast.unionByName(future).unionByName(unfinished)
+    }
+    val keepLeft = split(left, Seq("key"))
+    val keepRight = split(right, Seq("key", "line_id"))
+    // retain END rows still referenced by kept events or not yet emitted
+    val referenced = keepLeft.select("tx_id").union(keepRight.select("tx_id")).distinct()
+    val keepEnds = ends.join(referenced, Seq("tx_id"), "left_semi")
+      .unionByName(ends.filter(col("commit_lsn") > newWm))
+      .dropDuplicates("tx_id")
+
+    val next = version + 1
+    keepLeft.write.mode(SaveMode.Overwrite).parquet(dir(next, "left"))
+    keepRight.write.mode(SaveMode.Overwrite).parquet(dir(next, "right"))
+    keepEnds.write.mode(SaveMode.Overwrite).parquet(dir(next, "ends"))
+    version = next
+    watermark = newWm
+    emitted
+  }
+
+  /** Current watermark (largest emitted commit LSN; MinValue before any). */
+  def currentWatermark: Long = watermark
+}

@@ -61,6 +61,35 @@ class StatefulSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("streaming commit-lsn fixer buffers until END, flushes with corrected LSN") {
+    import spark.implicits._
+    import Stateful.TxKeyedEvent
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[TxKeyedEvent]
+    val q = Stateful.fixCommitLsn(input.toDS())
+      .writeStream.format("memory").queryName("fixer_stream")
+      .outputMode("update").option("checkpointLocation", checkpoint())
+      .start()
+    def ev(tx: Long, key: Long, lsn: Long) =
+      TxKeyedEvent(tx, "e", key, "c", lsn, s"p$lsn", -1L)
+    def end(tx: Long, lsn: Long, commit: Long) =
+      TxKeyedEvent(tx, "end", -1, "", lsn, null, commit)
+    try {
+      // batch 1: two events of tx 5, no END → nothing emitted (buffered)
+      input.addData(ev(5, 1, 1), ev(5, 2, 2))
+      q.processAllAvailable()
+      spark.table("fixer_stream").count() shouldBe 0
+      // batch 2: END for tx 5 (commit 500) → both flush, corrected; a late
+      // event of tx 5 in the same batch passes straight through
+      input.addData(end(5, 3, 500), ev(5, 3, 4))
+      q.processAllAvailable()
+      val out = spark.table("fixer_stream").as[TxKeyedEvent].collect()
+        .sortBy(_.lsn).toList
+      out.map(e => (e.key, e.lsn, e.commit_lsn)) shouldBe List(
+        (1L, 1L, 500L), (2L, 2L, 500L), (3L, 4L, 500L))
+    } finally q.stop()
+  }
+
   test("streaming keep-latest materializer emits current row per key, tombstone on delete") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext

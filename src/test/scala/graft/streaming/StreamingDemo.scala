@@ -28,6 +28,20 @@ object StreamingDemo {
     println("DRIVE-RESULT: " + spark.table("t").as[ToastEvent].collect()
       .sortBy(_.lsn).map(e => (e.id, e.op, e.value)).mkString(" | "))
     q.stop()
+
+    // micro-batch tx replay: END arrives a batch after its events
+    import graft.tx.{LeftEv, LineRow, OrderRow, RightEv, TxEnd}
+    val engine = new TxReplayStream(spark,
+      java.nio.file.Files.createTempDirectory("graft-demo-tx").toString)
+    val b1 = engine.processBatch(
+      Seq(LeftEv(1, "c", 1, 1, OrderRow(7, "addr"))).toDF(),
+      Seq(RightEv(1, 10, "c", 2, 1, LineRow(101, 1, 9.99))).toDF(),
+      Seq.empty[TxEnd].toDF())
+    println(s"DRIVE-TX-BATCH1: emitted=${b1.count()} wm=${engine.currentWatermark}")
+    val b2 = engine.processBatch(
+      Seq.empty[LeftEv].toDF(), Seq.empty[RightEv].toDF(),
+      Seq(TxEnd(1, 100, 1, 1)).toDF())
+    println(s"DRIVE-TX-BATCH2: emitted=${b2.count()} wm=${engine.currentWatermark}")
     spark.stop()
   }
 }
