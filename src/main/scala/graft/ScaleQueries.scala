@@ -66,9 +66,10 @@ object ScaleQueries {
     }),
 
     // SimHash signatures — md5-derived, reproducible bit-for-bit by any
-    // engine (the point of a content fingerprint).
+    // engine (the point of a content fingerprint). Repartition first: the
+    // corpus arrives as one input split, and signature math is CPU-bound.
     "q_simhash" -> ((s, d) => {
-      Tables.documents(s, d)
+      Tables.documents(s, d).repartition(col("doc_id"))
         .select(col("doc_id"), NearDup.simHash(col("text")).as("simhash"))
         .orderBy("doc_id")
     }),

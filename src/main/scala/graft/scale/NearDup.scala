@@ -37,8 +37,14 @@ object NearDup {
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast(DoubleType) / size(array_union(a, b))
 
+  /** Shingled docs, redistributed across the cluster: corpus files often
+    * arrive as few large (or one small) input splits, which would serialize
+    * the CPU-heavy signature math — one narrow shuffle up front buys full
+    * parallelism for everything downstream (and pre-clusters by id).
+    */
   private def withShingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
-    df.select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
+    df.repartition(col(idCol))
+      .select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
 
   /** Verify candidate (a_id, b_id) pairs with exact Jaccard ≥ threshold. */
   private def verifyPairs(candidates: DataFrame, docs: DataFrame,
@@ -82,19 +88,23 @@ object NearDup {
   /** 60-bit SimHash from md5-derived shingle hashes: bit j is set when more
     * than half the shingles have bit j set in their 60-bit hash. md5 (not
     * murmur) so any engine can recompute the signature exactly.
-    * The per-bit filter scan is O(60·|shingles|) per row — fine codegen'd;
-    * a single-pass custom Expression is the optimization path if this ever
-    * dominates a profile.
+    *
+    * Single pass over the shingles: one md5 per shingle, then an
+    * `aggregate` fold carrying all 60 bit-counters as an array accumulator
+    * (a naive per-bit `filter` would re-evaluate the md5 array 60×).
     */
   def simHash(text: Column, shingleK: Int = 3): Column = {
     val sh = shingles(text, shingleK)
     val hashes = transform(sh, s =>
       conv(substring(md5(s), 1, 15), 16, 10).cast(LongType))
-    val n = size(hashes)
-    (0 until 60).map { j =>
-      val nSet = size(filter(hashes, h => shiftright(h, j).bitwiseAND(lit(1L)) === 1))
-      when(nSet * 2 > n, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    val powers = array((0 until 60).map(j => lit(1L << j)): _*)
+    val n = size(sh)
+    val counts = aggregate(hashes, array_repeat(lit(0L), 60),
+      (acc, h) => zip_with(acc, powers,
+        (c, p) => c + when(h.bitwiseAND(p) =!= 0, 1L).otherwise(0L)))
+    aggregate(
+      zip_with(counts, powers, (c, p) => when(c * 2 > n, p).otherwise(lit(0L))),
+      lit(0L), (acc, b) => acc + b)
   }
 
   /** SimHash near-dup join: block banding (exact for hamming < blocks by

@@ -37,7 +37,11 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = queries.select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("q_vec"))
+    // repartition the streamed (query) side: the non-equi join plans as a
+    // broadcast nested-loop whose parallelism is the streamed side's
+    // partition count — a single input split would serialize all the math
+    val q = queries.repartition(col(idCol))
+      .select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("q_vec"))
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("c_vec"))
     val scored = q.join(c, col("q_id") =!= col("neighbor_id"))
       .withColumn("cos", round(cosine(col("q_vec"), col("c_vec")), 6))
@@ -53,7 +57,8 @@ object Similarity {
     */
   def assignBuckets(corpus: DataFrame, centroids: DataFrame,
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val c = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("vec"))
+    val c = corpus.repartition(col(idCol))
+      .select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("vec"))
     val cent = centroids.select(col(idCol).as("centroid_id"), asDouble(col(vecCol)).as("cent_vec"))
     c.join(broadcast(cent))
       .withColumn("ccos", round(cosine(col("vec"), col("cent_vec")), 6))
