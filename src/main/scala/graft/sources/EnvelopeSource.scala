@@ -1,0 +1,49 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.cdc.Envelope
+
+/** S1/S10/S11 + P10 — envelope stream ingestion.
+  *
+  * The reference reads Debezium JSON from Kafka
+  * (`KafkaAppendStreamJob.java:17-59`). This environment has no Kafka
+  * connector jars, so the runnable source is a JSON-lines file stream with
+  * the IDENTICAL decode path a Kafka `value` column would take; for a real
+  * cluster, [[kafkaOptions]] builds the reader options (`format("kafka")`
+  * + these options + `decode` over `value`).
+  */
+object EnvelopeSource {
+
+  /** S11: startup-mode and connection options for a Kafka deployment —
+    * `spark.readStream.format("kafka").options(kafkaOptions(...))`, then
+    * `Envelope.decode(df.selectExpr("CAST(value AS STRING) AS payload"),
+    * "payload", rowSchema)`.
+    */
+  def kafkaOptions(bootstrapServers: String, topic: String,
+                   startingOffsets: String = "earliest"): Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> bootstrapServers,
+    "subscribe" -> topic,
+    "startingOffsets" -> startingOffsets,
+    "failOnDataLoss" -> "false")
+
+  /** S1: streaming envelope source over a directory of JSON-lines files.
+    * Each line is one Debezium envelope; the payload goes through the same
+    * typed decode as a Kafka value. S10 metadata columns are exposed from
+    * the file source (`_metadata`), P10 as a processing-time column.
+    */
+  def fileStream(spark: SparkSession, dir: String, rowSchema: StructType): DataFrame = {
+    val raw = spark.readStream
+      .format("text")
+      .load(dir)
+      .select(
+        col("value").as("payload"),
+        col("_metadata.file_path").as("src_file"),       // S10 ↔ topic/partition
+        current_timestamp().as("proctime"))              // P10 ↔ PROCTIME()
+    raw
+      .withColumn("_env", from_json(col("payload"), Envelope.schema(rowSchema)))
+      .select(col("_env.*"), col("src_file"), col("proctime"))
+  }
+}

@@ -90,6 +90,33 @@ class StatefulSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("metrics listener tracks events-seen and state rows across batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val listener = new GraftMetricsListener
+    spark.streams.addListener(listener)
+    val input = MemoryStream[ToastEvent]
+    val q = Stateful.toastBackfill(input.toDS())
+      .writeStream.format("memory").queryName("obs_stream")
+      .outputMode("update").option("checkpointLocation", checkpoint())
+      .start()
+    try {
+      input.addData(ToastEvent(1, "c", 1, "x"), ToastEvent(2, "c", 2, "y"))
+      q.processAllAvailable()
+      input.addData(ToastEvent(1, "u", 3, "x2"))
+      q.processAllAvailable()
+      // listener delivery is async — poll briefly
+      var m = listener.snapshot.get("obs_stream")
+      val deadline = System.nanoTime() + 10e9.toLong
+      while ((m.isEmpty || m.get.eventsSeen < 3) && System.nanoTime() < deadline) {
+        Thread.sleep(100); m = listener.snapshot.get("obs_stream")
+      }
+      m.map(_.eventsSeen) shouldBe Some(3L)   // TotalNumberOfEventsSeen analogue
+      m.get.stateRows should be >= 2L         // keyed latch state
+      m.get.batches should be >= 2L
+    } finally { q.stop(); spark.streams.removeListener(listener) }
+  }
+
   test("streaming keep-latest materializer emits current row per key, tombstone on delete") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext

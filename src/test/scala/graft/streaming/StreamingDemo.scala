@@ -42,6 +42,28 @@ object StreamingDemo {
       Seq.empty[LeftEv].toDF(), Seq.empty[RightEv].toDF(),
       Seq(TxEnd(1, 100, 1, 1)).toDF())
     println(s"DRIVE-TX-BATCH2: emitted=${b2.count()} wm=${engine.currentWatermark}")
+
+    // file-based envelope source with metadata/proctime + metrics listener
+    import org.apache.spark.sql.types._
+    val listener = new GraftMetricsListener
+    spark.streams.addListener(listener)
+    val dir = java.nio.file.Files.createTempDirectory("graft-demo-src")
+    java.nio.file.Files.writeString(dir.resolve("ev.jsonl"),
+      """{"after":{"id":1},"source":{"lsn":10},"op":"c","ts_ms":1,"transaction":{"id":"5:100"}}""" + "\n")
+    val rowSchema = StructType(Seq(StructField("id", LongType)))
+    val src = graft.sources.EnvelopeSource.fileStream(spark, dir.toString, rowSchema)
+      .writeStream.format("memory").queryName("src_demo")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-demo-src-ckpt").toString)
+      .start()
+    src.processAllAvailable()
+    val row = spark.table("src_demo")
+      .selectExpr("after.id", "op", "src_file IS NOT NULL", "proctime IS NOT NULL")
+      .collect().head
+    println(s"DRIVE-SRC: $row")
+    Thread.sleep(2000)
+    println(s"DRIVE-METRICS: ${listener.snapshot.get("src_demo").map(m => (m.eventsSeen, m.batches))}")
+    src.stop()
     spark.stop()
   }
 }
