@@ -69,8 +69,10 @@ object ScaleQueries {
     // engine (the point of a content fingerprint). Repartition first: the
     // corpus arrives as one input split, and signature math is CPU-bound.
     "q_simhash" -> ((s, d) => {
-      Tables.documents(s, d).repartition(col("doc_id"))
-        .select(col("doc_id"), NearDup.simHash(col("text")).as("simhash"))
+      NearDup.withSimHash(
+        Tables.documents(s, d).repartition(col("doc_id")).select("doc_id", "text"),
+        "text")
+        .select("doc_id", "simhash")
         .orderBy("doc_id")
     }),
 

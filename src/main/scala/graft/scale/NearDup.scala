@@ -85,27 +85,34 @@ object NearDup {
     verifyPairs(candidates, docs, threshold)
   }
 
+  private val simHashPowers = array((0 until 60).map(j => lit(1L << j)): _*)
+
   /** 60-bit SimHash from md5-derived shingle hashes: bit j is set when more
     * than half the shingles have bit j set in their 60-bit hash. md5 (not
     * murmur) so any engine can recompute the signature exactly.
     *
-    * Single pass over the shingles: one md5 per shingle, then an
-    * `aggregate` fold carrying all 60 bit-counters as an array accumulator
-    * (a naive per-bit `filter` would re-evaluate the md5 array 60×).
+    * Staged as separate projections on purpose: higher-order functions are
+    * interpreted (no codegen), and Catalyst would otherwise inline the
+    * shingle/md5 subtrees into every consumer — in particular a `size(sh)`
+    * nested inside the fold re-evaluates the whole shingle pipeline once PER
+    * SHINGLE (quadratic; observed as a single-core multi-minute stall at
+    * sf0.1). Each stage below is computed once per row, then referenced as
+    * a plain attribute.
     */
-  def simHash(text: Column, shingleK: Int = 3): Column = {
-    val sh = shingles(text, shingleK)
-    val hashes = transform(sh, s =>
-      conv(substring(md5(s), 1, 15), 16, 10).cast(LongType))
-    val powers = array((0 until 60).map(j => lit(1L << j)): _*)
-    val n = size(sh)
-    val counts = aggregate(hashes, array_repeat(lit(0L), 60),
-      (acc, h) => zip_with(acc, powers,
-        (c, p) => c + when(h.bitwiseAND(p) =!= 0, 1L).otherwise(0L)))
-    aggregate(
-      zip_with(counts, powers, (c, p) => when(c * 2 > n, p).otherwise(lit(0L))),
-      lit(0L), (acc, b) => acc + b)
-  }
+  def withSimHash(df: DataFrame, textCol: String, out: String = "simhash",
+                  shingleK: Int = 3): DataFrame =
+    df.withColumn("_sh", shingles(col(textCol), shingleK))
+      .withColumn("_hashes", transform(col("_sh"), s =>
+        conv(substring(md5(s), 1, 15), 16, 10).cast(LongType)))
+      .withColumn("_n", size(col("_sh")))
+      .withColumn("_counts", aggregate(col("_hashes"), array_repeat(lit(0L), 60),
+        (acc, h) => zip_with(acc, simHashPowers,
+          (c, p) => c + when(h.bitwiseAND(p) =!= 0, 1L).otherwise(0L))))
+      .withColumn(out, aggregate(
+        zip_with(col("_counts"), simHashPowers,
+          (c, p) => when(c * 2 > col("_n"), p).otherwise(lit(0L))),
+        lit(0L), (acc, b) => acc + b))
+      .drop("_sh", "_hashes", "_n", "_counts")
 
   /** SimHash near-dup join: block banding (exact for hamming < blocks by
     * pigeonhole), then exact hamming verification via bit_count(xor).
@@ -116,7 +123,9 @@ object NearDup {
     require(maxHamming < blocks, "pigeonhole exactness needs maxHamming < blocks")
     val bitsPerBlock = 60 / blocks
     val mask = (1L << bitsPerBlock) - 1
-    val docs = df.select(col(idCol).as("id"), simHash(col(textCol), shingleK).as("sim"))
+    val docs = withSimHash(
+      df.repartition(col(idCol)).select(col(idCol).as("id"), col(textCol)),
+      textCol, "sim", shingleK).select("id", "sim")
 
     val banded = docs.select(col("id"), col("sim"),
       posexplode(array((0 until blocks).map { b =>
@@ -143,15 +152,34 @@ object NearDup {
   def ngramJaccardJoin(df: DataFrame, idCol: String, textCol: String,
                        threshold: Double, shingleK: Int = 3): DataFrame = {
     val docs = withShingles(df, idCol, textCol, shingleK)
-      .withColumn("sh", sort_array(col("sh")))
-    val prefixLen = (size(col("sh")) - ceil(lit(threshold) * size(col("sh"))) + 1)
-      .cast(IntegerType)
-    val prefixes = docs.select(col("id"),
-      explode(slice(col("sh"), lit(1), prefixLen)).as("tok"))
 
-    val candidates = prefixes.select(col("tok"), col("id").as("a_id"))
-      .join(prefixes.select(col("tok"), col("id").as("b_id")), Seq("tok"))
+    // Canonical global order is RAREST-FIRST (global shingle frequency, ties
+    // by shingle): common shingles — which would pair everything with
+    // everything — land in suffixes and never generate candidates. A
+    // lexicographic order degenerates to near-all-pairs on small-vocabulary
+    // corpora. The frequency table is ≤ |vocabulary|^k rows → broadcast.
+    val freq = docs.select(explode(col("sh")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("f"))
+
+    val prefixes = docs.select(col("id"), explode(col("sh")).as("tok"))
+      .join(broadcast(freq), Seq("tok"))
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("f"), col("tok")))).as("ranked"),
+        count(lit(1)).as("n"))
+      .withColumn("plen",
+        (col("n") - ceil(lit(threshold) * col("n")) + 1).cast(IntegerType))
+      .select(col("id"), col("n"),
+        explode(slice(col("ranked"), lit(1), col("plen"))).as("p"))
+      .select(col("id"), col("n"), col("p.tok").as("tok"))
+
+    // length filter: J ≥ t implies t·|A| ≤ |B| ≤ |A|/t — prune before verify
+    val candidates = prefixes
+      .select(col("tok"), col("id").as("a_id"), col("n").as("a_n"))
+      .join(prefixes.select(col("tok"), col("id").as("b_id"), col("n").as("b_n")),
+        Seq("tok"))
       .filter(col("a_id") < col("b_id"))
+      .filter(col("b_n") >= col("a_n") * threshold &&
+              col("a_n") >= col("b_n") * threshold)
       .select("a_id", "b_id").distinct()
 
     verifyPairs(candidates, docs, threshold)
