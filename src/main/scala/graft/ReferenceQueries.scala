@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.Ordered._
 import graft.cdc.Envelope
 import graft.ops.{Denormalize, Materialize, Toast}
 
@@ -36,7 +37,7 @@ object ReferenceQueries {
           sum(col("l_extendedprice").cast(dec)).cast(DoubleType).as("sum_price"),
           (sum(col("l_extendedprice").cast(dec)).cast(DoubleType) / count(lit(1))).as("avg_price"),
           count(lit(1)).as("n_rows"))
-        .orderBy("l_returnflag", "l_linestatus")
+        .ordered("l_returnflag", "l_linestatus")
     }),
 
     // J3/A2 flagship: denormalized orders (poc.md:14-27). Join key == group
@@ -49,7 +50,7 @@ object ReferenceQueries {
         "o_orderkey", "l_orderkey",
         Seq("l_linenumber", "l_partkey", "l_quantity", "l_extendedprice"))
         .withColumn("lines", to_json(col("lines")))
-        .orderBy("o_orderkey")
+        .ordered("o_orderkey")
     }),
 
     // P1/P12: projection + filter, pushed to the scan.
@@ -57,7 +58,7 @@ object ReferenceQueries {
       Tables.lineitem(s, d)
         .filter(col("l_returnflag") === "R" && col("l_quantity") > 30)
         .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity", "l_extendedprice")
-        .orderBy("l_orderkey", "l_linenumber")
+        .ordered("l_orderkey", "l_linenumber")
     }),
 
     // P4/P5: CASE WHEN + NULLIF against a sentinel.
@@ -68,7 +69,7 @@ object ReferenceQueries {
         when(col("n_chars") < 100, "short")
           .when(col("n_chars") < 300, "mid")
           .otherwise("long").as("size_bucket"))
-        .orderBy("doc_id")
+        .ordered("doc_id")
     }),
 
     // P7/P8: split/split_part + concat_ws (txId:commitLsn parsing shape).
@@ -77,7 +78,7 @@ object ReferenceQueries {
         col("c_custkey"),
         split_part(col("c_name"), lit("#"), lit(2)).cast(LongType).as("name_num"),
         concat_ws(".", col("c_mktsegment"), col("c_name")).as("qualified"))
-        .orderBy("c_custkey")
+        .ordered("c_custkey")
     }),
 
     // P9: epoch-day / epoch-millis conversions (Debezium temporal encodings).
@@ -90,7 +91,7 @@ object ReferenceQueries {
         date_add(lit("1970-01-01").cast(DateType),
           datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast(DateType)))
           .cast(TimestampType).as("roundtrip_date"))
-        .orderBy("o_orderkey")
+        .ordered("o_orderkey")
     }),
 
     // P6: op-dependent key extraction shape — COALESCE over an outer join.
@@ -101,7 +102,7 @@ object ReferenceQueries {
       c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"), "left")
         .select(col("c_custkey"),
           coalesce(col("n_name"), lit("UNKNOWN")).as("nation_name"))
-        .orderBy("c_custkey")
+        .ordered("c_custkey")
     }),
 
     // P11/S1: JSON field extraction (events.props stands in for envelope JSON).
@@ -111,7 +112,7 @@ object ReferenceQueries {
         .agg(
           sum(get_json_object(col("props"), "$.k").cast(LongType)).cast(LongType).as("sum_k"),
           count(lit(1)).as("n"))
-        .orderBy("event_type")
+        .ordered("event_type")
     }),
 
     // S1+S4+S5: full envelope encode→decode roundtrip. Build a Debezium
@@ -145,7 +146,7 @@ object ReferenceQueries {
         Envelope.txId(col("transaction.id")).as("tx_id"),
         Envelope.commitLsn(col("transaction.id")).as("commit_lsn"),
         Envelope.qualifiedTable(col("source")).as("tbl"))
-        .orderBy("event_id")
+        .ordered("event_id")
     }),
 
     // O8/A3/S3: changelog → current table, latest row per key. map-side
@@ -154,7 +155,7 @@ object ReferenceQueries {
       Materialize.latestByKey(
         Tables.events(s, d), Seq("user_id"), struct(col("ts"), col("event_id")))
         .select("user_id", "event_id", "event_type", "value")
-        .orderBy("user_id")
+        .ordered("user_id")
     }),
 
     // S3/O8 with deletes: upsert semantics where event_type='error' acts as a
@@ -169,13 +170,13 @@ object ReferenceQueries {
         .filter(col("op") =!= "d")
         .select(col("key").as("user_id"), col("after.event_id").as("event_id"),
           col("after.event_type").as("event_type"))
-        .orderBy("user_id")
+        .ordered("user_id")
     }),
 
     // O7: at-least-once dedup — duplicate delivery simulated by self-union.
     "q_dedup_events" -> ((s, d) => {
       val e = Tables.events(s, d).select("event_id", "user_id", "event_type")
-      e.union(e).dropDuplicates("event_id").orderBy("event_id")
+      e.union(e).dropDuplicates("event_id").ordered("event_id")
     }),
 
     // W1/O1: TOAST backfill, batch OVER-agg form (SqlOverAggJob.java:109-135).
@@ -186,7 +187,7 @@ object ReferenceQueries {
         when(col("event_type") === "click", Envelope.ToastSentinel)
           .otherwise(col("props")).as("biography"))
       Toast.backfill(src, "id", col("lsn"), "biography")
-        .orderBy("id", "lsn")
+        .ordered("id", "lsn")
     }),
 
     // J4: latest-version-per-key as-of a point (the tx join's row resolution).
@@ -197,7 +198,7 @@ object ReferenceQueries {
         Seq("l_orderkey"),
         struct(col("l_shipdate"), col("l_linenumber"), col("l_partkey"), col("l_suppkey")))
         .select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
-        .orderBy("l_orderkey")
+        .ordered("l_orderkey")
     }),
 
     // J2 shape: fact × broadcast dims enrich + aggregate.
@@ -210,7 +211,7 @@ object ReferenceQueries {
           sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec4))
             .cast(DoubleType).as("revenue"),
           count(lit(1)).as("n_items"))
-        .orderBy("p_brand")
+        .ordered("p_brand")
     }),
 
     // A4: per-group event counting joined back to the parent (tx-completeness
@@ -224,7 +225,7 @@ object ReferenceQueries {
           coalesce(col("n_lines"), lit(0L)).as("n_lines"),
           when(coalesce(col("n_lines"), lit(0L)) >= 4, "complete")
             .otherwise("partial").as("status"))
-        .orderBy("o_orderkey")
+        .ordered("o_orderkey")
     }),
 
     // §2.7: set operations (union / intersect / except).
@@ -234,7 +235,7 @@ object ReferenceQueries {
       val b = c.filter(col("c_mktsegment") === "AUTOMOBILE").select("c_custkey")
       val rich = c.filter(col("c_acctbal") > 1000).select("c_custkey")
       val n3 = c.filter(col("c_nationkey") === 3).select("c_custkey")
-      a.union(b).distinct().intersect(rich).except(n3).orderBy("c_custkey")
+      a.union(b).distinct().intersect(rich).except(n3).ordered("c_custkey")
     }),
 
     // §2.7: global sort + limit (top-k). TakeOrderedAndProject — no full sort
@@ -261,7 +262,7 @@ object ReferenceQueries {
       val (k, v) = Envelope.encodeChangelogJson(
         col("event_id"), col("before"), col("after"), col("op"), col("ts_ms"))
       norm.select(col("event_id"), k.as("kafka_key"), v.as("kafka_value"))
-        .orderBy("event_id")
+        .ordered("event_id")
     }),
 
     // S6/S8 encode: upsert materialization → kafka key/value with NULL-value
@@ -275,7 +276,7 @@ object ReferenceQueries {
       val latest = Materialize.latestByKey(norm, Seq("key"), col("lsn"))
       val (k, v) = Envelope.encodeUpsertKV(col("key"), col("after"), col("op") === "d")
       latest.select(col("key"), k.as("kafka_key"), v.as("kafka_value"))
-        .orderBy("key")
+        .ordered("key")
     }),
 
     // S7: generic (schema-less) envelope mode — row images as
@@ -294,7 +295,7 @@ object ReferenceQueries {
           element_at(col("after"), "event_type").as("event_type_str"),
           element_at(col("after"), "value").as("value_str"),
           col("op"))
-        .orderBy("event_id")
+        .ordered("event_id")
     })
   )
 

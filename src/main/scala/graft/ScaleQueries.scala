@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.Ordered._
 import graft.scale.{Multimodal, NearDup, Similarity, TextOps}
 
 /** Driver-verifiable queries for the training-data-pipeline operators
@@ -20,21 +21,21 @@ object ScaleQueries {
     "q_text_stats" -> ((s, d) => {
       TextOps.textStats(Tables.documents(s, d).select("doc_id", "text"), "text")
         .drop("text")
-        .orderBy("doc_id")
+        .ordered("doc_id")
     }),
 
     // Language-ID heuristic: deterministic function-word scoring.
     "q_lang_id" -> ((s, d) => {
       TextOps.languageId(Tables.documents(s, d).select("doc_id", "text"), "text")
         .drop("text")
-        .orderBy("doc_id")
+        .ordered("doc_id")
     }),
 
     // Quality scoring: diversity + stopword + length mix.
     "q_quality_score" -> ((s, d) => {
       TextOps.qualityScore(Tables.documents(s, d).select("doc_id", "text"), "text")
         .drop("text")
-        .orderBy("doc_id")
+        .ordered("doc_id")
     }),
 
     // Exact dedup via md5 fingerprint. The corpus has no duplicate texts, so
@@ -46,7 +47,7 @@ object ScaleQueries {
         .select((col("doc_id") + 10000).as("doc_id"), col("text"))
       TextOps.exactDedup(docs.union(dups), "doc_id", "text")
         .select("doc_id", "fingerprint", "canonical_id", "group_size", "is_dup")
-        .orderBy("doc_id")
+        .ordered("doc_id")
     }),
 
     // Corpus token frequency: explode + hash agg, deterministic top-k.
@@ -62,39 +63,40 @@ object ScaleQueries {
     // the planted J≥0.8 dups; equality at sf0.01 verified empirically).
     "q_dedup_minhash" -> ((s, d) => {
       NearDup.minHashDedup(Tables.documents(s, d), "doc_id", "text", threshold = 0.5)
-        .orderBy("a_id", "b_id")
+        .ordered("a_id", "b_id")
     }),
 
     // SimHash signatures — md5-derived, reproducible bit-for-bit by any
     // engine (the point of a content fingerprint). Repartition first: the
     // corpus arrives as one input split, and signature math is CPU-bound.
     "q_simhash" -> ((s, d) => {
+      val n = s.sessionState.conf.numShufflePartitions
       NearDup.withSimHash(
-        Tables.documents(s, d).repartition(col("doc_id")).select("doc_id", "text"),
+        Tables.documents(s, d).repartition(n, col("doc_id")).select("doc_id", "text"),
         "text")
         .select("doc_id", "simhash")
-        .orderBy("doc_id")
+        .ordered("doc_id")
     }),
 
-    // SimHash near-dedup: 6-block banding is exact for hamming ≤ 5
+    // SimHash near-dedup: 4-block banding is exact for hamming ≤ 3
     // (pigeonhole), verification keeps hamming ≤ 3.
     "q_dedup_simhash" -> ((s, d) => {
       NearDup.simHashDedup(Tables.documents(s, d), "doc_id", "text", maxHamming = 3)
-        .orderBy("a_id", "b_id")
+        .ordered("a_id", "b_id")
     }),
 
     // EXACT set-similarity join via prefix filtering (AllPairs) — no
-    // probabilistic recall; candidates provably cover every J ≥ 0.4 pair.
+    // probabilistic recall; candidates provably cover every J ≥ 0.5 pair.
     "q_ngram_jaccard" -> ((s, d) => {
-      NearDup.ngramJaccardJoin(Tables.documents(s, d), "doc_id", "text", threshold = 0.4)
-        .orderBy("a_id", "b_id")
+      NearDup.ngramJaccardJoin(Tables.documents(s, d), "doc_id", "text", threshold = 0.5)
+        .ordered("a_id", "b_id")
     }),
 
     // Exact cosine top-5 for the label-0 query set — the ANN baseline.
     "q_embed_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       Similarity.bruteForceTopK(e, e.filter(col("label") === 0), k = 5)
-        .orderBy("q_id", "rank")
+        .ordered("q_id", "rank")
     }),
 
     // IVF-flat (nprobe=1): vec_id % 10 == 3 vectors serve as centroids;
@@ -105,7 +107,7 @@ object ScaleQueries {
       val e = Tables.embeddings(s, d)
       Similarity.ivfTopK(e, e.filter(col("vec_id") % 10 === 3),
         e.filter(col("label") === 0), k = 3)
-        .orderBy("q_id", "rank")
+        .ordered("q_id", "rank")
     }),
 
     // Multimodal: documents.text as a stand-in binary payload — typed
@@ -122,7 +124,7 @@ object ScaleQueries {
         .select(col("doc_id"), col("m.byte_len").as("byte_len"),
           col("m.sha256").as("sha256"), col("m.magic").as("magic"),
           col("n_frames"), col("frames_sig"))
-        .orderBy("doc_id")
+        .ordered("doc_id")
     })
   )
 
@@ -131,8 +133,8 @@ object ScaleQueries {
     */
   private def cosSql(a: String, b: String) =
     s"""round(list_sum(list_transform(range(1, len($a)+1), i -> $a[i]*$b[i])) /
-      |  sqrt(list_sum(list_transform(range(1, len($a)+1), i -> $a[i]*$a[i])) *
-      |       list_sum(list_transform(range(1, len($b)+1), i -> $b[i]*$b[i]))), 6)""".stripMargin
+      |  (sqrt(list_sum(list_transform(range(1, len($a)+1), i -> $a[i]*$a[i]))) *
+      |   sqrt(list_sum(list_transform(range(1, len($b)+1), i -> $b[i]*$b[i])))), 6)""".stripMargin
 
   /** Shared oracle fragment: distinct 3-word shingles per document. */
   private val shinglesCte =
@@ -225,7 +227,7 @@ object ScaleQueries {
         | FROM sim a JOIN sim b ON a.doc_id < b.doc_id)
         |WHERE hamming <= 3 ORDER BY a_id, b_id""".stripMargin,
 
-    "q_ngram_jaccard" -> allPairsJaccardSql(0.4),
+    "q_ngram_jaccard" -> allPairsJaccardSql(0.5),
 
     "q_embed_topk" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.Ordered._
 import graft.tx.TxReplay
 
 /** Driver-verifiable queries for the transactional-CDC replay engine
@@ -84,7 +85,7 @@ object TxQueries {
       col("row.o_orderpriority").as("o_orderpriority"),
       to_json(col("lines")).as("lines"),
       col("deleted"))
-      .orderBy("key", "commit_lsn")
+      .ordered("key", "commit_lsn")
 
   val queries: Map[String, Q] = Map(
     // J1+A1+O3+O9 end-to-end: one doc per (order, tx), with the final 4 txs
@@ -134,7 +135,7 @@ object TxQueries {
           .otherwise(to_json(struct(col("row"), col("lines")),
             Map("timestampFormat" -> "yyyy-MM-dd HH:mm:ss",
                 "timestampNTZFormat" -> "yyyy-MM-dd HH:mm:ss"))).as("doc"))
-        .orderBy("key", "commit_lsn")
+        .ordered("key", "commit_lsn")
     }),
 
     // O4: commit-LSN fix — events carry only a tx id; the commit LSN comes
@@ -148,7 +149,7 @@ object TxQueries {
         .withColumn("commit_lsn", lit(7000000L) + col("tx_id"))
       TxReplay.fixCommitLsn(ev, ends)
         .select("event_id", "user_id", "commit_lsn")
-        .orderBy("event_id")
+        .ordered("event_id")
     }),
 
     // O3/A4: tx completeness + contiguous-watermark reachability as data —
@@ -164,7 +165,7 @@ object TxQueries {
         col("n").as("expected_right"))
       TxReplay.txCompleteness(ev, ev, ends)
         .select("tx_id", "commit_lsn", "n_left", "n_right", "complete", "reachable")
-        .orderBy("tx_id")
+        .ordered("tx_id")
     })
   )
 

@@ -37,21 +37,48 @@ object NearDup {
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast(DoubleType) / size(array_union(a, b))
 
+  /** Parallelism for CPU-dense stages. A bare `repartition(col)` is undone
+    * by AQE's partition coalescing (these corpora are only MBs — AQE
+    * optimizes shuffle bytes, not downstream compute); an EXPLICIT partition
+    * count is preserved. Observed: the whole shingle/signature pipeline
+    * collapsed onto one core at sf0.1 without this.
+    */
+  private def fanout(df: DataFrame): Int =
+    df.sparkSession.sessionState.conf.numShufflePartitions
+
   /** Shingled docs, redistributed across the cluster: corpus files often
     * arrive as few large (or one small) input splits, which would serialize
     * the CPU-heavy signature math — one narrow shuffle up front buys full
     * parallelism for everything downstream (and pre-clusters by id).
     */
   private def withShingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
-    df.repartition(col(idCol))
+    df.repartition(fanout(df), col(idCol))
       .select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
 
   /** Verify candidate (a_id, b_id) pairs with exact Jaccard ≥ threshold. */
+  /** Exact-Jaccard verification of candidate pairs. The set elements are
+    * xxhash64-compressed to longs first: set sizes (and therefore Jaccard)
+    * are unchanged absent a 64-bit collision inside one pair's union
+    * (~|union|²/2⁶⁵ ≈ 1e-15 — negligible at any corpus size), and
+    * long-array intersection is several times cheaper than re-hashing
+    * ~20-char strings per pair.
+    */
   private def verifyPairs(candidates: DataFrame, docs: DataFrame,
                           threshold: Double): DataFrame = {
-    val a = docs.select(col("id").as("a_id"), col("sh").as("a_sh"))
-    val b = docs.select(col("id").as("b_id"), col("sh").as("b_sh"))
+    // cache(): the hashed-set table feeds both join sides, and — without a
+    // materialization fence — join constraint propagation pushes
+    // isnotnull(<full shingle+hash expression>) below the repartition,
+    // re-evaluating the whole pipeline per row on the SERIAL pre-shuffle
+    // stage (observed via jstack: ArrayAggregate inside a generated
+    // Predicate in stage 1). An InMemoryRelation is both the fence and the
+    // single evaluation.
+    val hashed = docs.select(col("id"),
+      array_distinct(transform(col("sh"), s => xxhash64(s))).as("hsh"))
+      .cache()
+    val a = hashed.select(col("id").as("a_id"), col("hsh").as("a_sh"))
+    val b = hashed.select(col("id").as("b_id"), col("hsh").as("b_sh"))
     candidates
+      .repartition(fanout(candidates), col("a_id")) // keep verify math parallel
       .join(a, Seq("a_id")).join(b, Seq("b_id"))
       .withColumn("jac", jaccard(col("a_sh"), col("b_sh")))
       .filter(col("jac") >= threshold)
@@ -70,10 +97,14 @@ object NearDup {
     val sig = array((0 until bands * rowsPerBand).map { i =>
       array_min(transform(col("sh"), s => hash(lit(i), s).cast(LongType)))
     }: _*)
+    // cache(): fence + single evaluation of the signature table (see
+    // verifyPairs — the bucket self-join would otherwise push the full
+    // signature expression into the serial pre-shuffle stage)
     val banded = docs.withColumn("sig", sig)
       .select(col("id"), posexplode(array((0 until bands).map { b =>
         hash((0 until rowsPerBand).map(r => col("sig")(b * rowsPerBand + r)): _*)
       }: _*)).as(Seq("band", "band_key")))
+      .cache()
 
     // bucket self-join: only docs sharing a (band, band_key) bucket pair up
     val left = banded.select(col("band"), col("band_key"), col("id").as("a_id"))
@@ -116,16 +147,23 @@ object NearDup {
 
   /** SimHash near-dup join: block banding (exact for hamming < blocks by
     * pigeonhole), then exact hamming verification via bit_count(xor).
+    * Default 4 blocks of 15 bits: same-corpus signatures cluster around the
+    * vocabulary's centroid signature, so SMALL blocks collide en masse
+    * (observed: 10-bit blocks → tens of millions of candidate pairs at 5k
+    * docs); 15-bit blocks keep the pigeonhole guarantee for hamming ≤ 3
+    * while being ~32× more selective.
     */
   def simHashDedup(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3, blocks: Int = 6,
+                   maxHamming: Int = 3, blocks: Int = 4,
                    shingleK: Int = 3): DataFrame = {
     require(maxHamming < blocks, "pigeonhole exactness needs maxHamming < blocks")
     val bitsPerBlock = 60 / blocks
     val mask = (1L << bitsPerBlock) - 1
+    // cache(): fence + single evaluation (see verifyPairs for the pathology)
     val docs = withSimHash(
-      df.repartition(col(idCol)).select(col(idCol).as("id"), col(textCol)),
+      df.repartition(fanout(df), col(idCol)).select(col(idCol).as("id"), col(textCol)),
       textCol, "sim", shingleK).select("id", "sim")
+      .cache()
 
     val banded = docs.select(col("id"), col("sim"),
       posexplode(array((0 until blocks).map { b =>
@@ -171,6 +209,7 @@ object NearDup {
       .select(col("id"), col("n"),
         explode(slice(col("ranked"), lit(1), col("plen"))).as("p"))
       .select(col("id"), col("n"), col("p.tok").as("tok"))
+      .cache() // fence + single evaluation for the self-join below
 
     // length filter: J ≥ t implies t·|A| ≤ |B| ≤ |A|/t — prune before verify
     val candidates = prefixes

@@ -32,6 +32,20 @@ object Similarity {
 
   private def asDouble(c: Column): Column = c.cast(ArrayType(DoubleType))
 
+  /** Per-pair cosine from PRE-COMPUTED norms: higher-order-function dots are
+    * interpreted, so norms must be per-vector columns (computed once), never
+    * re-derived per candidate pair (3× the dot work across |Q|·|C| pairs).
+    */
+  private def pairCos(aVec: Column, bVec: Column, aNorm: Column, bNorm: Column): Column =
+    round(dot(aVec, bVec) / (aNorm * bNorm), 6)
+
+  private def normed(df: DataFrame, idCol: String, vecCol: String,
+                     prefix: String): DataFrame = {
+    val v = asDouble(col(vecCol))
+    df.select(col(idCol).as(s"${prefix}_id"), v.as(s"${prefix}_vec"),
+      sqrt(dot(v, v)).as(s"${prefix}_norm"))
+  }
+
   /** Exact top-k neighbors for each query vector. Output: q_id, neighbor_id,
     * cos (rounded, 6 dp), ranked per query by (cos desc, neighbor_id).
     */
@@ -39,12 +53,15 @@ object Similarity {
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     // repartition the streamed (query) side: the non-equi join plans as a
     // broadcast nested-loop whose parallelism is the streamed side's
-    // partition count — a single input split would serialize all the math
-    val q = queries.repartition(col(idCol))
-      .select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("q_vec"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("c_vec"))
+    // partition count — a single input split would serialize all the math.
+    // Explicit count: AQE would coalesce a bare repartition(col) to 1 on
+    // MB-sized inputs, and the cost here is CPU, not bytes.
+    val n = queries.sparkSession.sessionState.conf.numShufflePartitions
+    val q = normed(queries, idCol, vecCol, "q").repartition(n, col("q_id"))
+    val c = normed(corpus, idCol, vecCol, "c")
+      .withColumnRenamed("c_id", "neighbor_id")
     val scored = q.join(c, col("q_id") =!= col("neighbor_id"))
-      .withColumn("cos", round(cosine(col("q_vec"), col("c_vec")), 6))
+      .withColumn("cos", pairCos(col("q_vec"), col("c_vec"), col("q_norm"), col("c_norm")))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -57,14 +74,16 @@ object Similarity {
     */
   def assignBuckets(corpus: DataFrame, centroids: DataFrame,
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val c = corpus.repartition(col(idCol))
-      .select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("vec"))
-    val cent = centroids.select(col(idCol).as("centroid_id"), asDouble(col(vecCol)).as("cent_vec"))
+    val n = corpus.sparkSession.sessionState.conf.numShufflePartitions
+    val c = normed(corpus, idCol, vecCol, "v").repartition(n, col("v_id"))
+    val cent = normed(centroids, idCol, vecCol, "cent")
+      .withColumnRenamed("cent_id", "centroid_id")
     c.join(broadcast(cent))
-      .withColumn("ccos", round(cosine(col("vec"), col("cent_vec")), 6))
-      .groupBy("vec_id")
+      .withColumn("ccos",
+        pairCos(col("v_vec"), col("cent_vec"), col("v_norm"), col("cent_norm")))
+      .groupBy(col("v_id").as("vec_id"))
       .agg(max_by(col("centroid_id"), struct(col("ccos"), -col("centroid_id"))).as("bucket"),
-        first(col("vec")).as("vec"))
+        first(col("v_vec")).as("vec"), first(col("v_norm")).as("norm"))
   }
 
   /** IVF-flat probe: top-k within the query's own bucket (nprobe = 1).
@@ -73,14 +92,17 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, centroids: DataFrame, queryIds: DataFrame, k: Int,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val assigned = assignBuckets(corpus, centroids, idCol, vecCol)
+    // cache(): the assignment table feeds both the query and corpus sides
+    val assigned = assignBuckets(corpus, centroids, idCol, vecCol).cache()
     val queries = assigned.join(queryIds.select(col(idCol).as("vec_id")), Seq("vec_id"))
-      .select(col("vec_id").as("q_id"), col("bucket"), col("vec").as("q_vec"))
+      .select(col("vec_id").as("q_id"), col("bucket"),
+        col("vec").as("q_vec"), col("norm").as("q_norm"))
     val bucketed = assigned
-      .select(col("vec_id").as("neighbor_id"), col("bucket"), col("vec").as("c_vec"))
+      .select(col("vec_id").as("neighbor_id"), col("bucket"),
+        col("vec").as("c_vec"), col("norm").as("c_norm"))
     val scored = queries.join(bucketed, Seq("bucket"))
       .filter(col("q_id") =!= col("neighbor_id"))
-      .withColumn("cos", round(cosine(col("q_vec"), col("c_vec")), 6))
+      .withColumn("cos", pairCos(col("q_vec"), col("c_vec"), col("q_norm"), col("c_norm")))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.TestSpark
+import graft.scale.Skew
+
+/** The five ingest-conversion compositions round-trip correctly over a
+  * synthetic envelope stream, and the skew utilities preserve join/agg
+  * results.
+  */
+class ConversionsSpec extends AnyFunSuite with Matchers {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val rowSchema = StructType(Seq(
+    StructField("id", LongType), StructField("v", StringType)))
+
+  /** c → u → d for key 1; c for key 2; a duplicate delivery of (1, u). */
+  private def rawEnvelopes = Seq(
+    """{"after":{"id":1,"v":"a1"},"op":"c","ts_ms":1,"source":{"lsn":1,"txId":1},"transaction":{"id":"1:10"}}""",
+    """{"before":{"id":1,"v":"a1"},"after":{"id":1,"v":"a2"},"op":"u","ts_ms":2,"source":{"lsn":2,"txId":1},"transaction":{"id":"1:10"}}""",
+    """{"before":{"id":1,"v":"a1"},"after":{"id":1,"v":"a2"},"op":"u","ts_ms":2,"source":{"lsn":2,"txId":1},"transaction":{"id":"1:10"}}""",
+    """{"before":{"id":1,"v":"a2"},"op":"d","ts_ms":3,"source":{"lsn":3,"txId":2},"transaction":{"id":"2:20"}}""",
+    """{"after":{"id":2,"v":"b1"},"op":"c","ts_ms":4,"source":{"lsn":4,"txId":3},"transaction":{"id":"3:30"}}"""
+  ).toDF("payload")
+
+  test("changelog: decode + dedup drops the duplicate delivery") {
+    val rows = Conversions.changelog(rawEnvelopes, "payload", rowSchema, "id")
+    rows.count() shouldBe 4 // 5 events - 1 duplicate
+    rows.filter(col("key") === 1).count() shouldBe 3
+  }
+
+  test("upsert: latest per key, deleted keys drop out") {
+    val table = Conversions.upsert(rawEnvelopes, "payload", rowSchema, "id")
+      .select("id", "v").as[(Long, String)].collect().sortBy(_._1).toList
+    table shouldBe List((2L, "b1")) // key 1 ended in a delete
+  }
+
+  test("changelogToUpsert: tombstone for deleted key, value for live key") {
+    val out = Conversions.changelogToUpsert(rawEnvelopes, "payload", rowSchema, "id")
+      .orderBy("kafka_key").collect()
+    out.length shouldBe 2
+    val byKey = out.map(r => (r.getString(0), Option(r.getString(1)))).toMap
+    byKey("""{"id":1}""") shouldBe None // tombstone
+    byKey("""{"id":2}""").get should include(""""v":"b1"""")
+  }
+
+  test("appendStream and upsertToChangelog re-encode every (deduped) event") {
+    Conversions.appendStream(rawEnvelopes, "payload", rowSchema, "id")
+      .count() shouldBe 5 // append keeps all
+    val cl = Conversions.upsertToChangelog(rawEnvelopes, "payload", rowSchema, "id")
+      .collect()
+    cl.length shouldBe 4 // deduped
+    all(cl.map(_.getString(1))) should (include(""""op":""""))
+  }
+
+  test("salted join and salted sum match their unsalted equivalents") {
+    val large = (1L to 1000L).map(i => (if (i % 10 == 0) 1L else i, i.toDouble))
+      .toDF("k", "v") // key 1 is hot (~10% of rows)
+    val small = Seq((1L, "hot"), (2L, "x"), (500L, "y")).toDF("k", "name")
+
+    val plain = large.join(small, Seq("k")).agg(sum("v")).first().getDouble(0)
+    val salted = Skew.saltedJoin(large, small, "k", salts = 8)
+      .agg(sum("v")).first().getDouble(0)
+    salted shouldBe plain
+
+    val plainSum = large.groupBy("k").agg(sum("v").as("s"))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+    val saltedSum = Skew.saltedSum(large, "k", col("v"), salts = 8, "s")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+    saltedSum shouldBe plainSum
+  }
+}
