@@ -190,6 +190,18 @@ object ReferenceQueries {
         .ordered("id", "lsn")
     }),
 
+    // W1 with the reference's literal frame: RANGE 30 days PRECEDING —
+    // a sentinel only backfills from values within the trailing window.
+    "q_toast_backfill_range" -> ((s, d) => {
+      val src = Tables.events(s, d).select(
+        col("user_id").as("id"), col("event_id"), col("ts"),
+        when(col("event_type") === "click", Envelope.ToastSentinel)
+          .otherwise(col("props")).as("biography"))
+      Toast.backfillRange(src, "id", "ts", "biography", rangeDays = 30)
+        .select("id", "event_id", "biography")
+        .ordered("id", "event_id")
+    }),
+
     // J4: latest-version-per-key as-of a point (the tx join's row resolution).
     "q_latest_asof" -> ((s, d) => {
       val cutoff = lit("1997-01-01").cast(TimestampType)
@@ -386,6 +398,20 @@ object ReferenceQueries {
         |   OVER (PARTITION BY id ORDER BY lsn ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         | ELSE biography END AS biography
         |FROM src ORDER BY id, lsn""".stripMargin,
+
+    "q_toast_backfill_range" ->
+      """WITH src AS (
+        | SELECT user_id AS id, event_id, ts,
+        |  CASE WHEN event_type = 'click' THEN '__debezium_unavailable_value'
+        |       ELSE props END AS biography
+        | FROM events)
+        |SELECT id, event_id,
+        | CASE WHEN biography = '__debezium_unavailable_value' THEN
+        |  last_value(nullif(biography, '__debezium_unavailable_value') IGNORE NULLS)
+        |   OVER (PARTITION BY id ORDER BY epoch_us(ts)
+        |         RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW)
+        | ELSE biography END AS biography
+        |FROM src ORDER BY id, event_id""".stripMargin,
 
     "q_latest_asof" ->
       """SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity FROM (

@@ -36,6 +36,23 @@ object Toast {
       when(col(targetCol) === sentinel, latch).otherwise(col(targetCol)))
   }
 
+  /** W1's literal frame: `RANGE BETWEEN INTERVAL '30' DAY PRECEDING AND
+    * CURRENT ROW` (`SqlOverAggJob.java:121-124`) — the latch only reaches
+    * back `rangeDays`; older values age out. `ts` must be a timestamp.
+    */
+  def backfillRange(df: DataFrame, keyCol: String, tsCol: String, targetCol: String,
+                    rangeDays: Int = 30,
+                    sentinel: String = Envelope.ToastSentinel): DataFrame = {
+    // epoch MICROS as the range key: second-truncated keys create peer
+    // groups whose internal order (and thus last_value) is engine-dependent
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(unix_micros(col(tsCol)))
+      .rangeBetween(-rangeDays.toLong * 86400L * 1000000L, Window.currentRow)
+    val latch = last(nullif(col(targetCol), lit(sentinel)), ignoreNulls = true).over(w)
+    df.withColumn(targetCol,
+      when(col(targetCol) === sentinel, latch).otherwise(col(targetCol)))
+  }
+
   /** Backfill a field inside the envelope's `after` struct — the reference's
     * actual call shape (`after.biography`), rebuilding the ROW with one field
     * replaced (P3, `SqlOverAggJob.java:113-129`).

@@ -96,11 +96,17 @@ object TxReplay {
     * sorted by line_id, deleted BOOLEAN.
     */
   def replay(left: DataFrame, right: DataFrame, txEnds: DataFrame): DataFrame = {
-    val l = fixCommitLsn(left, txEnds)
-    val r = fixCommitLsn(right, txEnds)
+    // cache the tx DIMENSION (one row per transaction — always small): it is
+    // referenced once per enrichment/probe/as-of branch below, and when the
+    // caller derives it from aggregations over the event streams, each
+    // reference would otherwise re-run those aggregations.
+    val ends = txEnds.cache()
+    val l = fixCommitLsn(left, ends)
+    val r = fixCommitLsn(right, ends)
 
-    val reachableTx = txCompleteness(left, right, txEnds)
+    val reachableTx = txCompleteness(left, right, ends)
       .filter(col("reachable")).select("tx_id", "commit_lsn")
+      .cache()
 
     // Data events restricted to reachable txs (broadcast tx dimension).
     val lr = l.join(broadcast(reachableTx.select("tx_id")), Seq("tx_id"))
