@@ -27,6 +27,15 @@ import graft.tx.TxReplay
   * scalar and batch counter (orchestration state, like any streaming
   * engine's). Per-batch replay cost is bounded by the compacted buffer, not
   * the full history.
+  *
+  * TRANSPORT ASSUMPTION (same as the reference): transaction END events
+  * arrive in commit-LSN order — Debezium's transaction topic is a single
+  * Kafka partition, so an END for commit L arriving implies every END with
+  * commit < L has arrived. An END is the only evidence a transaction exists;
+  * if ENDs could arrive out of commit order, a not-yet-announced tx could
+  * not stall the watermark and its late emissions would be filtered (and
+  * state compaction would have discarded the history its as-of resolution
+  * needs). DATA events may arrive in any order and any batch.
   */
 class TxReplayStream(spark: SparkSession, stateRoot: String) {
 
@@ -53,8 +62,10 @@ class TxReplayStream(spark: SparkSession, stateRoot: String) {
     val right = unionWith(readState(version, "right"), newRight)
     val ends = unionWith(readState(version, "ends"), newEnds)
 
-    // reachable txs over the full buffer; watermark = max reachable LSN
-    val reach = TxReplay.txCompleteness(left, right, ends)
+    // reachable txs over the buffer, with settled (already-emitted and
+    // compacted) txs floored out — their shrunken buffers must not read as
+    // "incomplete" and stall the watermark
+    val reach = TxReplay.txCompleteness(left, right, ends, watermark)
       .filter(col("reachable"))
     val newWm = reach.agg(max("commit_lsn")).collect()(0) match {
       case r if r.isNullAt(0) => watermark
@@ -62,8 +73,7 @@ class TxReplayStream(spark: SparkSession, stateRoot: String) {
     }
 
     // one doc per (key, tx) not yet emitted in an earlier batch
-    val emitted = TxReplay.replay(left, right, ends)
-      .filter(col("commit_lsn") > lit(watermark))
+    val emitted = TxReplay.replay(left, right, ends, watermark)
 
     // compaction (cleanupState): enrich to learn each event's commit LSN;
     // unfinished events (no END yet) stay raw in the buffer

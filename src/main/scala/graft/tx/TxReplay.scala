@@ -70,7 +70,14 @@ object TxReplay {
     * the watermark). All plain aggregates: no global ordering needed, because
     * "contiguous complete prefix" ≡ commit_lsn < min(incomplete commit_lsn).
     */
-  def txCompleteness(left: DataFrame, right: DataFrame, txEnds: DataFrame): DataFrame = {
+  /** @param floorLsn transactions at or below this commit LSN are SETTLED —
+    *   already emitted in an earlier micro-batch, their buffers compacted to
+    *   fewer events than originally announced. They must not count as
+    *   incomplete (that would stall the watermark forever) nor as reachable
+    *   (they must not re-emit). Bounded single-shot replay uses the default.
+    */
+  def txCompleteness(left: DataFrame, right: DataFrame, txEnds: DataFrame,
+                     floorLsn: Long = Long.MinValue): DataFrame = {
     val nl = left.groupBy("tx_id").agg(count(lit(1)).as("n_left"))
     val nr = right.groupBy("tx_id").agg(count(lit(1)).as("n_right"))
     val flagged = txEnds
@@ -80,12 +87,14 @@ object TxReplay {
       .withColumn("n_right", coalesce(col("n_right"), lit(0L)))
       .withColumn("complete",
         col("n_left") === col("expected_left") && col("n_right") === col("expected_right"))
-    // stall point: min commit_lsn among incomplete txs (MAX_LONG if none)
+    // stall point: min commit_lsn among incomplete UNSETTLED txs
     val stall = flagged.agg(
-      coalesce(min(when(!col("complete"), col("commit_lsn"))), lit(Long.MaxValue))
+      coalesce(min(when(!col("complete") && col("commit_lsn") > floorLsn,
+        col("commit_lsn"))), lit(Long.MaxValue))
         .as("stall_lsn"))
     flagged.crossJoin(broadcast(stall))
-      .withColumn("reachable", col("complete") && col("commit_lsn") < col("stall_lsn"))
+      .withColumn("reachable", col("complete") &&
+        col("commit_lsn") > lit(floorLsn) && col("commit_lsn") < col("stall_lsn"))
       .drop("stall_lsn")
   }
 
@@ -95,7 +104,8 @@ object TxReplay {
     * key, commit_lsn, row (header struct), lines ARRAY<STRUCT(line_id, row)>
     * sorted by line_id, deleted BOOLEAN.
     */
-  def replay(left: DataFrame, right: DataFrame, txEnds: DataFrame): DataFrame = {
+  def replay(left: DataFrame, right: DataFrame, txEnds: DataFrame,
+             floorLsn: Long = Long.MinValue): DataFrame = {
     // cache the tx DIMENSION (one row per transaction — always small): it is
     // referenced once per enrichment/probe/as-of branch below, and when the
     // caller derives it from aggregations over the event streams, each
@@ -104,11 +114,14 @@ object TxReplay {
     val l = fixCommitLsn(left, ends)
     val r = fixCommitLsn(right, ends)
 
-    val reachableTx = txCompleteness(left, right, ends)
+    val reachableTx = txCompleteness(left, right, ends, floorLsn)
       .filter(col("reachable")).select("tx_id", "commit_lsn")
       .cache()
 
-    // Data events restricted to reachable txs (broadcast tx dimension).
+    // Probe sources: data events restricted to reachable txs (broadcast tx
+    // dimension). NOTE: only the PROBES are restricted — as-of resolution
+    // below scans ALL ENDed events, because settled txs (at or below the
+    // floor in micro-batch use) are valid history for later documents.
     val lr = l.join(broadcast(reachableTx.select("tx_id")), Seq("tx_id"))
     val rr = r.join(broadcast(reachableTx.select("tx_id")), Seq("tx_id"))
 
@@ -123,7 +136,7 @@ object TxReplay {
     // Header as-of: latest left per key with commit_lsn <= L, ordered by
     // (commit_lsn, lsn) — the in-tx tiebreak matches the buffer scan order
     // being "latest wins" (getLatestLeftByCommitLsn uses >=).
-    val header = probes.join(lr, Seq("key"))
+    val header = probes.join(l, Seq("key"))
       .where(col("commit_lsn") <= col("probe_lsn"))
       .groupBy("key", "probe_lsn")
       .agg(max_by(
@@ -137,7 +150,7 @@ object TxReplay {
     // deletes participate in the pair count (they are still "latest per id",
     // getLatestRightPerIdByCommitLsn includes op='d') but are dropped from
     // the doc (OrderWithLines.updateFromDataChangeEventPair removes them).
-    val latestLines = probes.join(rr, Seq("key"))
+    val latestLines = probes.join(r, Seq("key"))
       .where(col("commit_lsn") <= col("probe_lsn"))
       .groupBy("key", "probe_lsn", "line_id")
       .agg(max_by(
