@@ -291,6 +291,20 @@ object ReferenceQueries {
         .ordered("key")
     }),
 
+    // Debezium decimal.handling.mode=string (postgres-connector.json:20):
+    // NUMERIC columns arrive as strings; decode restores exact decimals —
+    // exact-sum aggregation proves no double detour.
+    "q_string_decimal" -> ((s, d) => {
+      val stringified = Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice").cast(DecimalType(18, 2)).cast(StringType).as("price_str"))
+      stringified
+        .withColumn("price", Envelope.stringDecimal(col("price_str"), 18, 2))
+        .groupBy("o_orderpriority")
+        .agg(sum(col("price")).as("total"), count(lit(1)).as("n"))
+        .ordered("o_orderpriority")
+    }),
+
     // S7: generic (schema-less) envelope mode — row images as
     // MAP<STRING,STRING>, values extracted by key, numbers as strings.
     "q_generic_envelope" -> ((s, d) => {
@@ -467,6 +481,12 @@ object ReferenceQueries {
         |FROM (SELECT user_id, event_id, event_type,
         |        row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
         |      FROM events) WHERE rn = 1 ORDER BY key""".stripMargin,
+
+    "q_string_decimal" ->
+      """SELECT o_orderpriority,
+        | sum(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS DECIMAL(18,2))) AS total,
+        | count(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_generic_envelope" ->
       """SELECT event_id, event_type AS event_type_str,

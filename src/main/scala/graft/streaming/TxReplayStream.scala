@@ -110,3 +110,30 @@ class TxReplayStream(spark: SparkSession, stateRoot: String) {
   /** Current watermark (largest emitted commit LSN; MinValue before any). */
   def currentWatermark: Long = watermark
 }
+
+object TxReplayStream {
+
+  /** Wire the replay engine into a Structured Streaming query: one unioned
+    * input stream (left/right/END events discriminated by `stream` ∈
+    * {"l","r","t"} over the TxReplay column contracts, unused columns null),
+    * split per micro-batch, replayed, and emitted docs handed to `onEmit`
+    * (a Kafka writer in production; a sink table in tests). Returns the
+    * started query.
+    */
+  def attach(unioned: DataFrame, stateRoot: String, checkpoint: String)
+            (onEmit: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val engine = new TxReplayStream(unioned.sparkSession, stateRoot)
+    unioned.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val left = batch.filter(col("stream") === "l")
+          .select("key", "op", "lsn", "tx_id", "row")
+        val right = batch.filter(col("stream") === "r")
+          .select("key", "line_id", "op", "lsn", "tx_id", "row")
+        val ends = batch.filter(col("stream") === "t")
+          .select("tx_id", "commit_lsn", "expected_left", "expected_right")
+        onEmit(engine.processBatch(left, right, ends), batchId)
+      }
+      .start()
+  }
+}
