@@ -44,6 +44,10 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite with Matchers {
           if (rnd.nextBoolean()) {
             lsn += 1
             if (!inserted(key)) { left += LeftEv(key, "c", lsn, tx, OrderRow(key.toInt, s"a$tx")); inserted += key }
+            else if (rnd.nextInt(5) == 0) {
+              // delete (tombstone) — a later tx may re-insert
+              left += LeftEv(key, "d", lsn, tx, OrderRow(-1, null)); inserted -= key
+            }
             else left += LeftEv(key, "u", lsn, tx, OrderRow(key.toInt, s"a$tx"))
             nl += 1
           }
