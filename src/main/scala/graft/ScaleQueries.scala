@@ -58,11 +58,15 @@ object ScaleQueries {
     }),
 
     // MinHash-LSH near-dedup: banded signatures → bucket join → exact
-    // Jaccard verify. Oracle = exact all-pairs (the LSH banding at r=3/b=32
-    // misses a J≥0.5 pair with P < 1.4e-2 at the threshold and < 1e-9 for
-    // the planted J≥0.8 dups; equality at sf0.01 verified empirically).
+    // Jaccard verify. The oracle is exact all-pairs, so the compare is only
+    // deterministic where LSH recall is effectively 1: at threshold 0.7 with
+    // r=3/b=32 a boundary pair (J=0.7) is missed with P ≈ 1.5e-6 and the
+    // planted J≥0.8 duplicates with P < 1e-10 — and the corpus generator
+    // separates dups (J≥0.8) from noise (J≤0.1), so no pair sits near the
+    // boundary at ANY scale factor. (At threshold 0.5 the boundary miss
+    // probability is ~1.4e-2 — correct behavior for LSH, but a flaky gate.)
     "q_dedup_minhash" -> ((s, d) => {
-      NearDup.minHashDedup(Tables.documents(s, d), "doc_id", "text", threshold = 0.5)
+      NearDup.minHashDedup(Tables.documents(s, d), "doc_id", "text", threshold = 0.7)
         .ordered("a_id", "b_id")
     }),
 
@@ -213,7 +217,7 @@ object ScaleQueries {
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin,
 
-    "q_dedup_minhash" -> allPairsJaccardSql(0.5),
+    "q_dedup_minhash" -> allPairsJaccardSql(0.7),
 
     "q_simhash" ->
       s"""$simhashCte

@@ -25,15 +25,27 @@ import org.apache.spark.sql.types._
   */
 object NearDup {
 
-  /** Distinct k-word shingles of a token array. */
+  /** Distinct k-word shingles of a token array. Documents with fewer than k
+    * tokens have NO k-shingles — the guard matters because
+    * `sequence(0, size-k)` with a negative end would count DOWN (Spark
+    * defaults the step to -1), manufacturing partial shingles from negative
+    * indices; a 1-token doc would otherwise claim shingle set ["tok"] and
+    * spuriously pair with any doc sharing that token.
+    */
   def shingles(text: Column, k: Int = 3): Column = {
     val toks = split(text, " ")
-    array_distinct(transform(
-      sequence(lit(0), size(toks) - k),
-      i => concat_ws(" ", (0 until k).map(off => get(toks, i + off)): _*)))
+    when(size(toks) >= k,
+      array_distinct(transform(
+        sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", (0 until k).map(off => get(toks, i + off)): _*))))
+      .otherwise(array().cast(ArrayType(StringType)))
   }
 
-  /** Exact Jaccard over two pre-distinct shingle arrays. */
+  /** Exact Jaccard over two pre-distinct shingle arrays. Empty-set semantics:
+    * 0/0 division yields NULL, so a pair where either side has no shingles
+    * never passes a `jac >= threshold` filter — sub-k-token documents are
+    * deliberately outside near-dup detection (they carry no shingle signal).
+    */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast(DoubleType) / size(array_union(a, b))
 
@@ -54,6 +66,10 @@ object NearDup {
   private def withShingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
     df.repartition(fanout(df), col(idCol))
       .select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
+      // shingle-less docs can't be near-dups (see jaccard); dropping them
+      // here also keeps them out of LSH bands, where they would all share
+      // the degenerate empty-signature bucket (quadratic candidates).
+      .filter(size(col("sh")) > 0)
 
   /** Verify candidate (a_id, b_id) pairs with exact Jaccard ≥ threshold. */
   /** Exact-Jaccard verification of candidate pairs. The set elements are
@@ -160,8 +176,12 @@ object NearDup {
     val bitsPerBlock = 60 / blocks
     val mask = (1L << bitsPerBlock) - 1
     // cache(): fence + single evaluation (see verifyPairs for the pathology)
+    // Sub-k-token docs are excluded up front: they have no shingles, so all
+    // of them would share the degenerate all-zero signature and pair up
+    // quadratically while carrying no similarity signal.
     val docs = withSimHash(
-      df.repartition(fanout(df), col(idCol)).select(col(idCol).as("id"), col(textCol)),
+      df.repartition(fanout(df), col(idCol)).select(col(idCol).as("id"), col(textCol))
+        .filter(size(split(col(textCol), " ")) >= shingleK),
       textCol, "sim", shingleK).select("id", "sim")
       .cache()
 

@@ -21,11 +21,21 @@ object Skew {
   def saltedJoin(large: DataFrame, small: DataFrame, key: String,
                  salts: Int, joinType: String = "inner"): DataFrame = {
     require(salts > 0)
-    // deterministic salt (hash of the full row): identical under task retry,
-    // unlike rand(), and spreads a hot key uniformly
+    // Row-preserving contract only holds when every large-side row matches
+    // exactly one salted copy of its small-side match — i.e. inner/left.
+    // right/full would emit unmatched small-side rows once PER SALT.
+    require(joinType == "inner" || joinType == "left",
+      s"saltedJoin preserves rows only for inner/left joins, got $joinType")
+    // Deterministic-under-retry salt: hash of the full row mixed with the
+    // row's position (monotonically_increasing_id = partition id + offset,
+    // stable for a deterministic scan). The positional component matters for
+    // CDC/at-least-once inputs where fully identical duplicate rows are
+    // common — a pure row-hash would send every copy of the hot row to ONE
+    // salt, defeating the spread.
     val salted = large
       .withColumn("_salt",
-        pmod(hash(large.columns.map(col).toIndexedSeq: _*), lit(salts)))
+        pmod(hash(large.columns.map(col).toIndexedSeq :+
+          monotonically_increasing_id(): _*), lit(salts)))
     val exploded = small
       .withColumn("_salt", explode(array((0 until salts).map(lit): _*)))
     salted.join(exploded, Seq(key, "_salt"), joinType).drop("_salt")

@@ -74,6 +74,15 @@ object Stateful {
   /** Keep-latest-per-key materializer: state = (lsn, op, payload) of the
     * newest change; emits the key's current row once per batch it appears
     * in. Deletes emit a tombstone marker (null payload) and clear state.
+    *
+    * Tiebreak: on EQUAL lsn the incoming event beats stored state (and the
+    * later-arriving event beats the earlier within a batch — sortBy is
+    * stable), matching upsert-kafka semantics where same-offset redelivery
+    * carries the newer serialization. Re-emission: the current row is
+    * emitted for every batch the key appears in, even if all of the batch's
+    * events were stale — deliberate update-stream semantics (each appearance
+    * refreshes downstream sinks), mirroring the reference's upsert topic
+    * where redelivered keys re-publish their current value.
     */
   class KeepLatestProcessor
       extends StatefulProcessor[Long, UpsertEvent, UpsertEvent] {
@@ -88,7 +97,10 @@ object Stateful {
                                  timerValues: TimerValues): Iterator[UpsertEvent] = {
       val sorted = rows.toSeq.sortBy(_.lsn)
       val current = Option(latest.get())
-      val newest = (current.toSeq ++ sorted).maxBy(_.lsn)
+      // reduceLeft with >= : the LAST element among equal-lsn maxima wins,
+      // i.e. incoming beats stored, later-arriving beats earlier.
+      val newest = (current.toSeq ++ sorted)
+        .reduceLeft((a, b) => if (b.lsn >= a.lsn) b else a)
       if (newest.op == "d") {
         latest.clear()
         Iterator.single(newest.copy(payload = null)) // tombstone

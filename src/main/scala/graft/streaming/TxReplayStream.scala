@@ -1,6 +1,6 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
@@ -22,6 +22,17 @@ import graft.tx.TxReplay
   * (key, line) (right) among emitted transactions, plus all future and
   * still-unfinished (no END yet) events.
   *
+  * RESTART/RECOVERY: scalar progress (state version, watermark, last
+  * committed batch id) is persisted in `stateRoot/MANIFEST`, written via
+  * tmp-file + atomic rename AFTER the batch's state and emitted docs are
+  * durable — the parquet-state analogue of the reference's checkpointed
+  * operator state. A fresh instance over the same `stateRoot` resumes from
+  * the manifest; [[attach]] skips micro-batches at-or-below the committed
+  * batch id and REDELIVERS the committed batch's persisted output (Structured
+  * Streaming re-runs the last batch whose sink didn't commit), so a restart
+  * neither loses nor double-emits documents. Superseded `v*` state dirs are
+  * pruned once the manifest points past them.
+  *
   * Scale: state lives in parquet partitions, all operations are the same
   * keyed shuffles as the batch replay; the driver holds only the watermark
   * scalar and batch counter (orchestration state, like any streaming
@@ -40,6 +51,7 @@ import graft.tx.TxReplay
 class TxReplayStream(spark: SparkSession, stateRoot: String) {
 
   private def dir(version: Long, name: String) = s"$stateRoot/v$version/$name"
+  private val manifestPath = Paths.get(stateRoot, "MANIFEST")
 
   private def readState(version: Long, name: String): Option[DataFrame] = {
     val p = dir(version, name)
@@ -51,13 +63,57 @@ class TxReplayStream(spark: SparkSession, stateRoot: String) {
 
   @volatile private var version: Long = -1
   @volatile private var watermark: Long = Long.MinValue
+  @volatile private var committedBatch: Long = -1
+
+  // Recover scalar progress from the manifest (crash/restart path): the
+  // manifest is only ever moved into place after its version's state dirs
+  // are fully written, so whatever it names is safe to resume from.
+  if (Files.exists(manifestPath)) {
+    val Array(v, w, b) = Files.readString(manifestPath).trim.split(" ")
+    version = v.toLong
+    watermark = w.toLong
+    committedBatch = b.toLong
+  }
+
+  private def commitManifest(v: Long, w: Long, b: Long): Unit = {
+    val tmp = Paths.get(stateRoot, ".MANIFEST.tmp")
+    Files.createDirectories(Paths.get(stateRoot))
+    Files.writeString(tmp, s"$v $w $b")
+    Files.move(tmp, manifestPath,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(f => Files.deleteIfExists(f))
+      finally walk.close()
+    }
+
+  /** Drop every state version below `keep` — they are unreachable once the
+    * manifest points at `keep` (the current batch reads only `v$keep`).
+    */
+  private def pruneBelow(keep: Long): Unit = {
+    val root = Paths.get(stateRoot)
+    if (Files.exists(root)) {
+      val ls = Files.list(root)
+      try ls.forEach { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith("v") && n.drop(1).forall(_.isDigit) && n.drop(1).toLong < keep)
+          deleteRecursively(p)
+      } finally ls.close()
+    }
+  }
 
   /** Process one micro-batch of new events; returns the emitted documents
-    * (TxReplay.replay output schema). Call from `foreachBatch` — or directly
-    * for deterministic batch-at-a-time testing.
+    * (TxReplay.replay output schema), read back from their durable copy so
+    * the result stays valid after state pruning. Call from `foreachBatch` —
+    * or directly for deterministic batch-at-a-time testing (batchId then
+    * defaults to the next sequential id).
     */
   def processBatch(newLeft: DataFrame, newRight: DataFrame,
-                   newEnds: DataFrame): DataFrame = {
+                   newEnds: DataFrame, batchId: Long = -1L): DataFrame = {
     val left = unionWith(readState(version, "left"), newLeft)
     val right = unionWith(readState(version, "right"), newRight)
     val ends = unionWith(readState(version, "ends"), newEnds)
@@ -99,16 +155,37 @@ class TxReplayStream(spark: SparkSession, stateRoot: String) {
       .dropDuplicates("tx_id")
 
     val next = version + 1
+    val thisBatch = if (batchId >= 0) batchId else committedBatch + 1
+    // durability order: state + emitted docs first, manifest (atomic move)
+    // last — a crash in between leaves the manifest at the old version with
+    // the old dirs intact, and the half-written v(next) is overwritten on
+    // redelivery.
+    emitted.write.mode(SaveMode.Overwrite).parquet(dir(next, "emitted"))
     keepLeft.write.mode(SaveMode.Overwrite).parquet(dir(next, "left"))
     keepRight.write.mode(SaveMode.Overwrite).parquet(dir(next, "right"))
     keepEnds.write.mode(SaveMode.Overwrite).parquet(dir(next, "ends"))
+    commitManifest(next, newWm, thisBatch)
     version = next
     watermark = newWm
-    emitted
+    committedBatch = thisBatch
+    pruneBelow(next)
+    spark.read.parquet(dir(next, "emitted"))
   }
 
   /** Current watermark (largest emitted commit LSN; MinValue before any). */
   def currentWatermark: Long = watermark
+
+  /** Last micro-batch id whose state+output are durably committed. */
+  def lastCommittedBatch: Long = committedBatch
+
+  /** The committed output of the newest processed batch — what a restarted
+    * query must redeliver when Structured Streaming re-runs a batch the
+    * engine already committed but the sink did not.
+    */
+  def lastEmitted: DataFrame = {
+    require(version >= 0, "no batch committed yet")
+    spark.read.parquet(dir(version, "emitted"))
+  }
 }
 
 object TxReplayStream {
@@ -119,6 +196,15 @@ object TxReplayStream {
     * split per micro-batch, replayed, and emitted docs handed to `onEmit`
     * (a Kafka writer in production; a sink table in tests). Returns the
     * started query.
+    *
+    * Restart semantics: on a redelivered batch (id == the engine's committed
+    * batch) the engine is NOT re-run — the durably persisted output of that
+    * batch is handed to `onEmit` again, so the sink sees the batch's docs
+    * exactly as first produced (at-least-once delivery to the sink; combined
+    * with an idempotent/upsert sink this is end-to-end exactly-once). Batches
+    * below the committed id were already delivered AND committed downstream
+    * (foreachBatch only replays the newest uncommitted batch) and are
+    * ignored.
     */
   def attach(unioned: DataFrame, stateRoot: String, checkpoint: String)
             (onEmit: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
@@ -126,13 +212,19 @@ object TxReplayStream {
     unioned.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val left = batch.filter(col("stream") === "l")
-          .select("key", "op", "lsn", "tx_id", "row")
-        val right = batch.filter(col("stream") === "r")
-          .select("key", "line_id", "op", "lsn", "tx_id", "row")
-        val ends = batch.filter(col("stream") === "t")
-          .select("tx_id", "commit_lsn", "expected_left", "expected_right")
-        onEmit(engine.processBatch(left, right, ends), batchId)
+        if (batchId < engine.lastCommittedBatch) {
+          // already processed and delivered in a previous incarnation
+        } else if (batchId == engine.lastCommittedBatch) {
+          onEmit(engine.lastEmitted, batchId) // redeliver committed output
+        } else {
+          val left = batch.filter(col("stream") === "l")
+            .select("key", "op", "lsn", "tx_id", "row")
+          val right = batch.filter(col("stream") === "r")
+            .select("key", "line_id", "op", "lsn", "tx_id", "row")
+          val ends = batch.filter(col("stream") === "t")
+            .select("tx_id", "commit_lsn", "expected_left", "expected_right")
+          onEmit(engine.processBatch(left, right, ends, batchId), batchId)
+        }
       }
       .start()
   }
