@@ -114,6 +114,46 @@ object ScaleQueries {
         .ordered("q_id", "rank")
     }),
 
+    // BPE-style pre-tokenization counts. The corpus text is pure [a-z ], so
+    // digit/punctuation runs are appended deterministically (same expression
+    // in the oracle) to exercise every regex branch.
+    "q_bpe_tokens" -> ((s, d) => {
+      val augmented = concat(col("text"), lit(" v"), col("doc_id").cast(StringType), lit(".x!"))
+      TextOps.bpeTokenStats(
+        Tables.documents(s, d).select(col("doc_id"), augmented.as("text")), "text")
+        .drop("text")
+        .ordered("doc_id")
+    }),
+
+    // Winnowing fingerprints (rolling k-gram hash → window minima): emitted
+    // as canonical JSON (nested arrays aren't hash-comparable driver-side).
+    "q_fingerprint" -> ((s, d) => {
+      val n = s.sessionState.conf.numShufflePartitions
+      TextOps.winnowFingerprints(
+        Tables.documents(s, d).repartition(n, col("doc_id")).select("doc_id", "text"),
+        "text")
+        .select(col("doc_id"), size(col("fingerprints")).as("n_fps"),
+          to_json(col("fingerprints")).as("fp_json"))
+        .ordered("doc_id")
+    }),
+
+    // Embedding-cosine near-dup: sign-bit LSH banding + exact verify. The
+    // corpus has no natural near-dups (max pairwise cos 0.51), so
+    // direction-identical scaled copies (same content, different
+    // normalization) are injected deterministically — their sign signatures
+    // are IDENTICAL (positive scaling preserves dot-product signs), so LSH
+    // recall is exactly 1 and the exact-oracle compare is deterministic.
+    "q_dedup_embed" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("embedding"))
+      val scaled = e.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 10000).as("vec_id"),
+          transform(col("embedding"), x => x * lit(1.5)).as("embedding"))
+      Similarity.cosineLshDedup(e.unionByName(scaled), "vec_id", "embedding",
+        threshold = 0.99)
+        .ordered("a_id", "b_id")
+    }),
+
     // Multimodal: documents.text as a stand-in binary payload — typed
     // metadata (length/sha256/magic) + frame sampling, all over BINARY.
     "q_multimodal_meta" -> ((s, d) => {
@@ -218,6 +258,46 @@ object ScaleQueries {
         |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin,
 
     "q_dedup_minhash" -> allPairsJaccardSql(0.7),
+
+    "q_bpe_tokens" ->
+      """SELECT doc_id,
+        | len(regexp_extract_all(text || ' v' || doc_id || '.x!', '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+')) AS n_bpe,
+        | len(regexp_extract_all(text || ' v' || doc_id || '.x!', '[a-zA-Z]+')) AS n_alpha,
+        | len(regexp_extract_all(text || ' v' || doc_id || '.x!', '[0-9]+')) AS n_num,
+        | len(regexp_extract_all(text || ' v' || doc_id || '.x!', '[^a-zA-Z0-9\s]+')) AS n_punct
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_fingerprint" ->
+      """WITH g AS (
+        | SELECT doc_id,
+        |  CASE WHEN length(text) >= 7 THEN
+        |    list_transform(generate_series(1, length(text)-6),
+        |      i -> ('0x' || substr(md5(substr(text, CAST(i AS INTEGER), 7)), 1, 15))::BIGINT)
+        |  ELSE []::BIGINT[] END AS gh
+        | FROM documents),
+        |f AS (
+        | SELECT doc_id,
+        |  CASE WHEN len(gh) >= 4 THEN
+        |    list_sort(list_distinct(list_transform(generate_series(1, len(gh)-3),
+        |      j -> list_min(gh[j:j+3]))))
+        |  WHEN len(gh) > 0 THEN [list_min(gh)]
+        |  ELSE []::BIGINT[] END AS fps
+        | FROM g)
+        |SELECT doc_id, len(fps) AS n_fps, to_json(fps) AS fp_json
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_embed" ->
+      s"""WITH base AS (
+        | SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        | UNION ALL
+        | SELECT vec_id + 10000 AS vec_id,
+        |  list_transform(embedding::DOUBLE[], x -> x * 1.5) AS v
+        | FROM embeddings WHERE vec_id % 10 = 0),
+        |p AS (
+        | SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |  ${cosSql("a.v", "b.v")} AS cos
+        | FROM base a JOIN base b ON a.vec_id < b.vec_id)
+        |SELECT a_id, b_id, cos FROM p WHERE cos >= 0.99 ORDER BY a_id, b_id""".stripMargin,
 
     "q_simhash" ->
       s"""$simhashCte

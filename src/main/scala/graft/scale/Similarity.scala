@@ -86,6 +86,70 @@ object Similarity {
         first(col("v_vec")).as("vec"), first(col("v_norm")).as("norm"))
   }
 
+  /** Deterministic pseudo-random hyperplane weights (xorshift over a fixed
+    * seed mix). The planes only need to be FIXED and roughly isotropic —
+    * recall comes from the geometry, not the randomness source, and a fixed
+    * generator keeps the operator reproducible across runs and engines.
+    */
+  private def planeWeights(plane: Int, dims: Int): Array[Double] =
+    Array.tabulate(dims) { d =>
+      var x = plane * 1000003 + d * 7919 + 12345
+      x ^= x << 13; x ^= x >>> 17; x ^= x << 5
+      (x % 1001).toDouble // in [-1000, 1000]
+    }
+
+  /** Embedding-cosine near-duplicate join: random-hyperplane (sign-bit) LSH
+    * banding → bucket self-join → EXACT cosine verification.
+    *
+    * Never all-pairs: a pair is a candidate only if one of `bands` bands of
+    * `rowsPerBand` sign bits matches exactly (equi-join on the packed band
+    * key), and false positives die in the exact verify. Direction-identical
+    * duplicates (the same content embedded with different normalization)
+    * have IDENTICAL sign signatures — positive scaling preserves every
+    * dot-product sign — so recall for them is exactly 1 regardless of
+    * banding. For angle-perturbed near-dups at angle θ, a band matches with
+    * (1-θ/π)^rowsPerBand; size bands/rowsPerBand to the corpus margin.
+    *
+    * At 100 TB: signatures are a narrow per-row projection, the bucket join
+    * shuffles on (band, band_key), and verification touches only candidate
+    * pairs — the same scale discipline as [[graft.scale.NearDup]].
+    */
+  def cosineLshDedup(df: DataFrame, idCol: String, vecCol: String,
+                     threshold: Double = 0.99, bands: Int = 4, rowsPerBand: Int = 16,
+                     dims: Int = 64): DataFrame = {
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    // cache(): fence + single evaluation of vec/norm (join constraint
+    // propagation would re-evaluate the projection below the shuffle)
+    val base = normed(df, idCol, vecCol, "v")
+      .filter(col("v_norm") > 0)
+      .repartition(n, col("v_id"))
+      .cache()
+
+    def bandKey(b: Int): Column =
+      (0 until rowsPerBand).map { j =>
+        val w = array(planeWeights(b * rowsPerBand + j, dims).map(lit): _*)
+        when(dot(col("v_vec"), w) >= 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+
+    val banded = base.select(col("v_id"),
+      posexplode(array((0 until bands).map(bandKey): _*)).as(Seq("band", "band_key")))
+
+    val candidates = banded.select(col("band"), col("band_key"), col("v_id").as("a_id"))
+      .join(banded.select(col("band"), col("band_key"), col("v_id").as("b_id")),
+        Seq("band", "band_key"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+
+    val a = base.select(col("v_id").as("a_id"), col("v_vec").as("a_vec"), col("v_norm").as("a_norm"))
+    val b = base.select(col("v_id").as("b_id"), col("v_vec").as("b_vec"), col("v_norm").as("b_norm"))
+    candidates
+      .repartition(n, col("a_id")) // keep verify math parallel
+      .join(a, Seq("a_id")).join(b, Seq("b_id"))
+      .withColumn("cos", pairCos(col("a_vec"), col("b_vec"), col("a_norm"), col("b_norm")))
+      .filter(col("cos") >= threshold)
+      .select("a_id", "b_id", "cos")
+  }
+
   /** IVF-flat probe: top-k within the query's own bucket (nprobe = 1).
     * Approximate by construction — the recall/cost trade-off is the bucket
     * count; exactness is what `bruteForceTopK` is for.

@@ -90,4 +90,60 @@ object TextOps {
   def tokenFrequency(df: DataFrame, textCol: String): DataFrame =
     df.select(explode(tokens(col(textCol))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("n"))
+
+  /** BPE-style pre-tokenization (the GPT-2 pretokenizer's class structure,
+    * simplified to regex-engine-portable classes): letter runs, digit runs,
+    * and non-alphanumeric runs each become one pre-token — the unit a BPE
+    * merge table would then subdivide. `regexp_extract_all` is codegen'd;
+    * the pattern avoids lookarounds so any RE dialect (Java, RE2, PCRE)
+    * tokenizes identically.
+    */
+  val BpePattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+"
+
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(BpePattern), lit(0))
+
+  /** Per-document BPE-pretoken counts: total plus per-class breakdown —
+    * the token-budget accounting a training pipeline runs per document.
+    * Narrow projection, no shuffle.
+    */
+  def bpeTokenStats(df: DataFrame, textCol: String): DataFrame =
+    df.select(col("*"),
+      size(bpeTokens(col(textCol))).as("n_bpe"),
+      size(regexp_extract_all(col(textCol), lit("[a-zA-Z]+"), lit(0))).as("n_alpha"),
+      size(regexp_extract_all(col(textCol), lit("[0-9]+"), lit(0))).as("n_num"),
+      size(regexp_extract_all(col(textCol), lit("[^a-zA-Z0-9\\s]+"), lit(0))).as("n_punct"))
+
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken): hash every
+    * k-char gram, then keep the MINIMUM hash of each w-gram window — any
+    * shared substring of length ≥ k+w-1 between two documents is guaranteed
+    * to surface as a shared fingerprint, at ~2/(w+1) the density of full
+    * k-gram sets. The gram hash is the md5-derived 60-bit value any engine
+    * reproduces bit-for-bit (the point of a content fingerprint).
+    *
+    * Fewer grams than a window (len(text) < k+w-1) degrades to one
+    * fingerprint (the global minimum); text shorter than k has none.
+    *
+    * Staged projections (grams → minima → distinct) on purpose: HOFs are
+    * interpreted, and nesting `size(grams)` inside the window lambda would
+    * re-evaluate the gram pipeline per window (quadratic).
+    */
+  def winnowFingerprints(df: DataFrame, textCol: String, k: Int = 7, w: Int = 4,
+                         out: String = "fingerprints"): DataFrame = {
+    val text = col(textCol)
+    df.withColumn("_gh",
+        when(length(text) >= k,
+          transform(sequence(lit(1), length(text) - (k - 1)),
+            i => conv(substring(md5(text.substr(i, lit(k))), 1, 15), 16, 10)
+              .cast(LongType)))
+          .otherwise(array().cast(ArrayType(LongType))))
+      .withColumn(out,
+        when(size(col("_gh")) >= w,
+          array_sort(array_distinct(transform(
+            sequence(lit(1), size(col("_gh")) - (w - 1)),
+            j => array_min(slice(col("_gh"), j, lit(w)))))))
+          .when(size(col("_gh")) > 0, array(array_min(col("_gh"))))
+          .otherwise(array().cast(ArrayType(LongType))))
+      .drop("_gh")
+  }
 }
