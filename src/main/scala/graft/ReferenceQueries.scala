@@ -250,6 +250,21 @@ object ReferenceQueries {
       a.union(b).distinct().intersect(rich).except(n3).ordered("c_custkey")
     }),
 
+    // Tumbling event-time window aggregation — the batch form of the
+    // Structured Streaming `window(ts, "1 hour")` + watermark pipeline
+    // (streaming variant covered by WindowedAggSpec; watermarks don't
+    // change batch results). Sums go through DECIMAL: cross-engine double
+    // summation order is not deterministic, fixed-point is.
+    "q_window_agg" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(dec)).cast(DoubleType).as("sum_value"))
+        .select(col("w.start").as("window_start"), col("event_type"),
+          col("n"), col("sum_value"))
+        .ordered("window_start", "event_type")
+    }),
+
     // §2.7: global sort + limit (top-k). TakeOrderedAndProject — no full sort
     // shuffle; each partition keeps k, driver merges.
     "q_topk_orders" -> ((s, d) => {
@@ -461,6 +476,12 @@ object ReferenceQueries {
     "q_topk_orders" ->
       """SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q_window_agg" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+        | count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
 
     "q_changelog_encode" ->
       """SELECT event_id,
