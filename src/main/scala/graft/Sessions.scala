@@ -14,6 +14,8 @@ object Sessions {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .appName(appName)
+      // SQL-surface registration of the native vector expressions
+      .withExtensions(graft.functions.VectorFunctions.register)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

@@ -1,0 +1,98 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Native Catalyst dot product over two ARRAY<DOUBLE> columns.
+  *
+  * The higher-order-function form (`aggregate(zip_with(a, b, _*_), 0.0, _+_)`)
+  * is interpreted — every element allocates lambda-variable holders and boxes
+  * through `InternalRow` — and it sits in the innermost loop of every
+  * similarity operator (|pairs| × dims evaluations). This expression stays
+  * inside whole-stage codegen: one fused primitive loop over the two
+  * `ArrayData`, no allocation, no boxing.
+  *
+  * Semantics: sequential left-fold in element order — bit-for-bit the same
+  * result as the HOF form and the DuckDB oracle's `list_sum(list_transform)`
+  * (IEEE double addition in the same order). Extra elements beyond the
+  * shorter input are ignored; a NULL array yields NULL (`nullIntolerant`).
+  * NULL ELEMENTS read as 0 contributions (embedding arrays are dense;
+  * the HOF form would instead null the whole result — don't feed sparse
+  * arrays with null holes to either).
+  */
+case class VecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  // The builders in [[VectorFunctions]] insert casts; anything else reaching
+  // analysis with a non-double-array type is rejected here (ExpectsInputTypes
+  // is not an option — AbstractDataType is private[sql]).
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"vec_dot requires ARRAY<DOUBLE> inputs, got ${l.sql} and ${r.sql}")
+    }
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "vec_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Column + SQL surfaces for the vector expressions. */
+object VectorFunctions {
+
+  private def toDoubleArray(e: Expression): Expression = Cast(e, ArrayType(DoubleType))
+
+  /** Dataset/Column API: `vecDot(col("a"), col("b"))`. Float/int arrays are
+    * cast to ARRAY<DOUBLE> (a no-op cast is optimized away).
+    */
+  def vecDot(a: Column, b: Column): Column =
+    ColumnBridge.column(VecDot(toDoubleArray(ColumnBridge.expression(a)),
+      toDoubleArray(ColumnBridge.expression(b))))
+
+  /** SQL registration — apply with
+    * `SparkSession.builder().withExtensions(VectorFunctions.register)`,
+    * then `SELECT vec_dot(a, b)` works in `spark.sql`.
+    */
+  val register: SparkSessionExtensions => Unit = ext =>
+    ext.injectFunction((
+      new FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (children: Seq[Expression]) =>
+        VecDot(toDoubleArray(children.head), toDoubleArray(children(1)))))
+}

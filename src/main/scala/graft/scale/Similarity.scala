@@ -22,9 +22,14 @@ import org.apache.spark.sql.types._
   */
 object Similarity {
 
-  /** Sequential-fold dot product in double precision (codegen'd, no UDF). */
+  /** Dot product in double precision: the native codegen'd expression
+    * ([[graft.functions.VecDot]]) — same sequential fold order as the HOF
+    * form (`aggregate(zip_with(...))`) and the DuckDB oracle, but it stays
+    * inside whole-stage codegen instead of the interpreted HOF path (this is
+    * the innermost loop of every similarity join: |pairs| × dims).
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorFunctions.vecDot(a, b)
 
   /** Cosine similarity, computed as dot / sqrt(|a|²·|b|²). */
   def cosine(a: Column, b: Column): Column =
