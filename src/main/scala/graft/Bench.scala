@@ -28,7 +28,11 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // optional arg: comma-separated query filter (local iteration)
+    val names = args.headOption match {
+      case Some(f) => f.split(",").map(_.trim).filter(SparkEntry.queries.contains).toSeq.sorted
+      case None => SparkEntry.queries.keys.toSeq.sorted
+    }
     names.foreach(materialize) // warmup: codegen + parquet footer caches
     // Two timed passes, min per query: a transient host-contention spike in
     // one pass doesn't masquerade as engine cost.

@@ -65,11 +65,14 @@ object NearDup {
     */
   private def withShingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
     df.repartition(fanout(df), col(idCol))
+      // Sub-k-token docs can't be near-dups (see jaccard); dropping them also
+      // keeps them out of LSH bands, where they would all share the
+      // degenerate empty-signature bucket (quadratic candidates). The filter
+      // is on the CHEAP token-count predicate, BEFORE shingling: a filter on
+      // size(sh) would be pushed below the repartition and re-evaluate the
+      // whole shingle pipeline serially on the raw input split.
+      .filter(size(split(col(textCol), " ")) >= k)
       .select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
-      // shingle-less docs can't be near-dups (see jaccard); dropping them
-      // here also keeps them out of LSH bands, where they would all share
-      // the degenerate empty-signature bucket (quadratic candidates).
-      .filter(size(col("sh")) > 0)
 
   /** Verify candidate (a_id, b_id) pairs with exact Jaccard ≥ threshold. */
   /** Exact-Jaccard verification of candidate pairs. The set elements are
