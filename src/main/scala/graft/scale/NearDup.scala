@@ -25,21 +25,31 @@ import org.apache.spark.sql.types._
   */
 object NearDup {
 
-  /** Distinct k-word shingles of a token array. Documents with fewer than k
-    * tokens have NO k-shingles — the guard matters because
-    * `sequence(0, size-k)` with a negative end would count DOWN (Spark
-    * defaults the step to -1), manufacturing partial shingles from negative
-    * indices; a 1-token doc would otherwise claim shingle set ["tok"] and
-    * spuriously pair with any doc sharing that token.
+  /** Distinct k-word shingles from a PRE-STAGED token-array column (stage
+    * the tokens as their own projection — see [[shingles]] for why).
+    * Documents with fewer than k tokens have NO k-shingles — the guard
+    * matters because `sequence(0, size-k)` with a negative end would count
+    * DOWN (Spark defaults the step to -1), manufacturing partial shingles
+    * from negative indices; a 1-token doc would otherwise claim shingle set
+    * ["tok"] and spuriously pair with any doc sharing that token.
     */
-  def shingles(text: Column, k: Int = 3): Column = {
-    val toks = split(text, " ")
+  def shinglesFromTokens(toks: Column, k: Int = 3): Column =
     when(size(toks) >= k,
       array_distinct(transform(
         sequence(lit(0), size(toks) - k),
         i => concat_ws(" ", (0 until k).map(off => get(toks, i + off)): _*))))
       .otherwise(array().cast(ArrayType(StringType)))
-  }
+
+  /** Distinct k-word shingles of a text column. CONVENIENCE FORM for ad-hoc
+    * use: Catalyst inlines the `split` into every `get()` of the shingle
+    * lambda — k re-tokenizations PER SHINGLE (observed: 6.4s of a 9.2s query
+    * at sf0.1 was re-running split). Pipelines stage the token array as its
+    * own projected column and call [[shinglesFromTokens]] — CollapseProject
+    * keeps a non-cheap alias referenced many times as a separate projection,
+    * so the text is tokenized exactly once per row.
+    */
+  def shingles(text: Column, k: Int = 3): Column =
+    shinglesFromTokens(split(text, " "), k)
 
   /** Exact Jaccard over two pre-distinct shingle arrays. Empty-set semantics:
     * 0/0 division yields NULL, so a pair where either side has no shingles
@@ -72,7 +82,8 @@ object NearDup {
       // size(sh) would be pushed below the repartition and re-evaluate the
       // whole shingle pipeline serially on the raw input split.
       .filter(size(split(col(textCol), " ")) >= k)
-      .select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
+      .withColumn("_toks", split(col(textCol), " "))
+      .select(col(idCol).as("id"), shinglesFromTokens(col("_toks"), k).as("sh"))
 
   /** Verify candidate (a_id, b_id) pairs with exact Jaccard ≥ threshold. */
   /** Exact-Jaccard verification of candidate pairs. The set elements are
@@ -111,7 +122,8 @@ object NearDup {
   def minHashDedup(df: DataFrame, idCol: String, textCol: String,
                    threshold: Double = 0.5, bands: Int = 32, rowsPerBand: Int = 3,
                    shingleK: Int = 3): DataFrame = {
-    val docs = withShingles(df, idCol, textCol, shingleK)
+    // cache(): feeds both the signature/banding build and the exact verify
+    val docs = withShingles(df, idCol, textCol, shingleK).cache()
 
     val sig = array((0 until bands * rowsPerBand).map { i =>
       array_min(transform(col("sh"), s => hash(lit(i), s).cast(LongType)))
@@ -151,7 +163,9 @@ object NearDup {
     */
   def withSimHash(df: DataFrame, textCol: String, out: String = "simhash",
                   shingleK: Int = 3): DataFrame =
-    df.withColumn("_sh", shingles(col(textCol), shingleK))
+    df.withColumn("_toks", split(col(textCol), " "))
+      .withColumn("_sh", shinglesFromTokens(col("_toks"), shingleK))
+      .drop("_toks")
       .withColumn("_hashes", transform(col("_sh"), s =>
         conv(substring(md5(s), 1, 15), 16, 10).cast(LongType)))
       .withColumn("_n", size(col("_sh")))
@@ -212,7 +226,10 @@ object NearDup {
     */
   def ngramJaccardJoin(df: DataFrame, idCol: String, textCol: String,
                        threshold: Double, shingleK: Int = 3): DataFrame = {
-    val docs = withShingles(df, idCol, textCol, shingleK)
+    // cache(): the shingled table feeds THREE consumers (global frequency,
+    // prefix build, exact verification) — without the fence each re-runs
+    // the repartition + shingle pipeline from the raw corpus.
+    val docs = withShingles(df, idCol, textCol, shingleK).cache()
 
     // Canonical global order is RAREST-FIRST (global shingle frequency, ties
     // by shingle): common shingles — which would pair everything with

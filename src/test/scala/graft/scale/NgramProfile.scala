@@ -18,7 +18,9 @@ object NgramProfile {
     import org.apache.spark.sql.functions._
     val n = spark.sessionState.conf.numShufflePartitions
     val shingled = docs.repartition(n, col("doc_id"))
-      .select(col("doc_id").as("id"), NearDup.shingles(col("text")).as("sh"))
+      .withColumn("_toks", split(col("text"), " "))
+      .select(col("doc_id").as("id"),
+        NearDup.shinglesFromTokens(col("_toks")).as("sh"))
     timed("shingle+cache")(shingled.cache().count())
 
     val freq = shingled.select(explode(col("sh")).as("tok"))
