@@ -154,6 +154,17 @@ object ScaleQueries {
         .ordered("a_id", "b_id")
     }),
 
+    // Multimodal resize: nearest-neighbor byte resample to a fixed width,
+    // emitted as hex so the driver can hash-compare it.
+    "q_multimodal_resize" -> ((s, d) => {
+      val bin = encode(col("text"), "UTF-8")
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        hex(Multimodal.resizeBytes(bin, 16)).as("resized_hex"),
+        octet_length(bin).as("byte_len"))
+        .ordered("doc_id")
+    }),
+
     // Multimodal: documents.text as a stand-in binary payload — typed
     // metadata (length/sha256/magic) + frame sampling, all over BINARY.
     "q_multimodal_meta" -> ((s, d) => {
@@ -334,6 +345,15 @@ object ScaleQueries {
         | md5(array_to_string(list_transform(
         |   generate_series(0, greatest((octet_length(encode(text)) - 32) // 64, 0)),
         |   i -> substr(text, CAST(i*64+1 AS INTEGER), 32)), '|')) AS frames_sig
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_multimodal_resize" ->
+      """SELECT doc_id,
+        | array_to_string(list_transform(generate_series(0, 15),
+        |   i -> hex(encode(substring(text,
+        |     CAST((i * octet_length(encode(text)) // 16) + 1 AS INTEGER), 1)))), '')
+        |   AS resized_hex,
+        | octet_length(encode(text)) AS byte_len
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_embed_ivf" ->

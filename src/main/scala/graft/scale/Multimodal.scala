@@ -38,6 +38,21 @@ object Multimodal {
       i => bin.substr((i * stride + 1).cast(IntegerType), lit(frameLen)))
   }
 
+  /** Nearest-neighbor byte resample of a binary payload to `outLen` bytes:
+    * output byte i is the input byte at floor(i·inLen/outLen) — the resize
+    * access pattern (strided downsample to a fixed-width output) without a
+    * codec. A real image resize replaces the byte picker with pixel
+    * arithmetic behind the [[decodeFrames]] seam; the dataflow (fixed
+    * output width, positional gather, no data leaving the JVM) is the same.
+    * Shorter-than-outLen payloads upsample by repetition; empty stays empty.
+    */
+  def resizeBytes(bin: Column, outLen: Int): Column =
+    concat((0 until outLen).map { i =>
+      bin.substr(
+        (floor(lit(i) * octet_length(bin) / outLen) + 1).cast(IntegerType),
+        lit(1))
+    }: _*)
+
   /** Decoded-frame feature record produced by the (stubbed) codec. */
   case class FrameFeature(doc_id: Long, frame_no: Int, width: Int, height: Int,
                           mean_byte: Double)
