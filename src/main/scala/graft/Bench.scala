@@ -14,23 +14,31 @@ object Bench {
 
     def materialize(name: String): Double = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.mode("overwrite").format("noop").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        return -1.0
-      } finally {
-        // Queries cache small derived tables as optimizer fences; dropping
-        // them between queries keeps the storage pool from accumulating
-        // 39-queries' worth of entries (eviction thrash at small heaps).
-        spark.catalog.clearCache()
-      }
-      (System.nanoTime() - t0) / 1e9
+      val elapsed =
+        try {
+          SparkEntry.queries(name)(spark, sfDir)
+            .write.mode("overwrite").format("noop").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          -1.0
+        }
+      // OUTSIDE the timed window: dropping the query's cache fences is
+      // harness bookkeeping (it keeps the storage pool from accumulating
+      // the whole sweep's entries), not query cost.
+      spark.catalog.clearCache()
+      elapsed
     }
 
     // optional arg: comma-separated query filter (local iteration)
     val names = args.headOption match {
-      case Some(f) => f.split(",").map(_.trim).filter(SparkEntry.queries.contains).toSeq.sorted
+      case Some(f) =>
+        val (known, unknown) = f.split(",").map(_.trim).toSeq
+          .partition(SparkEntry.queries.contains)
+        require(unknown.isEmpty,
+          s"unknown quer${if (unknown.size == 1) "y" else "ies"}: " +
+            unknown.mkString(", "))
+        known.sorted
       case None => SparkEntry.queries.keys.toSeq.sorted
     }
     names.foreach(materialize) // warmup: codegen + parquet footer caches

@@ -23,6 +23,10 @@ object Verify {
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         Some(name -> Option(e.getMessage).getOrElse(e.getClass.getName))
+      } finally {
+        // queries cache derived tables as optimizer fences; don't let the
+        // whole sweep's fences accumulate in one session's storage pool
+        spark.catalog.clearCache()
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -93,6 +93,9 @@ object VectorFunctions {
     ext.injectFunction((
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
-      (children: Seq[Expression]) =>
-        VecDot(toDoubleArray(children.head), toDoubleArray(children(1)))))
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"vec_dot(ARRAY<DOUBLE>, ARRAY<DOUBLE>) takes 2 arguments, got ${children.size}")
+        VecDot(toDoubleArray(children.head), toDoubleArray(children(1)))
+      }))
 }

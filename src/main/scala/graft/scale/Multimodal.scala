@@ -48,8 +48,12 @@ object Multimodal {
     */
   def resizeBytes(bin: Column, outLen: Int): Column =
     concat((0 until outLen).map { i =>
+      // Long arithmetic: i * byte_len overflows Int for payloads > ~143 MB
+      // (exactly the video/audio blobs this targets) — ANSI mode would
+      // throw, non-ANSI would silently read from a negative position.
       bin.substr(
-        (floor(lit(i) * octet_length(bin) / outLen) + 1).cast(IntegerType),
+        (floor(lit(i.toLong) * octet_length(bin).cast(LongType) / outLen) + 1L)
+          .cast(IntegerType),
         lit(1))
     }: _*)
 

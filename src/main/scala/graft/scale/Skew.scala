@@ -22,9 +22,11 @@ object Skew {
                  salts: Int, joinType: String = "inner"): DataFrame = {
     require(salts > 0)
     // Row-preserving contract only holds when every large-side row matches
-    // exactly one salted copy of its small-side match — i.e. inner/left.
-    // right/full would emit unmatched small-side rows once PER SALT.
-    require(joinType == "inner" || joinType == "left",
+    // exactly one salted copy of its small-side match — i.e. inner/left
+    // (any of Spark's spellings). right/full would emit unmatched
+    // small-side rows once PER SALT.
+    val jt = joinType.toLowerCase.replace("_", "")
+    require(jt == "inner" || jt == "left" || jt == "leftouter",
       s"saltedJoin preserves rows only for inner/left joins, got $joinType")
     // Deterministic-under-retry salt: hash of the full row mixed with the
     // row's position (monotonically_increasing_id = partition id + offset,

@@ -100,8 +100,10 @@ class TxReplayStream(spark: SparkSession, stateRoot: String) {
       val ls = Files.list(root)
       try ls.forEach { p =>
         val n = p.getFileName.toString
-        if (n.startsWith("v") && n.drop(1).forall(_.isDigit) && n.drop(1).toLong < keep)
-          deleteRecursively(p)
+        // toLongOption: a stray non-state entry (e.g. a dir named just "v",
+        // or digits overflowing Long) must not kill the streaming query
+        if (n.startsWith("v"))
+          n.drop(1).toLongOption.filter(_ < keep).foreach(_ => deleteRecursively(p))
       } finally ls.close()
     }
   }
@@ -212,6 +214,15 @@ object TxReplayStream {
     unioned.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // Continuity check: batch ids must line up with the manifest. A
+        // mismatch beyond committed+1 means the CHECKPOINT and the engine's
+        // STATE ROOT belong to different query incarnations (one was wiped
+        // or swapped) — skipping or substituting batches there would
+        // silently drop new data, so fail loudly instead.
+        require(batchId <= engine.lastCommittedBatch + 1,
+          s"batch $batchId arrived but the state manifest committed only up to " +
+            s"${engine.lastCommittedBatch}: checkpoint ($checkpoint) and state " +
+            s"root ($stateRoot) are from different query incarnations")
         if (batchId < engine.lastCommittedBatch) {
           // already processed and delivered in a previous incarnation
         } else if (batchId == engine.lastCommittedBatch) {
