@@ -265,6 +265,22 @@ object ReferenceQueries {
         .ordered("window_start", "event_type")
     }),
 
+    // Session windows (gap-based sessionization) — the merge-on-overlap
+    // windowing mode streaming engines use for activity sessions; Spark's
+    // session_window works identically in batch and (with a watermark)
+    // streaming. A new session starts when the gap to the previous event is
+    // >= 10 minutes (each event's window is [ts, ts+gap), merged on strict
+    // overlap). Oracle reproduces it as gaps-and-islands SQL.
+    "q_session_agg" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "10 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(dec)).cast(DoubleType).as("sum_value"))
+        .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
+          col("user_id"), col("n"), col("sum_value"))
+        .ordered("user_id", "session_start")
+    }),
+
     // §2.7: global sort + limit (top-k). TakeOrderedAndProject — no full sort
     // shuffle; each partition keeps k, driver merges.
     "q_topk_orders" -> ((s, d) => {
@@ -482,6 +498,25 @@ object ReferenceQueries {
         | count(*) AS n,
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    "q_session_agg" ->
+      """WITH o AS (
+        | SELECT user_id, ts, value,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
+        |       THEN 1 ELSE 0 END AS brk
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        | SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |   ROWS UNBOUNDED PRECEDING) AS sid
+        | FROM o)
+        |SELECT min(ts) AS session_start,
+        | max(ts) + INTERVAL 10 MINUTE AS session_end,
+        | user_id, count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
 
     "q_changelog_encode" ->
       """SELECT event_id,

@@ -74,4 +74,37 @@ class WindowedAggSpec extends AnyFunSuite with Matchers {
         (t("2024-01-01 11:00:00"), "view", 1L, 5.0))
     } finally q.stop()
   }
+
+  test("streaming session windows merge across micro-batches and close on watermark") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+
+    val input = MemoryStream[TimedEv]
+    val agg = input.toDS()
+      .withWatermark("ts", "5 minutes")
+      .groupBy(session_window(col("ts"), "10 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("s"), col("w.end").as("e"), col("event_type"), col("n"))
+
+    val q = agg.writeStream.format("memory").queryName("session_agg")
+      .outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("graft-sagg").toString)
+      .start()
+
+    try {
+      // two batches of events within the 10-minute gap: ONE session
+      input.addData(TimedEv(t("2024-01-01 10:00:00"), "click", 1.0))
+      q.processAllAvailable()
+      input.addData(TimedEv(t("2024-01-01 10:08:00"), "click", 1.0))
+      q.processAllAvailable()
+      // far-future event closes the session (watermark passes its end)
+      input.addData(TimedEv(t("2024-01-01 12:00:00"), "click", 1.0))
+      q.processAllAvailable()
+
+      val rows = spark.table("session_agg").collect()
+        .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(3))).toSeq
+      // cross-batch merge: [10:00, 10:08+10min), 2 events, emitted once
+      rows shouldBe Seq((t("2024-01-01 10:00:00"), t("2024-01-01 10:18:00"), 2L))
+    } finally q.stop()
+  }
 }
