@@ -265,6 +265,19 @@ object ReferenceQueries {
         .ordered("window_start", "event_type")
     }),
 
+    // Sliding windows: each event lands in duration/slide = 2 overlapping
+    // windows (Spark expands via an Expand node — rows × overlap factor,
+    // then one hash agg; the oracle unnests the same 2 bucket candidates).
+    "q_sliding_agg" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(dec)).cast(DoubleType).as("sum_value"))
+        .select(col("w.start").as("window_start"), col("event_type"),
+          col("n"), col("sum_value"))
+        .ordered("window_start", "event_type")
+    }),
+
     // Session windows (gap-based sessionization) — the merge-on-overlap
     // windowing mode streaming engines use for activity sessions; Spark's
     // session_window works identically in batch and (with a watermark)
@@ -498,6 +511,17 @@ object ReferenceQueries {
         | count(*) AS n,
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    "q_sliding_agg" ->
+      """WITH e AS (
+        | SELECT event_type, value,
+        |  unnest([time_bucket(INTERVAL '30 minutes', ts),
+        |          time_bucket(INTERVAL '30 minutes', ts) - INTERVAL 30 MINUTE])
+        |    AS window_start
+        | FROM events)
+        |SELECT window_start, event_type, count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM e GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
 
     "q_session_agg" ->
       """WITH o AS (
