@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Ordered._
-import graft.scale.{Multimodal, NearDup, Similarity, TextOps}
+import graft.scale.{Multimodal, NearDup, Sampling, Similarity, TextOps}
 
 /** Driver-verifiable queries for the training-data-pipeline operators
   * (`graft.scale`) over the `documents` table, each with a DuckDB oracle
@@ -152,6 +152,15 @@ object ScaleQueries {
       Similarity.cosineLshDedup(e.unionByName(scaled), "vec_id", "embedding",
         threshold = 0.99)
         .ordered("a_id", "b_id")
+    }),
+
+    // Deterministic hash split: reproducible train/valid/test assignment
+    // (stable under repartitioning and appends — unlike randomSplit) plus
+    // the per-split counts a pipeline sanity-checks.
+    "q_hash_split" -> ((s, d) => {
+      Sampling.hashSplit(Tables.documents(s, d).select("doc_id"), "doc_id")
+        .withColumn("bucket", Sampling.hashBucket(col("doc_id")))
+        .ordered("doc_id")
     }),
 
     // Multimodal resize: nearest-neighbor byte resample to a fixed width,
@@ -346,6 +355,19 @@ object ScaleQueries {
         |   generate_series(0, greatest((octet_length(encode(text)) - 32) // 64, 0)),
         |   i -> substr(text, CAST(i*64+1 AS INTEGER), 32)), '|')) AS frames_sig
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_hash_split" ->
+      """WITH b AS (
+        | SELECT doc_id,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+        |    AS bucket
+        | FROM documents)
+        |SELECT doc_id,
+        | CASE WHEN bucket < 80 THEN 'train'
+        |      WHEN bucket < 90 THEN 'valid'
+        |      ELSE 'test' END AS split,
+        | bucket
+        |FROM b ORDER BY doc_id""".stripMargin,
 
     "q_multimodal_resize" ->
       """SELECT doc_id,

@@ -1,0 +1,49 @@
+package graft.scale
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deterministic sampling/splitting for training-data pipelines.
+  *
+  * Splits are HASH-based, not random: a row's assignment is a pure function
+  * of its id, so the split is (a) reproducible across runs, engines, and
+  * cluster layouts, (b) stable under re-partitioning and incremental
+  * appends (new rows never move old rows between splits), and (c) joinable
+  * — two tables split on the same key land on the same side. That is the
+  * property `df.randomSplit` (seeded per-partition RNG) does NOT give you
+  * at scale: its assignment changes with partitioning.
+  *
+  * The hash is the md5-derived 60-bit value used across this repo for
+  * engine-reproducible fingerprints — any system (or SQL oracle) can
+  * recompute the exact assignment.
+  */
+object Sampling {
+
+  /** Uniform bucket in [0, buckets) from the row id — md5-based, portable. */
+  def hashBucket(id: Column, buckets: Int = 100): Column =
+    pmod(conv(substring(md5(id.cast(StringType)), 1, 15), 16, 10)
+      .cast(LongType), lit(buckets.toLong))
+
+  /** Train/validation/test assignment by cumulative percentage. E.g.
+    * `splits = Seq("train" -> 80, "valid" -> 10, "test" -> 10)`.
+    */
+  def hashSplit(df: DataFrame, idCol: String,
+                splits: Seq[(String, Int)] = Seq("train" -> 80, "valid" -> 10, "test" -> 10),
+                out: String = "split"): DataFrame = {
+    require(splits.map(_._2).sum == 100, "split percentages must sum to 100")
+    val bucket = hashBucket(col(idCol))
+    val cum = splits.scanLeft(0)(_ + _._2).tail
+    val assignment = splits.zip(cum).tail.foldLeft(
+      when(bucket < cum.head, splits.head._1)) {
+      case (acc, ((name, _), hi)) => acc.when(bucket < hi, name)
+    }
+    df.withColumn(out, assignment)
+  }
+
+  /** Deterministic p-percent sample: the rows whose bucket falls below p.
+    * Append-stable — a row's membership never changes as the table grows.
+    */
+  def hashSample(df: DataFrame, idCol: String, pct: Int): DataFrame =
+    df.filter(hashBucket(col(idCol)) < pct)
+}

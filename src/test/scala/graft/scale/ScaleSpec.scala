@@ -51,6 +51,25 @@ class ScaleSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("hash split: partitioning-invariant, append-stable, percentages respected") {
+    import org.apache.spark.sql.DataFrame
+    val docs = Tables.documents(spark, sf).select("doc_id")
+    def splits(df: DataFrame): Map[Long, String] =
+      Sampling.hashSplit(df, "doc_id").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+
+    val base = splits(docs)
+    // partitioning must not move rows between splits (randomSplit fails this)
+    splits(docs.repartition(17)) shouldBe base
+    // appending new rows must not reassign existing ones
+    val appended = splits(docs.union(docs.select((col("doc_id") + 100000).as("doc_id"))))
+    base.foreach { case (id, s) => appended(id) shouldBe s }
+    // rough proportions (loose at this corpus size; exactness lives in the
+    // q_hash_split oracle): train ≈ 80%
+    val trainFrac = base.values.count(_ == "train").toDouble / base.size
+    trainFrac should (be >= 0.65 and be <= 0.95)
+  }
+
   test("minhash signatures are partitioning-invariant") {
     val docs = Tables.documents(spark, sf)
     val once = NearDup.minHashDedup(docs, "doc_id", "text", threshold = 0.5)
