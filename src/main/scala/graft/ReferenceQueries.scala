@@ -281,9 +281,11 @@ object ReferenceQueries {
     // Session windows (gap-based sessionization) — the merge-on-overlap
     // windowing mode streaming engines use for activity sessions; Spark's
     // session_window works identically in batch and (with a watermark)
-    // streaming. A new session starts when the gap to the previous event is
-    // >= 10 minutes (each event's window is [ts, ts+gap), merged on strict
-    // overlap). Oracle reproduces it as gaps-and-islands SQL.
+    // streaming. Boundary semantics (pinned by WindowedAggSpec): an event
+    // at EXACTLY the previous event + gap still merges — a new session
+    // starts only when the gap is STRICTLY GREATER than the gap duration.
+    // Oracle reproduces it as gaps-and-islands SQL with the same strict
+    // break.
     "q_session_agg" -> ((s, d) => {
       Tables.events(s, d)
         .groupBy(session_window(col("ts"), "10 minutes").as("w"), col("user_id"))
@@ -527,7 +529,7 @@ object ReferenceQueries {
       """WITH o AS (
         | SELECT user_id, ts, value,
         |  CASE WHEN lag(ts) OVER w IS NULL
-        |         OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
+        |         OR ts - lag(ts) OVER w > INTERVAL 10 MINUTE
         |       THEN 1 ELSE 0 END AS brk
         | FROM events
         | WINDOW w AS (PARTITION BY user_id ORDER BY ts)),

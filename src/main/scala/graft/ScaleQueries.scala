@@ -158,8 +158,8 @@ object ScaleQueries {
     // (stable under repartitioning and appends — unlike randomSplit) plus
     // the per-split counts a pipeline sanity-checks.
     "q_hash_split" -> ((s, d) => {
-      Sampling.hashSplit(Tables.documents(s, d).select("doc_id"), "doc_id")
-        .withColumn("bucket", Sampling.hashBucket(col("doc_id")))
+      Sampling.hashSplit(Tables.documents(s, d).select("doc_id"), "doc_id",
+        bucketOut = Some("bucket"))
         .ordered("doc_id")
     }),
 

@@ -166,8 +166,7 @@ object NearDup {
     df.withColumn("_toks", split(col(textCol), " "))
       .withColumn("_sh", shinglesFromTokens(col("_toks"), shingleK))
       .drop("_toks")
-      .withColumn("_hashes", transform(col("_sh"), s =>
-        conv(substring(md5(s), 1, 15), 16, 10).cast(LongType)))
+      .withColumn("_hashes", transform(col("_sh"), s => Hashing.md5Long60(s)))
       .withColumn("_n", size(col("_sh")))
       .withColumn("_counts", aggregate(col("_hashes"), array_repeat(lit(0L), 60),
         (acc, h) => zip_with(acc, simHashPowers,

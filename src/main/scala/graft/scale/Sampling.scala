@@ -20,25 +20,36 @@ import org.apache.spark.sql.types._
   */
 object Sampling {
 
-  /** Uniform bucket in [0, buckets) from the row id — md5-based, portable. */
+  /** Uniform bucket in [0, buckets) from the row id ([[Hashing.md5Long60]],
+    * portable). NULL id → NULL bucket.
+    */
   def hashBucket(id: Column, buckets: Int = 100): Column =
-    pmod(conv(substring(md5(id.cast(StringType)), 1, 15), 16, 10)
-      .cast(LongType), lit(buckets.toLong))
+    pmod(Hashing.md5Long60(id.cast(StringType)), lit(buckets.toLong))
 
   /** Train/validation/test assignment by cumulative percentage. E.g.
     * `splits = Seq("train" -> 80, "valid" -> 10, "test" -> 10)`.
+    * The bucket is computed ONCE and the CASE branches on the column (same
+    * shape as the SQL oracle); pass `bucketOut` to also keep it.
+    *
+    * NULL-id policy: a NULL id hashes to a NULL bucket → NULL split (the
+    * row belongs to no split) — enforce non-null keys upstream if the
+    * splits must partition the table. [[hashSample]] likewise drops
+    * NULL-id rows (a NULL bucket fails the filter).
     */
   def hashSplit(df: DataFrame, idCol: String,
                 splits: Seq[(String, Int)] = Seq("train" -> 80, "valid" -> 10, "test" -> 10),
-                out: String = "split"): DataFrame = {
+                out: String = "split", bucketOut: Option[String] = None): DataFrame = {
     require(splits.map(_._2).sum == 100, "split percentages must sum to 100")
-    val bucket = hashBucket(col(idCol))
+    val bucketCol = bucketOut.getOrElse("_bucket")
+    val bucket = col(bucketCol)
     val cum = splits.scanLeft(0)(_ + _._2).tail
     val assignment = splits.zip(cum).tail.foldLeft(
       when(bucket < cum.head, splits.head._1)) {
       case (acc, ((name, _), hi)) => acc.when(bucket < hi, name)
-    }
-    df.withColumn(out, assignment)
+    }.otherwise(lit(null).cast(StringType))
+    val result = df.withColumn(bucketCol, hashBucket(col(idCol)))
+      .withColumn(out, assignment)
+    if (bucketOut.isEmpty) result.drop(bucketCol) else result
   }
 
   /** Deterministic p-percent sample: the rows whose bucket falls below p.

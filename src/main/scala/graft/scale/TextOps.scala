@@ -134,8 +134,7 @@ object TextOps {
     df.withColumn("_gh",
         when(length(text) >= k,
           transform(sequence(lit(1), length(text) - (k - 1)),
-            i => conv(substring(md5(text.substr(i, lit(k))), 1, 15), 16, 10)
-              .cast(LongType)))
+            i => Hashing.md5Long60(text.substr(i, lit(k)))))
           .otherwise(array().cast(ArrayType(LongType))))
       .withColumn(out,
         when(size(col("_gh")) >= w,

@@ -75,6 +75,26 @@ class WindowedAggSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("session boundary: an exact-gap pair MERGES (pins the q_session_agg oracle's strict break)") {
+    import spark.implicits._
+    // Spark merges when the next event is at exactly prev + gap; only a
+    // STRICTLY larger gap starts a new session. The DuckDB oracle must
+    // therefore break on `> gap`, not `>=` — this test keeps that honest
+    // even though the synthetic corpus has no exact-gap pairs.
+    val sessions = Seq(
+      (t("2024-01-01 10:00:00"), "u"),
+      (t("2024-01-01 10:10:00"), "u"),  // exactly +gap: same session
+      (t("2024-01-01 10:20:00.001"), "u")) // gap exceeded by 1ms: new session
+      .toDF("ts", "user")
+      .groupBy(session_window(col("ts"), "10 minutes").as("w"), col("user"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start"), col("n")).orderBy("start")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toSeq
+    sessions shouldBe Seq(
+      (t("2024-01-01 10:00:00"), 2L),
+      (Timestamp.valueOf("2024-01-01 10:20:00.001"), 1L))
+  }
+
   test("streaming session windows merge across micro-batches and close on watermark") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
