@@ -17,11 +17,14 @@ import org.apache.spark.sql.streaming.StreamingQueryListener._
   * `eventTime.watermark` gap is the exact analogue); state size ↔
   * `stateOperators.numRowsTotal`.
   */
-class GraftMetricsListener extends StreamingQueryListener {
+/** Per-query counters (top-level: a case class nested in the listener class
+  * would capture an outer reference pattern-matching can't check).
+  */
+final case class QueryMetrics(name: String, eventsSeen: Long, batches: Long,
+                              lastBatchMs: Long, lastInputRows: Long,
+                              stateRows: Long)
 
-  final case class QueryMetrics(name: String, eventsSeen: Long, batches: Long,
-                                lastBatchMs: Long, lastInputRows: Long,
-                                stateRows: Long)
+class GraftMetricsListener extends StreamingQueryListener {
 
   private val byQuery = TrieMap.empty[java.util.UUID, QueryMetrics]
 

@@ -70,6 +70,26 @@ class ScaleSpec extends AnyFunSuite with Matchers {
     trainFrac should (be >= 0.65 and be <= 0.95)
   }
 
+  test("cosine-LSH dedup is partitioning-invariant and finds planted scaled copies") {
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val scaled = e.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 10000).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.5)).as("embedding"))
+    val corpus = e.unionByName(scaled)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      Similarity.cosineLshDedup(df, "vec_id", "embedding", threshold = 0.99)
+        .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val base = pairs(corpus)
+    // every planted (v, 1.5v) pair found — sign signatures are identical
+    base should contain allElementsOf
+      e.filter(col("vec_id") % 10 === 0).select("vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(0) + 10000))
+    // layout must not change the result
+    pairs(corpus.repartition(13)) shouldBe base
+  }
+
   test("minhash signatures are partitioning-invariant") {
     val docs = Tables.documents(spark, sf)
     val once = NearDup.minHashDedup(docs, "doc_id", "text", threshold = 0.5)
