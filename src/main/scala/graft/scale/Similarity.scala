@@ -132,7 +132,7 @@ object Similarity {
 
     def bandKey(b: Int): Column =
       (0 until rowsPerBand).map { j =>
-        val w = array(planeWeights(b * rowsPerBand + j, dims).map(lit): _*)
+        val w = array(planeWeights(b * rowsPerBand + j, dims).toIndexedSeq.map(lit): _*)
         when(dot(col("v_vec"), w) >= 0, lit(1L << j)).otherwise(lit(0L))
       }.reduce(_ + _)
 
