@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Regression guards on the PHYSICAL-PLAN properties the 100 TB story rests
+  * on. Correctness gates can't see these — a plan that silently stops
+  * pushing filters, broadcasting the dim side, or reusing the join exchange
+  * still returns the right rows, just 10-100× slower at scale. Plan shape
+  * is sf-independent, so the toy SF is fine.
+  */
+class PlanShapeSpec extends AnyFunSuite with Matchers {
+
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def formattedPlan(df: DataFrame): String = {
+    df.collect() // settle AQE's final plan
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+  }
+
+  /** The settled FINAL physical plan only (explainString renders the
+    * pre-AQE initial plan too, which double-counts nodes).
+    */
+  private def finalPlan(df: DataFrame): String = {
+    df.collect()
+    (df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }).toString
+  }
+
+  private def q(name: String): DataFrame = SparkEntry.queries(name)(spark, sf)
+
+  test("q_proj_filter: predicates reach the parquet scan, columns pruned") {
+    val plan = formattedPlan(q("q_proj_filter"))
+    plan should include("PushedFilters: [IsNotNull(l_returnflag), IsNotNull(l_quantity), " +
+      "EqualTo(l_returnflag,R), GreaterThan(l_quantity,30.0)]")
+    // projection pruning: the 6 referenced columns only, not the full table
+    plan should include("ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint," +
+      "l_linenumber:int,l_quantity:double,l_extendedprice:double,l_returnflag:string>")
+  }
+
+  test("q_topk_orders: top-k is TakeOrderedAndProject, not a global sort") {
+    val plan = formattedPlan(q("q_topk_orders"))
+    plan should include("TakeOrderedAndProject")
+    // and the scan reads only the 3 projected columns
+    plan should include(
+      "ReadSchema: struct<o_orderkey:bigint,o_totalprice:double,o_orderpriority:string>")
+  }
+
+  test("q_broadcast_enrich: the dimension side broadcasts") {
+    formattedPlan(q("q_broadcast_enrich")) should include("BroadcastHashJoin")
+  }
+
+  test("q_denorm_orders_lines: groupBy reuses the join's exchange (one shuffle per side)") {
+    // At this toy SF the planner broadcasts the lines side (which has no
+    // key partitioning to reuse); force the sort-merge path the query takes
+    // at real scale, where exchange reuse is the property that matters.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val plan =
+      try finalPlan(q("q_denorm_orders_lines"))
+      finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    // join on o_orderkey partitions both sides; grouping by (o_orderkey, …)
+    // is satisfied by HashPartitioning(o_orderkey) and must NOT re-shuffle:
+    // 2 join-input exchanges + the final ordered() single-partition
+    // exchange = 3 total.
+    withClue(plan.linesIterator.filter(_.contains("Exchange")).mkString("\n") + "\n") {
+      "Exchange hashpartitioning".r.findAllIn(plan).size shouldBe 2
+      "Exchange SinglePartition".r.findAllIn(plan).size shouldBe 1
+    }
+  }
+
+  test("q_window_agg: partial aggregation before the shuffle") {
+    val plan = formattedPlan(q("q_window_agg"))
+    // two HashAggregates (partial + final) around one agg exchange: the
+    // map-side combine that bounds shuffle volume by group cardinality
+    "HashAggregate".r.findAllIn(plan).size should be >= 2
+    plan should include("PushedFilters: [IsNotNull(ts)]")
+  }
+}
