@@ -127,7 +127,13 @@ object TxReplay {
 
     // Emission probes: every (key, L) where the key changed in tx L
     // (flushBuffers iterates watermarks × keys; only keys with an event at L
-    // produce pairs — TxAware…Operator.java:221-266).
+    // produce pairs — TxAware…Operator.java:221-266). Deliberately NOT
+    // cached or pre-partitioned although both as-of joins consume it:
+    // measured A/B at sf0.1 (TxProfile variants, min of 3), caching costs
+    // ~+1s — the columnar cache write/read exceeds the recomputation (a
+    // union of broadcast-enriched scans + map-side-deduped distinct), and
+    // the InMemoryRelation blocks AQE's runtime replanning of the joins
+    // above it. A pre-repartition on key is a wash for the same reason.
     val probes = lr.select(col("key"), col("commit_lsn"))
       .union(rr.select(col("key"), col("commit_lsn")))
       .distinct()

@@ -1,17 +1,22 @@
 package graft.tx
 
-/** Phase profiler for the tx replay over the synthetic CDC streams:
-  * `sbt "Test/runMain graft.tx.TxProfile [sfDir]"`.
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Phase/variant profiler for the tx replay over the synthetic CDC streams:
+  * `sbt "Test/runMain graft.tx.TxProfile [sfDir] [reps]"`. Reports each
+  * variant's full-replay time per rep — run ≥3 reps and read the minimum
+  * (shared host).
   */
 object TxProfile {
   def main(args: Array[String]): Unit = {
     val spark = graft.Sessions.build("tx-profile")
     val sf = args.headOption.getOrElse("/root/testdata/sf0.1")
-    import org.apache.spark.sql.functions._
+    val reps = args.drop(1).headOption.map(_.toInt).getOrElse(3)
 
     def timed[T](label: String)(f: => T): T = {
       val t0 = System.nanoTime(); val r = f
-      println(f"PROFILE $label: ${(System.nanoTime() - t0) / 1e9}%.1f s"); r
+      println(f"PROFILE $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
 
     val orders = graft.Tables.orders(spark, sf)
@@ -31,15 +36,65 @@ object TxProfile {
       .na.fill(0L, Seq("expected_left", "expected_right"))
       .withColumn("commit_lsn", lit(1000000L) + col("tx_id"))
 
-    timed("scan l")(l.write.format("noop").mode("overwrite").save())
-    timed("scan r")(r.write.format("noop").mode("overwrite").save())
-    timed("ends")(ends.write.format("noop").mode("overwrite").save())
-    timed("completeness")(
-      TxReplay.txCompleteness(l, r, ends).write.format("noop").mode("overwrite").save())
-    timed("replay-full")(
-      TxReplay.replay(l, r, ends).write.format("noop").mode("overwrite").save())
-    timed("replay-again")(
-      TxReplay.replay(l, r, ends).write.format("noop").mode("overwrite").save())
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    /** Full replay, parameterized on how `probes` is staged. */
+    def replayVariant(stage: DataFrame => DataFrame): DataFrame = {
+      val endsC = ends.cache()
+      val le = TxReplay.fixCommitLsn(l, endsC)
+      val re = TxReplay.fixCommitLsn(r, endsC)
+      val reach = TxReplay.txCompleteness(l, r, endsC)
+        .filter(col("reachable")).select("tx_id", "commit_lsn").cache()
+      val lr = le.join(broadcast(reach.select("tx_id")), Seq("tx_id"))
+      val rr = re.join(broadcast(reach.select("tx_id")), Seq("tx_id"))
+      val probes = stage(
+        lr.select(col("key"), col("commit_lsn"))
+          .union(rr.select(col("key"), col("commit_lsn")))
+          .distinct()
+          .withColumnRenamed("commit_lsn", "probe_lsn"))
+      val header = probes.join(le, Seq("key"))
+        .where(col("commit_lsn") <= col("probe_lsn"))
+        .groupBy("key", "probe_lsn")
+        .agg(max_by(struct(col("commit_lsn"), col("op"), col("row")),
+          struct(col("commit_lsn"), col("lsn"))).as("h"))
+        .select(col("key"), col("probe_lsn"),
+          col("h.commit_lsn").as("left_lsn"), col("h.op").as("left_op"),
+          col("h.row").as("row"))
+      val latestLines = probes.join(re, Seq("key"))
+        .where(col("commit_lsn") <= col("probe_lsn"))
+        .groupBy("key", "probe_lsn", "line_id")
+        .agg(max_by(struct(col("op"), col("row")),
+          struct(col("commit_lsn"), col("lsn"))).as("v"))
+      val lines = latestLines
+        .groupBy("key", "probe_lsn")
+        .agg(count(lit(1)).as("n_pairs"),
+          sort_array(collect_list(
+            when(col("v.op") =!= "d", struct(col("line_id"), col("v.row").as("row")))))
+            .as("lines"))
+      header.join(lines, Seq("key", "probe_lsn"), "left")
+        .withColumn("n_pairs", coalesce(col("n_pairs"), lit(0L)))
+        .where(col("left_lsn") < col("probe_lsn") || col("n_pairs") > 0)
+        .select(col("key"), col("probe_lsn").as("commit_lsn"), col("row"),
+          col("lines"), (col("left_op") === "d").as("deleted"))
+    }
+
+    val n = spark.sessionState.conf.numShufflePartitions
+    val variants: Seq[(String, DataFrame => DataFrame)] = Seq(
+      "plain        " -> identity,
+      "cache        " -> (_.cache()),
+      "repart+cache " -> (df => df.repartition(n, col("key")).cache()),
+      "repart       " -> (_.repartition(n, col("key"))))
+
+    // warmup
+    noop(replayVariant(identity)); spark.catalog.clearCache()
+
+    (1 to reps).foreach { i =>
+      variants.foreach { case (name, v) =>
+        timed(s"$name rep$i")(noop(replayVariant(v)))
+        spark.catalog.clearCache()
+      }
+    }
     spark.stop()
   }
 }
