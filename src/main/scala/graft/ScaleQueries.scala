@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Ordered._
-import graft.scale.{Multimodal, NearDup, Sampling, Similarity, TextOps}
+import graft.scale.{Embeddings, Multimodal, NearDup, Packing, Sampling, Similarity, TextOps}
 
 /** Driver-verifiable queries for the training-data-pipeline operators
   * (`graft.scale`) over the `documents` table, each with a DuckDB oracle
@@ -161,6 +161,49 @@ object ScaleQueries {
       Sampling.hashSplit(Tables.documents(s, d).select("doc_id"), "doc_id",
         bucketOut = Some("bucket"))
         .ordered("doc_id")
+    }),
+
+    // Sequence packing (concat-then-chunk): per-source prefix-sum window
+    // assigns every document its token span and chunk range. Window is per
+    // group — parallel across sources, no global sort.
+    "q_pack_chunks" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        size(TextOps.tokens(col("text"))).cast(LongType).as("n_tokens"))
+      Packing.packChunks(docs, "doc_id", "n_tokens", "source", contextLen = 128)
+        .ordered("doc_id")
+    }),
+
+    // Stratified deterministic sampling: rebalance by language — hold rare
+    // strata whole, downsample the dominant one. Pure per-row hash filter.
+    "q_stratified_sample" -> ((s, d) => {
+      Sampling.stratifiedHashSample(Tables.documents(s, d).select("doc_id", "lang"),
+        "doc_id", "lang", Seq("en" -> 25, "zh" -> 100), defaultPct = 60)
+        .ordered("doc_id")
+    }),
+
+    // Text cleaning: the corpus is pure [a-z ], so case/digit/punct/space
+    // noise is injected deterministically (same expression in the oracle)
+    // to exercise every normalization branch.
+    "q_text_clean" -> ((s, d) => {
+      val noisy = concat(lit("  <P>"), upper(substring(col("text"), 1, 15)),
+        expr("substring(text, 16)"), lit(" 42!!  "))
+      TextOps.cleanText(
+        Tables.documents(s, d).select(col("doc_id"), noisy.as("text")), "text")
+        .drop("text")
+        .ordered("doc_id")
+    }),
+
+    // Embedding prep: L2-normalize (rounded norm), then symmetric int8
+    // quantization of the unit vector. floor(v+0.5) round-half-up and
+    // fold-order-stable norms keep both engines bit-identical.
+    "q_embed_quant" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).select(col("vec_id"),
+        col("embedding").cast(ArrayType(DoubleType)).as("embedding"))
+      Embeddings.withInt8Quantized(
+        Embeddings.withL2Normalized(e, "embedding"), "unit")
+        .select(col("vec_id"), round(col("norm"), 6).as("norm6"),
+          round(col("scale"), 6).as("scale6"), to_json(col("q")).as("q_json"))
+        .ordered("vec_id")
     }),
 
     // Multimodal resize: nearest-neighbor byte resample to a fixed width,
@@ -368,6 +411,55 @@ object ScaleQueries {
         |      ELSE 'test' END AS split,
         | bucket
         |FROM b ORDER BY doc_id""".stripMargin,
+
+    "q_pack_chunks" ->
+      """WITH t AS (SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+        |           FROM documents),
+        |s AS (SELECT doc_id, source, n_tokens,
+        |  CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tok_end
+        | FROM t)
+        |SELECT doc_id, source, n_tokens, tok_end, tok_end - n_tokens AS tok_start,
+        | (tok_end - n_tokens) // 128 AS first_chunk,
+        | (tok_end - 1) // 128 AS last_chunk,
+        | ((tok_end - 1) // 128) - ((tok_end - n_tokens) // 128) + 1 AS n_chunks
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q_stratified_sample" ->
+      """WITH b AS (SELECT doc_id, lang,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket,
+        |  CASE WHEN lang = 'en' THEN 25 WHEN lang = 'zh' THEN 100 ELSE 60 END AS rate_pct
+        | FROM documents)
+        |SELECT doc_id, lang, bucket, rate_pct FROM b
+        |WHERE bucket < rate_pct ORDER BY doc_id""".stripMargin,
+
+    "q_text_clean" ->
+      """WITH noisy AS (SELECT doc_id,
+        |  '  <P>' || upper(substr(text, 1, 15)) || substr(text, 16) || ' 42!!  ' AS text
+        | FROM documents),
+        |c AS (SELECT doc_id, text,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]+', ' ', 'g'),
+        |       ' +', ' ', 'g')) AS clean
+        | FROM noisy)
+        |SELECT doc_id, clean, length(text) - length(clean) AS removed_chars
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q_embed_quant" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |  sqrt(list_sum(list_transform(range(1, len(v)+1), i -> v[i]*v[i]))) AS norm
+        | FROM e),
+        |u AS (SELECT vec_id, norm,
+        |  CASE WHEN norm > 0 THEN list_transform(v, x -> x / norm) ELSE v END AS unit
+        | FROM n),
+        |m AS (SELECT vec_id, norm, unit,
+        |  list_max(list_transform(unit, x -> abs(x))) AS maxabs
+        | FROM u)
+        |SELECT vec_id, round(norm, 6) AS norm6, round(maxabs / 127.0, 6) AS scale6,
+        | to_json(CASE WHEN maxabs > 0
+        |   THEN list_transform(unit, x -> CAST(floor(x * 127.0 / maxabs + 0.5) AS INTEGER))
+        |   ELSE list_transform(unit, x -> 0) END) AS q_json
+        |FROM m ORDER BY vec_id""".stripMargin,
 
     "q_multimodal_resize" ->
       """SELECT doc_id,

@@ -57,4 +57,26 @@ object Sampling {
     */
   def hashSample(df: DataFrame, idCol: String, pct: Int): DataFrame =
     df.filter(hashBucket(col(idCol)) < pct)
+
+  /** Stratified deterministic sample: per-stratum keep rates (percent),
+    * e.g. downsample the dominant language while keeping rare ones whole —
+    * the standard rebalancing pass over a crawl corpus. Same hash-bucket
+    * mechanics as [[hashSample]] (reproducible, append-stable, engine-
+    * portable), with the rate chosen per stratum; strata not in `rates` use
+    * `defaultPct`. Keeps `bucket` and `rate_pct` columns for auditability.
+    * Per-row filter — no shuffle; the 100 TB plan is the same plan.
+    */
+  def stratifiedHashSample(df: DataFrame, idCol: String, strataCol: String,
+                           rates: Seq[(String, Int)], defaultPct: Int): DataFrame = {
+    require(rates.nonEmpty, "need at least one stratum rate")
+    require((defaultPct +: rates.map(_._2)).forall(p => p >= 0 && p <= 100),
+      "rates are percentages in [0, 100]")
+    val rate = rates.tail.foldLeft(
+      when(col(strataCol) === rates.head._1, rates.head._2)) {
+      case (acc, (stratum, pct)) => acc.when(col(strataCol) === stratum, pct)
+    }.otherwise(lit(defaultPct))
+    df.withColumn("bucket", hashBucket(col(idCol)))
+      .withColumn("rate_pct", rate)
+      .filter(col("bucket") < col("rate_pct"))
+  }
 }

@@ -65,6 +65,20 @@ object TextOps {
       (uniqRatio * 0.4 + stopRatio * 0.3 + lenScore * 0.3).as("quality"))
   }
 
+  /** Text cleaning/normalization — the first pass of every training-data
+    * pipeline: lowercase, replace non-[a-z0-9 ] runs with a space, collapse
+    * space runs, trim. One narrow projection (three codegen'd regex passes);
+    * patterns avoid anchors/lookarounds/escapes whose semantics differ
+    * between regex dialects, so any engine (Java, RE2/DuckDB) cleans
+    * identically. Idempotent: clean(clean(x)) == clean(x).
+    */
+  def cleanText(df: DataFrame, textCol: String, out: String = "clean"): DataFrame =
+    df.withColumn(out,
+        trim(regexp_replace(
+          regexp_replace(lower(col(textCol)), "[^a-z0-9 ]+", " "),
+          " +", " ")))
+      .withColumn("removed_chars", length(col(textCol)) - length(col(out)))
+
   /** Document fingerprint: md5 of the normalized text (lowercase, collapsed
     * whitespace). Content-addressed identity for exact dedup — 128-bit, so
     * collisions are negligible at any corpus size.
