@@ -39,6 +39,28 @@ import graft.tx.TxReplay
   * engine's). Per-batch replay cost is bounded by the compacted buffer, not
   * the full history.
   *
+  * WHY MICRO-BATCH REPLAY AND NOT A `transformWithState` OPERATOR (the
+  * "streaming-native" design (b) floated in SURVEY §7.3): the contiguous
+  * commit-LSN watermark is a GLOBAL property — tx L may only emit when every
+  * tx with a smaller commit LSN is complete, and completeness itself compares
+  * global per-(tx, table) event counts against the END event's announcement.
+  * A keyed `StatefulProcessor` sees one key's slice of the world: a processor
+  * keyed by order id cannot know whether some other key's straggler keeps an
+  * earlier tx incomplete, and a processor keyed by tx id cannot see across
+  * transactions to apply the contiguity stall. The reference solves this with
+  * machinery Spark deliberately lacks — a custom watermark TYPE carrying the
+  * commit LSN, injected by an operator that is effectively parallelism-1 per
+  * table (`WatermarkInjector`; the whole PoC pipeline runs at parallelism 1,
+  * poc.md:264-266) and broadcast in-band to all partitions. Spark's
+  * equivalent of "centralized sequencing + broadcast" is the micro-batch
+  * boundary itself: within a batch, completeness and the stall point are
+  * plain global aggregates over the buffered state, and the per-LSN ordered
+  * flush is a deterministic bounded replay — full data parallelism inside
+  * the batch, with the same per-key and cross-key ordering guarantees the
+  * reference gets from its single-parallelism watermark plumbing. The
+  * per-key halves that ARE expressible as keyed processors (commit-LSN
+  * fixing, keep-latest, TOAST latching) live in [[Stateful]].
+  *
   * TRANSPORT ASSUMPTION (same as the reference): transaction END events
   * arrive in commit-LSN order — Debezium's transaction topic is a single
   * Kafka partition, so an END for commit L arriving implies every END with

@@ -59,6 +59,31 @@ class ConversionsSpec extends AnyFunSuite with Matchers {
     all(cl.map(_.getString(1))) should (include(""""op":""""))
   }
 
+  test("salted join: identical duplicate rows spread across salts; row-preserving only for inner/left") {
+    // CDC/at-least-once inputs: the hot key's rows are FULLY IDENTICAL. A
+    // pure row-hash salt would send all of them to one salt; the positional
+    // component must spread them.
+    val dupRows = Seq.fill(800)((7L, "same")).toDF("k", "v")
+    val small = Seq((7L, "dim")).toDF("k", "name")
+    val joined = Skew.saltedJoin(dupRows, small, "k", salts = 8)
+    joined.count() shouldBe 800 // row-preserving under duplicates
+
+    // observable spread: the documented salt formula over identical rows
+    // lands on >1 salt only because of the positional component
+    val salts = dupRows
+      .withColumn("_salt", pmod(hash(col("k"), col("v"), monotonically_increasing_id()), lit(8)))
+      .select("_salt").distinct().count()
+    salts should be > 1L
+
+    // the row-preserving contract holds only for inner/left
+    an[IllegalArgumentException] should be thrownBy
+      Skew.saltedJoin(dupRows, small, "k", salts = 8, joinType = "right")
+    an[IllegalArgumentException] should be thrownBy
+      Skew.saltedJoin(dupRows, small, "k", salts = 8, joinType = "full_outer")
+    Skew.saltedJoin(dupRows, small, "k", salts = 8, joinType = "left_outer")
+      .count() shouldBe 800
+  }
+
   test("salted join and salted sum match their unsalted equivalents") {
     val large = (1L to 1000L).map(i => (if (i % 10 == 0) 1L else i, i.toDouble))
       .toDF("k", "v") // key 1 is hot (~10% of rows)

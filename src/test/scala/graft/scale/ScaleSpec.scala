@@ -90,6 +90,39 @@ class ScaleSpec extends AnyFunSuite with Matchers {
     pairs(corpus.repartition(13)) shouldBe base
   }
 
+  test("sub-k-token documents have no shingles and never pair as near-dups") {
+    import org.apache.spark.sql.types._
+    // a 1-token doc must NOT claim shingle set ["tok"]: sequence(0, size-k)
+    // with a negative end counts DOWN and would manufacture partial shingles
+    // from negative indices without the guard
+    val toksDf = Seq(
+      (1L, Seq("tok")), (2L, Seq("tok", "two")), (3L, Seq("a", "b", "c"))
+    ).toDF("id", "toks")
+    val sh = toksDf.select(col("id"),
+      NearDup.shinglesFromTokens(col("toks")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    sh(1L) shouldBe empty
+    sh(2L) shouldBe empty
+    sh(3L) shouldBe Seq("a b c")
+
+    // end-to-end: two short docs sharing a token are NOT near-dups, in any
+    // of the three dedup joins
+    val docs = Seq(
+      (1L, "tok"), (2L, "tok"), (3L, "tok extra"),
+      (10L, "a full length document with enough tokens to shingle"),
+      (11L, "a full length document with enough tokens to shingle")
+    ).toDF("doc_id", "text")
+    val minhash = NearDup.minHashDedup(docs, "doc_id", "text", threshold = 0.5)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    minhash shouldBe Set((10L, 11L))
+    val exact = NearDup.ngramJaccardJoin(docs, "doc_id", "text", threshold = 0.5)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    exact shouldBe Set((10L, 11L))
+    val sim = NearDup.simHashDedup(docs, "doc_id", "text", maxHamming = 3)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    sim shouldBe Set((10L, 11L))
+  }
+
   test("minhash signatures are partitioning-invariant") {
     val docs = Tables.documents(spark, sf)
     val once = NearDup.minHashDedup(docs, "doc_id", "text", threshold = 0.5)

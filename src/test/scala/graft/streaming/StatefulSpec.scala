@@ -135,13 +135,18 @@ class StatefulSpec extends AnyFunSuite with Matchers {
       // out-of-order stale event (lsn 1 < state lsn 4) must not regress state
       input.addData(UpsertEvent(1, "u", 1, "stale"))
       q.processAllAvailable()
+      // EQUAL-lsn redelivery carries the newer serialization: the incoming
+      // event must beat the stored state on a tie
+      input.addData(UpsertEvent(1, "u", 4, "a3-redelivered"))
+      q.processAllAvailable()
 
       val out = spark.table("upsert_stream").as[UpsertEvent].collect()
-        .sortBy(_.lsn).toList
+        .sortBy(_.lsn).toList // stable: equal-lsn rows keep arrival order
       out.map(e => (e.key, e.lsn, e.payload)) shouldBe List(
         (1L, 2L, "a2"), (2L, 3L, "b1"),
         (1L, 4L, "a3"),                 // batch 2
         (1L, 4L, "a3"),                 // batch 3: stale ignored, current re-emitted
+        (1L, 4L, "a3-redelivered"),     // batch 4: tie → incoming wins
         (2L, 5L, null))                 // tombstone
     } finally q.stop()
   }
