@@ -206,6 +206,34 @@ object ScaleQueries {
         .ordered("vec_id")
     }),
 
+    // The training-corpus pipeline END-TO-END: noisy corpus (injected case/
+    // punct noise + duplicate docs) → clean → quality gate → exact dedup →
+    // language rebalance → sequence packing. One composed declarative plan:
+    // narrow projections + two hash shuffles (dedup groupBy, pack window) —
+    // the shape a real 100 TB preparation run has per shard.
+    "q_corpus_pipeline" -> ((s, d) => {
+      val base = Tables.documents(s, d).select("doc_id", "source", "lang", "text")
+      val dups = base.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("source"), col("lang"), col("text"))
+      val noisy = base.unionByName(dups)
+        .select(col("doc_id"), col("source"), col("lang"),
+          concat(upper(substring(col("text"), 1, 10)), expr("substring(text, 11)"),
+            lit(" !!")).as("text"))
+      val cleaned = TextOps.cleanText(noisy, "text")
+        .select(col("doc_id"), col("source"), col("lang"), col("clean").as("text"))
+      val good = TextOps.qualityScore(cleaned, "text").filter(col("quality") >= 0.4)
+      val uniq = TextOps.exactDedup(good, "doc_id", "text").filter(!col("is_dup"))
+      val sampled = Sampling.stratifiedHashSample(uniq, "doc_id", "lang",
+        Seq("en" -> 50), defaultPct = 100)
+      Packing.packChunks(
+        sampled.withColumn("n_tokens", size(TextOps.tokens(col("text"))).cast(LongType)),
+        "doc_id", "n_tokens", "source", contextLen = 128)
+        .select(col("doc_id"), col("source"), col("lang"),
+          round(col("quality"), 6).as("quality6"), col("n_tokens"),
+          col("tok_start"), col("first_chunk"), col("n_chunks"))
+        .ordered("doc_id")
+    }),
+
     // Multimodal resize: nearest-neighbor byte resample to a fixed width,
     // emitted as hex so the driver can hash-compare it.
     "q_multimodal_resize" -> ((s, d) => {
@@ -460,6 +488,47 @@ object ScaleQueries {
         |   THEN list_transform(unit, x -> CAST(floor(x * 127.0 / maxabs + 0.5) AS INTEGER))
         |   ELSE list_transform(unit, x -> 0) END) AS q_json
         |FROM m ORDER BY vec_id""".stripMargin,
+
+    "q_corpus_pipeline" ->
+      s"""WITH all_docs AS (
+        | SELECT doc_id, source, lang, text FROM documents
+        | UNION ALL
+        | SELECT doc_id + 10000 AS doc_id, source, lang, text FROM documents
+        | WHERE doc_id % 5 = 0),
+        |noisy AS (SELECT doc_id, source, lang,
+        |  upper(substr(text, 1, 10)) || substr(text, 11) || ' !!' AS text
+        | FROM all_docs),
+        |cleaned AS (SELECT doc_id, source, lang,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]+', ' ', 'g'),
+        |       ' +', ' ', 'g')) AS text
+        | FROM noisy),
+        |scored AS (SELECT *,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |    / len(string_split(text, ' ')) * 0.4
+        |  + CAST(len(list_filter(string_split(text, ' '),
+        |      x -> list_contains($markersSql, x))) AS DOUBLE)
+        |    / len(string_split(text, ' ')) * 0.3
+        |  + least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.3 AS quality
+        | FROM cleaned),
+        |good AS (SELECT * FROM scored WHERE quality >= 0.4),
+        |fp AS (SELECT *, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+        |         AS fingerprint
+        |       FROM good),
+        |uniq AS (SELECT * FROM fp
+        |         QUALIFY doc_id = min(doc_id) OVER (PARTITION BY fingerprint)),
+        |sampled AS (SELECT * FROM uniq
+        | WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+        |       < CASE WHEN lang = 'en' THEN 50 ELSE 100 END),
+        |toks AS (SELECT *, len(string_split(text, ' ')) AS n_tokens FROM sampled),
+        |spans AS (SELECT *,
+        |  CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tok_end
+        | FROM toks)
+        |SELECT doc_id, source, lang, round(quality, 6) AS quality6, n_tokens,
+        | tok_end - n_tokens AS tok_start,
+        | (tok_end - n_tokens) // 128 AS first_chunk,
+        | ((tok_end - 1) // 128) - ((tok_end - n_tokens) // 128) + 1 AS n_chunks
+        |FROM spans ORDER BY doc_id""".stripMargin,
 
     "q_multimodal_resize" ->
       """SELECT doc_id,

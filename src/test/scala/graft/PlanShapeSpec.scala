@@ -75,6 +75,20 @@ class PlanShapeSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("q_corpus_pipeline: five composed stages cost exactly two data shuffles") {
+    // clean → quality gate → exact dedup → rebalance → pack: everything is
+    // narrow except the dedup groupBy (fingerprint) and the pack window
+    // (source). The canon table rides a broadcast at this size (AQE/size
+    // estimate decides; at 100 TB it becomes a sort-merge join on the same
+    // key), and the trailing SinglePartition exchange is the oracle-ordering
+    // harness, not pipeline cost.
+    val plan = finalPlan(q("q_corpus_pipeline"))
+    val dataShuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    withClue(plan.linesIterator.filter(_.contains("Exchange")).mkString("\n")) {
+      dataShuffles shouldBe 2
+    }
+  }
+
   test("q_window_agg: partial aggregation before the shuffle") {
     val plan = formattedPlan(q("q_window_agg"))
     // two HashAggregates (partial + final) around one agg exchange: the
