@@ -44,6 +44,42 @@ class PipelinePrepSpec extends AnyFunSuite with Matchers {
     byId(3L)._2 shouldBe byId(2L)._1
   }
 
+  test("packChunks property: random corpora tile exactly, any context length") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 5) {
+      val contextLen = 1 + rnd.nextInt(300)
+      val rows = (0 until 200).map { i =>
+        (i.toLong, s"g${rnd.nextInt(7)}", rnd.nextInt(400).toLong) // some zero-width
+      }
+      val packed = Packing.packChunks(rows.toDF("doc_id", "grp", "n_tokens"),
+        "doc_id", "n_tokens", "grp", contextLen)
+        .select("doc_id", "grp", "n_tokens", "tok_start", "tok_end",
+          "first_chunk", "last_chunk", "n_chunks")
+        .as[(Long, String, Long, Long, Long, Long, Long, Long)]
+        .collect()
+
+      withClue(s"trial $trial contextLen $contextLen: ") {
+        packed.length shouldBe rows.count(_._3 > 0)
+        packed.groupBy(_._2).values.foreach { group =>
+          val sorted = group.sortBy(_._1)
+          // spans tile the group's stream: start at 0, no gaps, no overlap
+          sorted.head._4 shouldBe 0L
+          sorted.sliding(2).foreach {
+            case Array(a, b) => b._4 shouldBe a._5
+            case _ =>
+          }
+          // chunk math is a pure function of the span
+          sorted.foreach { case (_, _, n, start, end, first, last, nc) =>
+            end - start shouldBe n
+            first shouldBe start / contextLen
+            last shouldBe (end - 1) / contextLen
+            nc shouldBe last - first + 1
+          }
+        }
+      }
+    }
+  }
+
   test("stratifiedHashSample: rate 100 keeps all, rate 0 keeps none, assignment is stable") {
     val rows = (0L until 400L).map(i => (i, if (i % 4 == 0) "rare" else "common"))
       .toDF("id", "stratum")
