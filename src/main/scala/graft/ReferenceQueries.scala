@@ -149,6 +149,54 @@ object ReferenceQueries {
         .ordered("event_id")
     }),
 
+    // S1 robustness: dead-letter decode. Every 10th payload is truncated
+    // mid-structure (invalid JSON); the quarantine decode must flag exactly
+    // those, keep their raw bytes, and decode the rest normally — no
+    // crashed task, no silent nulls.
+    "q_envelope_quarantine" -> ((s, d) => {
+      val rowSchema = StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType)))
+      val enveloped = Tables.events(s, d).select(
+        col("event_id").as("src_id"),
+        to_json(struct(
+          lit(null).cast(rowSchema).as("before"),
+          struct(col("event_id"), col("user_id")).as("after"),
+          lit("c").as("op"), unix_millis(col("ts")).as("ts_ms"))).as("payload"))
+      val noisy = enveloped.select(col("src_id"),
+        when(col("src_id") % 10 === 0, substring(col("payload"), 1, 20))
+          .otherwise(col("payload")).as("payload"))
+      Envelope.decodeQuarantine(noisy, "payload", rowSchema)
+        .select(col("src_id"), col("corrupt"),
+          col("after.event_id").as("dec_event_id"), col("op"),
+          length(col("raw_payload")).as("raw_len"))
+        .ordered("src_id")
+    }),
+
+    // §2.8 observability: the replication-slot lag surface
+    // (`postgres-replication-slots/README.md:91-110` slot-status SQL,
+    // `replication_dashboard.json` MilliSecondsBehindSource /
+    // TotalNumberOfEventsSeen) as a query over the event stream: per slot
+    // (event_type), confirmed position vs head, event count, ms behind,
+    // CASE status. Two tiny aggregates + a broadcast of the 1-row head.
+    "q_replication_lag" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val slots = ev.groupBy("event_type").agg(
+        max("event_id").as("confirmed_lsn"),
+        count(lit(1)).as("events_seen"),
+        max("ts").as("last_event_ts"))
+      val head = ev.agg(max("event_id").as("head_lsn"), max("ts").as("head_ts"))
+      slots.crossJoin(broadcast(head))
+        .select(col("event_type").as("slot"),
+          col("confirmed_lsn"), col("head_lsn"),
+          (col("head_lsn") - col("confirmed_lsn")).as("lsn_lag"),
+          col("events_seen"),
+          (unix_millis(col("head_ts")) - unix_millis(col("last_event_ts")))
+            .as("ms_behind"),
+          when(col("head_lsn") - col("confirmed_lsn") > 100, "lagging")
+            .otherwise("ok").as("status"))
+        .ordered("slot")
+    }),
+
     // O8/A3/S3: changelog → current table, latest row per key. map-side
     // combining max_by keeps shuffle volume at |keys|, not |events|.
     "q_changelog_materialize" -> ((s, d) => {
@@ -431,6 +479,31 @@ object ReferenceQueries {
         | event_id AS lsn, event_id AS tx_id, event_id * 10 AS commit_lsn,
         | 'inventory.events' AS tbl
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_envelope_quarantine" ->
+      """WITH j AS (SELECT event_id AS src_id,
+        |  '{"after":{"event_id":' || event_id || ',"user_id":' || user_id ||
+        |  '},"op":"c","ts_ms":' || epoch_ms(ts) || '}' AS payload
+        | FROM events),
+        |n AS (SELECT src_id,
+        |  CASE WHEN src_id % 10 = 0 THEN substr(payload, 1, 20) ELSE payload END AS payload
+        | FROM j)
+        |SELECT src_id, src_id % 10 = 0 AS corrupt,
+        | CASE WHEN src_id % 10 <> 0 THEN src_id END AS dec_event_id,
+        | CASE WHEN src_id % 10 <> 0 THEN 'c' END AS op,
+        | length(payload) AS raw_len
+        |FROM n ORDER BY src_id""".stripMargin,
+
+    "q_replication_lag" ->
+      """WITH slots AS (SELECT event_type, max(event_id) AS confirmed_lsn,
+        |  count(*) AS events_seen, max(ts) AS last_event_ts
+        | FROM events GROUP BY 1),
+        |head AS (SELECT max(event_id) AS head_lsn, max(ts) AS head_ts FROM events)
+        |SELECT event_type AS slot, confirmed_lsn, head_lsn,
+        | head_lsn - confirmed_lsn AS lsn_lag, events_seen,
+        | epoch_ms(head_ts) - epoch_ms(last_event_ts) AS ms_behind,
+        | CASE WHEN head_lsn - confirmed_lsn > 100 THEN 'lagging' ELSE 'ok' END AS status
+        |FROM slots, head ORDER BY slot""".stripMargin,
 
     "q_changelog_materialize" ->
       """SELECT user_id, event_id, event_type, value FROM (

@@ -135,6 +135,33 @@ object Envelope {
     df.withColumn("_env", from_json(col(jsonCol), schema(rowSchema)))
       .select(col("_env.*"))
 
+  /** S1 robustness: decode with a dead-letter channel. Malformed payloads
+    * (bytes that are not valid JSON — a truncated Kafka record, a
+    * non-envelope producer on the topic) must not vanish as silent nulls
+    * mid-pipeline: each row keeps the raw payload and gets a `corrupt`
+    * flag, so the caller routes `filter(col("corrupt"))` to a quarantine
+    * sink and the rest onward. The reference gets this for free by
+    * crashing (Jackson throws, the task restarts); a 100 TB pipeline
+    * cannot stop the world for one bad record.
+    */
+  def decodeQuarantine(df: DataFrame, jsonCol: String, rowSchema: StructType): DataFrame = {
+    // non-payload columns (Kafka key/partition/offset, ids) ride along
+    val passthrough = df.columns.filterNot(_ == jsonCol).map(col).toIndexedSeq
+    // PERMISSIVE from_json maps a malformed payload to a row of nulls — it
+    // does NOT null the struct — so json-validity needs the declared
+    // corrupt-record column: malformed input lands there verbatim, schema
+    // mismatches (valid JSON, unexpected fields) do not.
+    val corruptField = "_corrupt_record"
+    val withCorrupt = StructType(schema(rowSchema).fields :+
+      StructField(corruptField, StringType))
+    df.withColumn("_env", from_json(col(jsonCol), withCorrupt,
+        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> corruptField)))
+      .withColumn("corrupt", col("_env").getField(corruptField).isNotNull)
+      .withColumn("_env", col("_env").dropFields(corruptField))
+      .select(passthrough ++
+        Seq(col("_env.*"), col("corrupt"), col(jsonCol).as("raw_payload")): _*)
+  }
+
   /** Normalized change-row view used by the materializer / replay engine:
     * key, op, row image (after for c/u/r, before for d), lsn, commit lsn, txId.
     */

@@ -59,6 +59,30 @@ class ConversionsSpec extends AnyFunSuite with Matchers {
     all(cl.map(_.getString(1))) should (include(""""op":""""))
   }
 
+  test("quarantine decode: malformed payloads flagged with raw bytes kept, extra fields tolerated") {
+    import graft.cdc.Envelope
+    val payloads = Seq(
+      (1L, """{"after":{"id":1,"v":"a"},"op":"c","ts_ms":1}"""),
+      (2L, """{"after":{"id":2,"v":"b"},"op":"c","ts_ms":2,"unknown_extra":true}"""),
+      (3L, """{"after":{"id":3,"""), // truncated mid-structure
+      (4L, "not json at all"),
+      (5L, null)
+    ).toDF("src", "payload")
+    val out = Envelope.decodeQuarantine(payloads, "payload", rowSchema)
+      .select(col("src"), col("corrupt"), col("after.id").as("id"), col("raw_payload"))
+      .orderBy("src").collect()
+
+    out.map(r => (r.getLong(0), r.getBoolean(1))) shouldBe
+      Array((1L, false), (2L, false), (3L, true), (4L, true), (5L, false))
+    // decoded fields present iff clean; raw bytes survive verbatim for triage
+    out(0).getLong(2) shouldBe 1L
+    out(1).getLong(2) shouldBe 2L // unknown fields ignored, not corrupt
+    out(2).isNullAt(2) shouldBe true
+    out(2).getString(3) shouldBe """{"after":{"id":3,"""
+    out(3).getString(3) shouldBe "not json at all"
+    out(4).isNullAt(3) shouldBe true // null payload: no record, not corrupt
+  }
+
   test("salted join: identical duplicate rows spread across salts; row-preserving only for inner/left") {
     // CDC/at-least-once inputs: the hot key's rows are FULLY IDENTICAL. A
     // pure row-hash salt would send all of them to one salt; the positional
