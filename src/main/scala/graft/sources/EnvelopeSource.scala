@@ -46,4 +46,21 @@ object EnvelopeSource {
       .withColumn("_env", from_json(col("payload"), Envelope.schema(rowSchema)))
       .select(col("_env.*"), col("src_file"), col("proctime"))
   }
+
+  /** [[fileStream]] with the dead-letter channel: same source and metadata
+    * columns, decoded through [[Envelope.decodeQuarantine]] — malformed
+    * lines arrive flagged `corrupt` with `raw_payload` intact (routed by
+    * the caller to a quarantine sink) instead of as silent all-null rows.
+    */
+  def fileStreamQuarantine(spark: SparkSession, dir: String,
+                           rowSchema: StructType): DataFrame = {
+    val raw = spark.readStream
+      .format("text")
+      .load(dir)
+      .select(
+        col("value").as("payload"),
+        col("_metadata.file_path").as("src_file"),
+        current_timestamp().as("proctime"))
+    Envelope.decodeQuarantine(raw, "payload", rowSchema)
+  }
 }
