@@ -70,6 +70,26 @@ object ScaleQueries {
         .ordered("a_id", "b_id")
     }),
 
+    // Near-dup cluster resolution: minhash pairs → connected components →
+    // one canonical doc per cluster. Exact copies of every 20th doc are
+    // injected twice, so components mix size-3 cliques, the corpus's
+    // planted pairs, and singletons. LSH recall is effectively 1 here
+    // (copies have J=1, planted dups J≥0.8 — see q_dedup_minhash).
+    "q_dedup_clusters" -> ((s, d) => {
+      val base = Tables.documents(s, d).select("doc_id", "text")
+      val copies = base.filter(col("doc_id") % 20 === 0)
+      val corpus = base
+        .unionByName(copies.select((col("doc_id") + 10000).as("doc_id"), col("text")))
+        .unionByName(copies.select((col("doc_id") + 20000).as("doc_id"), col("text")))
+      val pairs = NearDup.minHashDedup(corpus, "doc_id", "text", threshold = 0.7)
+      val labels = NearDup.clusterPairs(corpus.select(col("doc_id").as("id")), pairs)
+      val sizes = labels.groupBy("cluster_root").agg(count(lit(1)).as("cluster_size"))
+      labels.join(sizes, Seq("cluster_root"))
+        .select(col("id").as("doc_id"), col("cluster_root"),
+          col("is_canonical"), col("cluster_size"))
+        .ordered("doc_id")
+    }),
+
     // SimHash signatures — md5-derived, reproducible bit-for-bit by any
     // engine (the point of a content fingerprint). Repartition first: the
     // corpus arrives as one input split, and signature math is CPU-bound.
@@ -349,6 +369,36 @@ object ScaleQueries {
         |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin,
 
     "q_dedup_minhash" -> allPairsJaccardSql(0.7),
+
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE all_docs AS (
+        | SELECT doc_id, text FROM documents
+        | UNION ALL
+        | SELECT doc_id + 10000, text FROM documents WHERE doc_id % 20 = 0
+        | UNION ALL
+        | SELECT doc_id + 20000, text FROM documents WHERE doc_id % 20 = 0),
+        |sh AS (
+        | SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks)-2),
+        |     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+        | FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM all_docs)),
+        |pairs AS (
+        | SELECT a_id, b_id FROM (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |   CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        |     / len(list_distinct(list_concat(a.shingles, b.shingles))) AS jac
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        | WHERE jac >= 0.7),
+        |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+        |          UNION ALL SELECT b_id, a_id FROM pairs),
+        |r(id, root) AS (
+        | SELECT doc_id, doc_id FROM all_docs
+        | UNION
+        | SELECT e.dst, r.root FROM r JOIN edges e ON e.src = r.id),
+        |lab AS (SELECT id, min(root) AS cluster_root FROM r GROUP BY id),
+        |sizes AS (SELECT cluster_root, count(*) AS cluster_size FROM lab GROUP BY 1)
+        |SELECT id AS doc_id, cluster_root, id = cluster_root AS is_canonical, cluster_size
+        |FROM lab JOIN sizes USING (cluster_root)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_bpe_tokens" ->
       """SELECT doc_id,

@@ -218,6 +218,48 @@ object NearDup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Near-dup CLUSTER resolution — the step after any pairwise similarity
+    * join: pairs only say "a looks like b"; retention needs one canonical
+    * document per connected component (a~b, b~c ⇒ {a,b,c} keep one).
+    * Min-label propagation to a fixpoint: every node adopts the smallest id
+    * reachable so far, iterated until no label changes. Rounds needed =
+    * graph diameter; near-dup components are cliques or short chains
+    * (diameter ≤ ~3), so the loop is 2-4 rounds of one join + one groupBy
+    * each — the standard Spark iterative-graph pattern. For adversarial
+    * long-chain graphs at cluster scale, swap the propagation step for the
+    * large-star/small-star contraction (Kiveris et al.), which converges in
+    * O(log n) rounds with the same per-round shape.
+    *
+    * Returns one row per input id: (id, cluster_root, is_canonical) with
+    * `cluster_root` = min id of the component and singletons their own root.
+    */
+  def clusterPairs(ids: DataFrame, pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+    // symmetric edge list: labels must flow against the a<b pair orientation
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .cache()
+    var labels = ids.select(col("id"), col("id").as("root")).cache()
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val prop = edges.join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("root"))
+      val next = labels.unionByName(prop)
+        .groupBy("id").agg(min("root").as("root"))
+        .cache()
+      // fixpoint test: did ANY label shrink this round? (limit(1) stops the
+      // scan at the first change; one tiny job per round)
+      converged = next.join(labels.withColumnRenamed("root", "prev"), Seq("id"))
+        .filter(col("root") < col("prev")).limit(1).isEmpty
+      labels.unpersist()
+      labels = next
+      round += 1
+    }
+    edges.unpersist()
+    labels.withColumn("is_canonical", col("id") === col("root"))
+      .withColumnRenamed("root", "cluster_root")
+  }
+
   /** EXACT n-gram-Jaccard similarity join via prefix filtering: canonical
     * (lexicographic) global order; a doc's prefix is its first
     * |sh| - ⌈t·|sh|⌉ + 1 sorted shingles; qualifying pairs must share a

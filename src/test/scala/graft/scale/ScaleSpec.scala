@@ -123,6 +123,27 @@ class ScaleSpec extends AnyFunSuite with Matchers {
     sim shouldBe Set((10L, 11L))
   }
 
+  test("clusterPairs: chains collapse to one component, singletons stay canonical") {
+    // 0-1-2-3-4-5 chain (diameter 5 — forces multiple propagation rounds),
+    // a 2-clique {10, 11}, and singleton 20
+    val ids = (Seq(0L, 1L, 2L, 3L, 4L, 5L, 10L, 11L, 20L)).toDF("id")
+    val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("a_id", "b_id")
+    val labels = NearDup.clusterPairs(ids, pairs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+
+    (0L to 5L).foreach { id => labels(id)._1 shouldBe 0L }
+    labels(10L)._1 shouldBe 10L
+    labels(11L)._1 shouldBe 10L
+    labels(20L) shouldBe (20L, true)
+    labels.count(_._2._2) shouldBe 3 // exactly one canonical per component
+    // labels flow AGAINST the a<b orientation too (symmetric edges)
+    val rev = NearDup.clusterPairs(ids,
+      pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rev shouldBe labels.map { case (k, v) => k -> v._1 }
+  }
+
   test("minhash signatures are partitioning-invariant") {
     val docs = Tables.documents(spark, sf)
     val once = NearDup.minHashDedup(docs, "doc_id", "text", threshold = 0.5)
