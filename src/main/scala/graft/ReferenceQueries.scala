@@ -197,6 +197,26 @@ object ReferenceQueries {
         .ordered("slot")
     }),
 
+    // J4 generalized: keyed AS-OF join via union + running window (one
+    // shuffle, no range-join explosion) — each error event enriched with
+    // the latest strictly-prior non-error event of the same user.
+    "q_asof_enrich" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val probes = ev.filter(col("event_type") === "error")
+        .select("event_id", "user_id")
+      val builds = ev.filter(col("event_type") =!= "error")
+        .select("event_id", "user_id", "event_type", "value")
+      graft.ops.AsofJoin.asofJoin(probes, builds, Seq("user_id"),
+        probeTime = col("event_id"), buildTime = col("event_id"),
+        buildPayload = Seq("event_id", "event_type", "value"),
+        matchedCol = "prior", strict = true)
+        .select(col("event_id"), col("user_id"),
+          col("prior.event_id").as("prior_event_id"),
+          col("prior.event_type").as("prior_event_type"),
+          col("prior.value").as("prior_value"))
+        .ordered("event_id")
+    }),
+
     // O8/A3/S3: changelog → current table, latest row per key. map-side
     // combining max_by keeps shuffle volume at |keys|, not |events|.
     "q_changelog_materialize" -> ((s, d) => {
@@ -504,6 +524,20 @@ object ReferenceQueries {
         | epoch_ms(head_ts) - epoch_ms(last_event_ts) AS ms_behind,
         | CASE WHEN head_lsn - confirmed_lsn > 100 THEN 'lagging' ELSE 'ok' END AS status
         |FROM slots, head ORDER BY slot""".stripMargin,
+
+    "q_asof_enrich" ->
+      """WITH marked AS (
+        | SELECT event_id, user_id, event_type,
+        |  max(CASE WHEN event_type <> 'error' THEN event_id END)
+        |    OVER (PARTITION BY user_id ORDER BY event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_event_id
+        | FROM events),
+        |errors AS (SELECT event_id, user_id, prior_event_id
+        |           FROM marked WHERE event_type = 'error')
+        |SELECT e.event_id, e.user_id, e.prior_event_id,
+        | b.event_type AS prior_event_type, b.value AS prior_value
+        |FROM errors e LEFT JOIN events b ON b.event_id = e.prior_event_id
+        |ORDER BY e.event_id""".stripMargin,
 
     "q_changelog_materialize" ->
       """SELECT user_id, event_id, event_type, value FROM (
