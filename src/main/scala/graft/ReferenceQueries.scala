@@ -318,6 +318,28 @@ object ReferenceQueries {
       a.union(b).distinct().intersect(rich).except(n3).ordered("c_custkey")
     }),
 
+    // The 100×-scale rewrite of q_set_ops: the chained distinct/intersect/
+    // except runs THREE shuffle-dedups over the same base; tagging each
+    // source with a flag and folding everything through ONE groupBy
+    // computes the identical membership in a single shuffle (map-side
+    // combine bounds volume by |keys|). Same final row set as q_set_ops,
+    // plus the membership flags a pipeline usually wants anyway.
+    "q_set_ops_onepass" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      def tagged(cond: org.apache.spark.sql.Column, tag: String) =
+        c.filter(cond).select(col("c_custkey"),
+          lit(tag == "ab").as("in_ab"), lit(tag == "rich").as("in_rich"),
+          lit(tag == "n3").as("in_n3"))
+      tagged(col("c_mktsegment") === "BUILDING" || col("c_mktsegment") === "AUTOMOBILE", "ab")
+        .unionByName(tagged(col("c_acctbal") > 1000, "rich"))
+        .unionByName(tagged(col("c_nationkey") === 3, "n3"))
+        .groupBy("c_custkey")
+        .agg(max("in_ab").as("in_ab"), max("in_rich").as("in_rich"),
+          max("in_n3").as("in_n3"))
+        .withColumn("selected", col("in_ab") && col("in_rich") && !col("in_n3"))
+        .ordered("c_custkey")
+    }),
+
     // Tumbling event-time window aggregation — the batch form of the
     // Structured Streaming `window(ts, "1 hour")` + watermark pipeline
     // (streaming variant covered by WindowedAggSpec; watermarks don't
@@ -610,6 +632,19 @@ object ReferenceQueries {
         |EXCEPT
         |SELECT c_custkey FROM customer WHERE c_nationkey = 3
         |ORDER BY c_custkey""".stripMargin,
+
+    "q_set_ops_onepass" ->
+      """SELECT c_custkey,
+        | bool_or(c_mktsegment IN ('BUILDING', 'AUTOMOBILE')) AS in_ab,
+        | bool_or(c_acctbal > 1000) AS in_rich,
+        | bool_or(c_nationkey = 3) AS in_n3,
+        | bool_or(c_mktsegment IN ('BUILDING', 'AUTOMOBILE'))
+        |   AND bool_or(c_acctbal > 1000)
+        |   AND NOT bool_or(c_nationkey = 3) AS selected
+        |FROM customer
+        |WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+        |   OR c_acctbal > 1000 OR c_nationkey = 3
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
 
     "q_topk_orders" ->
       """SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
