@@ -248,4 +248,21 @@ class TxReplaySpec extends AnyFunSuite with Matchers {
       }
     }
   }
+
+  // ---- Degenerate inputs: the engine must return empty, never throw ----
+  test("degenerate inputs: no ENDs, stalled watermark, floor above history, empty streams") {
+    val left = Seq(LeftEv(1, "c", 1, 1, OrderRow(7, "addr")))
+    val right = Seq(RightEv(1, 1, "c", 2, 1, LineRow(1, 1, 1.0)))
+
+    // no END events: every event stays buffered, nothing emits
+    run(left, right, Seq.empty) shouldBe empty
+    // first tx incomplete: the contiguity stall holds back everything
+    run(left, right, Seq(TxEnd(1, 100, 2, 1))) shouldBe empty
+    // floor at/above all commits: everything already settled, nothing re-emits
+    TxReplay.replay(left.toDF(), right.toDF(),
+      Seq(TxEnd(1, 100, 1, 1)).toDF(), floorLsn = 100).collect() shouldBe empty
+    // fully empty event streams with an announced empty tx: one emission
+    // domain but no keys changed → nothing (and no crash on empty aggs)
+    run(Seq.empty, Seq.empty, Seq(TxEnd(1, 100, 0, 0))) shouldBe empty
+  }
 }
