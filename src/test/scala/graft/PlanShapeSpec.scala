@@ -89,6 +89,19 @@ class PlanShapeSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("q_asof_enrich: the as-of lookup is one keyed shuffle + window, no join node") {
+    // the whole point of the union+window formulation: a range join would
+    // plan a join with O(probes × versions) output per key
+    val plan = finalPlan(q("q_asof_enrich"))
+    val dataShuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    withClue(plan.linesIterator.filter(l =>
+      l.contains("Exchange") || l.contains("Join")).mkString("\n")) {
+      dataShuffles shouldBe 1
+      plan should not include "Join"
+      plan should include("Window")
+    }
+  }
+
   test("q_window_agg: partial aggregation before the shuffle") {
     val plan = formattedPlan(q("q_window_agg"))
     // two HashAggregates (partial + final) around one agg exchange: the
