@@ -254,6 +254,54 @@ object ScaleQueries {
         .ordered("doc_id")
     }),
 
+    // Token-budget accounting with ROLLUP: per (split, lang) totals plus
+    // per-split and grand totals in ONE aggregation pass (Spark expands
+    // grouping sets map-side; one shuffle). Group keys are coalesced to
+    // 'ALL' markers so the total rows order identically in both engines
+    // (NULL sort order differs between Spark and DuckDB).
+    "q_rollup_budget" -> ((s, d) => {
+      val docs = Sampling.hashSplit(
+        Tables.documents(s, d).select(col("doc_id"), col("lang"),
+          size(TextOps.tokens(col("text"))).cast(LongType).as("n_tokens")),
+        "doc_id")
+      docs.rollup("split", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
+        .select(coalesce(col("split"), lit("ALL")).as("split"),
+          coalesce(col("lang"), lit("ALL")).as("lang"),
+          col("n_docs"), col("total_tokens"))
+        .ordered("split", "lang")
+    }),
+
+    // Exact interpolated percentiles per group — quality-threshold tuning
+    // over value distributions. Spark `percentile` and DuckDB
+    // `quantile_cont` share the sorted-index + linear-interpolation
+    // definition; rounded to 6 decimals for the cross-engine compare.
+    "q_percentiles" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(expr("percentile(value, array(0.5, 0.9, 0.99))").as("p"))
+        .select(col("event_type"),
+          round(col("p")(0), 6).as("p50"),
+          round(col("p")(1), 6).as("p90"),
+          round(col("p")(2), 6).as("p99"))
+        .ordered("event_type")
+    }),
+
+    // Pivot as conditional aggregation (the engine-portable spelling of
+    // PIVOT): one row per user, one column per event type — single
+    // map-side-combined shuffle regardless of column count.
+    "q_pivot_events" -> ((s, d) => {
+      val dec2 = DecimalType(18, 2)
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(
+          count(when(col("event_type") === "click", 1)).as("n_click"),
+          count(when(col("event_type") === "error", 1)).as("n_error"),
+          sum(when(col("event_type") === "purchase", col("value").cast(dec2)))
+            .cast(DoubleType).as("purchase_value"))
+        .ordered("user_id")
+    }),
+
     // Multimodal resize: nearest-neighbor byte resample to a fixed width,
     // emitted as hex so the driver can hash-compare it.
     "q_multimodal_resize" -> ((s, d) => {
@@ -579,6 +627,33 @@ object ScaleQueries {
         | (tok_end - n_tokens) // 128 AS first_chunk,
         | ((tok_end - 1) // 128) - ((tok_end - n_tokens) // 128) + 1 AS n_chunks
         |FROM spans ORDER BY doc_id""".stripMargin,
+
+    "q_rollup_budget" ->
+      """WITH d AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens,
+        |  CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 80
+        |       THEN 'train'
+        |       WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90
+        |       THEN 'valid' ELSE 'test' END AS split
+        | FROM documents)
+        |SELECT coalesce(split, 'ALL') AS split, coalesce(lang, 'ALL') AS lang,
+        | count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        |FROM d GROUP BY ROLLUP (split, lang)
+        |ORDER BY split, lang""".stripMargin,
+
+    "q_percentiles" ->
+      """SELECT event_type,
+        | round(quantile_cont(value, 0.5), 6) AS p50,
+        | round(quantile_cont(value, 0.9), 6) AS p90,
+        | round(quantile_cont(value, 0.99), 6) AS p99
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_pivot_events" ->
+      """SELECT user_id,
+        | count(*) FILTER (WHERE event_type = 'click') AS n_click,
+        | count(*) FILTER (WHERE event_type = 'error') AS n_error,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'purchase')
+        |      AS DOUBLE) AS purchase_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_multimodal_resize" ->
       """SELECT doc_id,
