@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import org.apache.spark.sql.expressions.Window
 
 import graft.Ordered._
 import graft.scale.{Embeddings, Multimodal, NearDup, Packing, Sampling, Similarity, TextOps}
@@ -299,6 +300,21 @@ object ScaleQueries {
           count(when(col("event_type") === "error", 1)).as("n_error"),
           sum(when(col("event_type") === "purchase", col("value").cast(dec2)))
             .cast(DoubleType).as("purchase_value"))
+        .ordered("user_id")
+    }),
+
+    // LAG window + aggregation: inter-event gap statistics per user — the
+    // ranking/offset window family over the event stream. One keyed
+    // shuffle; the groupBy reuses the window's partitioning.
+    "q_event_gaps" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      Tables.events(s, d)
+        .withColumn("gap_ms",
+          unix_millis(col("ts")) - unix_millis(lag("ts", 1).over(w)))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          max("gap_ms").as("max_gap_ms"),
+          sum("gap_ms").as("sum_gap_ms"))
         .ordered("user_id")
     }),
 
@@ -654,6 +670,15 @@ object ScaleQueries {
         | CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'purchase')
         |      AS DOUBLE) AS purchase_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_event_gaps" ->
+      """WITH g AS (SELECT user_id, event_id,
+        |  epoch_ms(ts) - epoch_ms(lag(ts, 1) OVER (PARTITION BY user_id ORDER BY event_id))
+        |    AS gap_ms
+        | FROM events)
+        |SELECT user_id, count(*) AS n_events,
+        | max(gap_ms) AS max_gap_ms, CAST(sum(gap_ms) AS BIGINT) AS sum_gap_ms
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_multimodal_resize" ->
       """SELECT doc_id,
