@@ -340,6 +340,19 @@ object ReferenceQueries {
         .ordered("c_custkey")
     }),
 
+    // Semi/anti join surface: customers partitioned by order existence.
+    // left_semi/left_anti never materialize the probe side's payload —
+    // at scale they shuffle only the key column of orders.
+    "q_semi_anti" -> ((s, d) => {
+      val c = Tables.customer(s, d).select("c_custkey", "c_mktsegment")
+      val o = Tables.orders(s, d).select("o_custkey")
+      val withOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .withColumn("has_orders", lit(true))
+      val withoutOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .withColumn("has_orders", lit(false))
+      withOrders.unionByName(withoutOrders).ordered("c_custkey")
+    }),
+
     // Tumbling event-time window aggregation — the batch form of the
     // Structured Streaming `window(ts, "1 hour")` + watermark pipeline
     // (streaming variant covered by WindowedAggSpec; watermarks don't
@@ -649,6 +662,11 @@ object ReferenceQueries {
     "q_topk_orders" ->
       """SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q_semi_anti" ->
+      """SELECT c_custkey, c_mktsegment,
+        | EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) AS has_orders
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "q_window_agg" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
