@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.ops.Denormalize
+
+/** The SQL text surface: the same Catalyst plans are reachable through
+  * `spark.sql` — the flagship denormalization as plain SQL over temp views
+  * equals the library operator row-for-row, and the injected native
+  * `vec_dot` function resolves from SQL (SparkSessionExtensions
+  * registration, not just the Column API).
+  */
+class SqlSurfaceSpec extends AnyFunSuite with Matchers {
+
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("flagship denormalization via spark.sql equals the library operator") {
+    Tables.orders(spark, sf).createOrReplaceTempView("orders_v")
+    Tables.lineitem(spark, sf).createOrReplaceTempView("lineitem_v")
+    val sql = spark.sql(
+      """SELECT o.*, sort_array(collect_list(
+        |  CASE WHEN l.l_orderkey IS NOT NULL THEN struct(
+        |    l.l_linenumber, l.l_partkey, l.l_quantity, l.l_extendedprice) END)) AS lines
+        |FROM orders_v o LEFT JOIN lineitem_v l ON o.o_orderkey = l.l_orderkey
+        |GROUP BY ALL""".stripMargin)
+      .withColumn("lines", to_json(col("lines")))
+
+    val api = Denormalize.ordersWithLines(
+      Tables.orders(spark, sf), Tables.lineitem(spark, sf),
+      "o_orderkey", "l_orderkey",
+      Seq("l_linenumber", "l_partkey", "l_quantity", "l_extendedprice"))
+      .withColumn("lines", to_json(col("lines")))
+
+    // identical row sets (column order may differ between the two spellings)
+    val cols = api.columns.sorted.toIndexedSeq
+    sql.select(cols.map(col): _*).exceptAll(api.select(cols.map(col): _*))
+      .isEmpty shouldBe true
+    api.select(cols.map(col): _*).exceptAll(sql.select(cols.map(col): _*))
+      .isEmpty shouldBe true
+    api.count() should be > 0L
+  }
+
+  test("native vec_dot resolves from SQL text") {
+    Tables.embeddings(spark, sf).createOrReplaceTempView("embeddings_v")
+    val row = spark.sql(
+      """SELECT vec_id, round(vec_dot(embedding, embedding), 6) AS sq_norm
+        |FROM embeddings_v ORDER BY vec_id LIMIT 1""".stripMargin).collect()
+    row.length shouldBe 1
+    row.head.getDouble(1) should be > 0.0
+  }
+}
