@@ -340,6 +340,19 @@ object ReferenceQueries {
         .ordered("c_custkey")
     }),
 
+    // A3 history-side: changelog → SCD2 versioned table — every change
+    // becomes a version row with a [valid_from, valid_to) range, the newest
+    // per key flagged current. One keyed window shuffle.
+    "q_scd2_history" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(
+        col("user_id").as("key"),
+        when(col("event_type") === "error", "d").otherwise("u").as("op"),
+        col("event_id").as("lsn"), col("value"))
+      Materialize.scd2History(ev, Seq("key"), col("lsn"))
+        .select("key", "op", "lsn", "value", "valid_from", "valid_to", "is_current")
+        .ordered("key", "lsn")
+    }),
+
     // Semi/anti join surface: customers partitioned by order existence.
     // left_semi/left_anti never materialize the probe side's payload —
     // at scale they shuffle only the key column of orders.
@@ -662,6 +675,15 @@ object ReferenceQueries {
     "q_topk_orders" ->
       """SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q_scd2_history" ->
+      """SELECT user_id AS key,
+        | CASE WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op,
+        | event_id AS lsn, value,
+        | event_id AS valid_from,
+        | lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS valid_to,
+        | lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id) IS NULL AS is_current
+        |FROM events ORDER BY key, lsn""".stripMargin,
 
     "q_semi_anti" ->
       """SELECT c_custkey, c_mktsegment,

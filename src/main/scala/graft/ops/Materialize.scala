@@ -50,4 +50,24 @@ object Materialize {
     */
   def dedupByLsn(normalized: DataFrame): DataFrame =
     normalized.dropDuplicates("key", "lsn", "op")
+
+  /** Changelog → SCD2 HISTORY table (every version kept, not just the
+    * latest): each change row becomes a version with a validity range
+    * `[ord, next ord)` — `valid_to` null and `is_current` true on the
+    * newest version per key; a delete closes the history (its own row
+    * carries the delete op for the consumer to filter or keep as an end
+    * marker). The warehouse-side complement of [[latestByKey]]: Debezium →
+    * slowly-changing-dimension loads are this exact shape.
+    *
+    * One keyed window (single shuffle + per-key sort). `ord` must be
+    * strictly monotone per key (LSN, offset).
+    */
+  def scd2History(df: DataFrame, keyCols: Seq[String], ord: Column,
+                  validFrom: String = "valid_from", validTo: String = "valid_to",
+                  isCurrent: String = "is_current"): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(ord)
+    df.withColumn(validFrom, ord)
+      .withColumn(validTo, lead(ord, 1).over(w))
+      .withColumn(isCurrent, col(validTo).isNull)
+  }
 }
