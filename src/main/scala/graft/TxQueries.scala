@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Ordered._
+import graft.cdc.Envelope
 import graft.tx.TxReplay
 
 /** Driver-verifiable queries for the transactional-CDC replay engine
@@ -138,6 +139,40 @@ object TxQueries {
         .ordered("key", "commit_lsn")
     }),
 
+    // S-layer for the tx engine: the Debezium TRANSACTION-METADATA topic
+    // decoded into the txEnds dimension. BEGIN/END JSON is synthesized from
+    // the per-tx counts (Debezium lists only tables WITH events — the
+    // zero-count side exercises the idle-table default), then decodeTxEnds
+    // filters ENDs, parses "<txId>:<commitLsn>", and extracts per-table
+    // counts.
+    "q_tx_topic_decode" -> ((s, d) => {
+      val l = leftEvents(s, d)
+      val r = rightEvents(s, d)
+      val ends = txEnds(l, r)
+      val collections = filter(array(
+        struct(lit("inventory.purchaseorders").as("data_collection"),
+          col("expected_left").as("event_count")),
+        struct(lit("inventory.orderlines").as("data_collection"),
+          col("expected_right").as("event_count"))),
+        c => c.getField("event_count") > 0)
+      val endJson = ends.select(to_json(struct(
+        lit("END").as("status"),
+        concat_ws(":", col("tx_id"), col("commit_lsn")).as("id"),
+        (col("expected_left") + col("expected_right")).as("event_count"),
+        collections.as("data_collections"),
+        (lit(1700000000000L) + col("tx_id")).as("ts_ms"))).as("payload"))
+      val beginJson = ends.select(to_json(struct(
+        lit("BEGIN").as("status"),
+        concat_ws(":", col("tx_id"), col("commit_lsn")).as("id"),
+        lit(null).cast(LongType).as("event_count"),
+        lit(null).cast(Envelope.txEventSchema("data_collections").dataType)
+          .as("data_collections"),
+        (lit(1700000000000L) + col("tx_id")).as("ts_ms"))).as("payload"))
+      Envelope.decodeTxEnds(endJson.unionByName(beginJson), "payload",
+        "inventory.purchaseorders", "inventory.orderlines")
+        .ordered("tx_id")
+    }),
+
     // O4: commit-LSN fix — events carry only a tx id; the commit LSN comes
     // from the tx END event; txs without an END (id % 100 == 13) stay
     // buffered, i.e. withheld (CommitLsnFixer.java:63-93).
@@ -230,6 +265,18 @@ object TxQueries {
         |   AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey))
         |SELECT * FROM (SELECT * FROM docs UNION ALL SELECT * FROM tombs)
         |ORDER BY key, commit_lsn""".stripMargin,
+
+    "q_tx_topic_decode" ->
+      """WITH nl AS (SELECT o_orderkey // 10 AS tx_id, count(*) AS expected_left
+        |            FROM orders GROUP BY 1),
+        |nr AS (SELECT l_orderkey // 10 AS tx_id, count(*) AS expected_right
+        |       FROM lineitem GROUP BY 1)
+        |SELECT coalesce(nl.tx_id, nr.tx_id) AS tx_id,
+        | 1000000 + coalesce(nl.tx_id, nr.tx_id) AS commit_lsn,
+        | coalesce(expected_left, 0) AS expected_left,
+        | coalesce(expected_right, 0) AS expected_right
+        |FROM nl FULL JOIN nr ON nl.tx_id = nr.tx_id
+        |ORDER BY tx_id""".stripMargin,
 
     "q_commitlsn_fix" ->
       """SELECT event_id, user_id, 7000000 + (event_id // 20) AS commit_lsn

@@ -79,6 +79,33 @@ object Envelope {
     StructField("ts_ms", LongType)
   ))
 
+  /** Decode the Debezium TRANSACTION-METADATA topic
+    * (`transaction-metadata` events, `TransactionEvent.java:26-50`) into the
+    * tx END dimension the replay engine consumes
+    * ([[graft.tx.TxReplay]] `txEnds` contract: tx_id, commit_lsn,
+    * expected_left, expected_right): keep END events, parse
+    * `"<txId>:<commitLsn>"`, and pull each side's announced event count from
+    * `data_collections` (`TransactionEvent.countFor`,
+    * `TransactionEvent.java:41-49` — tables absent from the list count 0,
+    * the idle-table case of poc.md:232-262). Narrow projection; the
+    * dimension is one row per transaction.
+    */
+  def decodeTxEnds(df: DataFrame, jsonCol: String,
+                   leftTable: String, rightTable: String): DataFrame = {
+    def countFor(table: String): Column = coalesce(
+      element_at(filter(col("_tx.data_collections"),
+        c => c.getField("data_collection") === table), 1)
+        .getField("event_count"),
+      lit(0L))
+    df.withColumn("_tx", from_json(col(jsonCol), txEventSchema))
+      .filter(col("_tx.status") === "END")
+      .select(
+        txId(col("_tx.id")).as("tx_id"),
+        commitLsn(col("_tx.id")).as("commit_lsn"),
+        countFor(leftTable).as("expected_left"),
+        countFor(rightTable).as("expected_right"))
+  }
+
   // ---- scalar helpers over envelope columns (SURVEY §2.2) ----
 
   /** P7: `transaction.id = "<txId>:<commitLsn>"` → txId
