@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 import org.apache.spark.sql.expressions.Window
 
 import graft.Ordered._
-import graft.scale.{Embeddings, Multimodal, NearDup, Packing, Sampling, Similarity, TextOps}
+import graft.scale.{Decontam, Embeddings, Multimodal, NearDup, Packing, Sampling, Similarity, TextOps}
 
 /** Driver-verifiable queries for the training-data-pipeline operators
   * (`graft.scale`) over the `documents` table, each with a DuckDB oracle
@@ -344,6 +344,55 @@ object ScaleQueries {
           col("m.sha256").as("sha256"), col("m.magic").as("magic"),
           col("n_frames"), col("frames_sig"))
         .ordered("doc_id")
+    }),
+
+    // Benchmark decontamination: docs with doc_id % 50 = 0 stand in for the
+    // eval set; every other doc is train. 5-gram overlap, counted exactly.
+    "q_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      Decontam.decontaminate(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0),
+        "doc_id", "text", n = 5)
+        .ordered("doc_id")
+    }),
+
+    // Gopher-style repetition filters: top-token fraction + duplicate
+    // 2/3-gram fractions, with the quality-gate flag.
+    "q_repetition" -> ((s, d) => {
+      TextOps.repetitionStats(Tables.documents(s, d).select("doc_id", "text"),
+        "doc_id", "text")
+        .ordered("doc_id")
+    }),
+
+    // PII redaction: deterministic synthetic PII (email on even ids, phone
+    // on ids % 3 = 0, an IP on every doc) injected, then redacted + counted.
+    // The corpus text itself is letters+spaces, so every match is planted.
+    "q_pii_redact" -> ((s, d) => {
+      val withPii = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 2 === 0,
+            concat(lit(" contact user"), col("doc_id"), lit("@mail.example.com")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" call 555-"),
+              lpad(pmod(col("doc_id"), lit(100)).cast(StringType), 3, "0"), lit("-"),
+              lpad(pmod(col("doc_id"), lit(10000)).cast(StringType), 4, "0")))
+            .otherwise(lit("")),
+          concat(lit(" from 10.0."), pmod(col("doc_id"), lit(256)).cast(StringType),
+            lit("."), pmod(col("doc_id"), lit(100)).cast(StringType))).as("text"))
+      TextOps.redactPii(withPii, "text")
+        .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ips"),
+          md5(col("redacted")).as("redacted_md5"))
+        .ordered("doc_id")
+    }),
+
+    // TF-IDF top-3 terms per document: the classic relevance weighting over
+    // the corpus, exact modulo a 4-decimal rounding of ln.
+    "q_tfidf" -> ((s, d) => {
+      TextOps.tfIdfTopTerms(Tables.documents(s, d).select("doc_id", "text"),
+        "doc_id", "text", topK = 3)
+        .ordered("doc_id", "rank")
     })
   )
 
@@ -708,6 +757,82 @@ object ScaleQueries {
         |SELECT q_id, neighbor_id, cos, CAST(rank AS INTEGER) AS rank FROM (
         | SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank
         | FROM p)
-        |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+        |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+
+    "q_decontaminate" ->
+      """WITH g AS (
+        | SELECT doc_id,
+        |  CASE WHEN len(toks) >= 5 THEN
+        |   list_distinct(list_transform(generate_series(1, len(toks)-4),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+        |         toks[i+3] || ' ' || toks[i+4]))
+        |  ELSE []::VARCHAR[] END AS grams
+        | FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+        |ev AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 50 = 0),
+        |tr AS (SELECT doc_id, grams FROM g WHERE doc_id % 50 <> 0),
+        |ov AS (SELECT doc_id, count(*) AS n_overlap
+        |       FROM (SELECT doc_id, unnest(grams) AS gram FROM tr) tg
+        |       JOIN ev USING (gram) GROUP BY doc_id)
+        |SELECT t.doc_id, len(t.grams) AS n_grams,
+        | coalesce(ov.n_overlap, 0) AS n_overlap,
+        | coalesce(ov.n_overlap, 0) >= 1 AS contaminated
+        |FROM tr t LEFT JOIN ov USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "q_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |per_row AS (SELECT doc_id, len(toks) AS n_tokens,
+        |  CASE WHEN len(toks) >= 2 THEN
+        |   1.0 - CAST(len(list_distinct(list_transform(generate_series(1, len(toks)-1),
+        |     i -> toks[i] || ' ' || toks[i+1]))) AS DOUBLE) / (len(toks) - 1)
+        |  ELSE 0.0 END AS dup_2gram_frac,
+        |  CASE WHEN len(toks) >= 3 THEN
+        |   1.0 - CAST(len(list_distinct(list_transform(generate_series(1, len(toks)-2),
+        |     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS DOUBLE) / (len(toks) - 2)
+        |  ELSE 0.0 END AS dup_3gram_frac
+        | FROM t),
+        |top AS (SELECT doc_id, max(c) AS top FROM (
+        |  SELECT doc_id, count(*) AS c FROM (
+        |   SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY doc_id, tok)
+        | GROUP BY doc_id)
+        |SELECT p.doc_id, p.n_tokens, p.dup_2gram_frac, p.dup_3gram_frac,
+        | CAST(top AS DOUBLE) / p.n_tokens AS top_token_frac,
+        | (CAST(top AS DOUBLE) / p.n_tokens > 0.20 OR p.dup_2gram_frac > 0.20) AS flagged
+        |FROM per_row p JOIN top USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "q_pii_redact" ->
+      """WITH w AS (SELECT doc_id, text ||
+        |  CASE WHEN doc_id % 2 = 0
+        |   THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+        |   ELSE '' END ||
+        |  CASE WHEN doc_id % 3 = 0
+        |   THEN ' call 555-' || lpad(CAST(doc_id % 100 AS VARCHAR), 3, '0') || '-'
+        |     || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |   ELSE '' END ||
+        |  ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+        |    || CAST(doc_id % 100 AS VARCHAR) AS text
+        | FROM documents)
+        |SELECT doc_id,
+        | len(regexp_extract_all(text, '[A-Za-z0-9._]+@[A-Za-z0-9.]+[A-Za-z0-9]')) AS n_emails,
+        | len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS n_phones,
+        | len(regexp_extract_all(text, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS n_ips,
+        | md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |   '[A-Za-z0-9._]+@[A-Za-z0-9.]+[A-Za-z0-9]', '<EMAIL>', 'g'),
+        |   '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
+        |   '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5
+        |FROM w ORDER BY doc_id""".stripMargin,
+
+    "q_tfidf" ->
+      """WITH tf AS (SELECT doc_id, token, count(*) AS tf FROM (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        | GROUP BY doc_id, token),
+        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (SELECT doc_id, token, tf, df,
+        |  round(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS tfidf
+        | FROM tf JOIN dfreq USING (token) CROSS JOIN n)
+        |SELECT doc_id, token, tf, df, tfidf, CAST(rank AS INTEGER) AS rank FROM (
+        | SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rank
+        | FROM scored)
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
   )
 }

@@ -128,6 +128,97 @@ object TextOps {
       size(regexp_extract_all(col(textCol), lit("[0-9]+"), lit(0))).as("n_num"),
       size(regexp_extract_all(col(textCol), lit("[^a-zA-Z0-9\\s]+"), lit(0))).as("n_punct"))
 
+  /** Gopher-style repetition filters: fraction of the document covered by its
+    * single most frequent token, and duplicate n-gram fractions (1 − distinct
+    * n-grams / total n-grams). High values signal boilerplate/spam that
+    * quality-filtering drops before training.
+    *
+    * The n-gram fractions are per-row array arithmetic (no shuffle). The
+    * top-token fraction goes through explode + two hash aggs — per-(doc,
+    * token) counts then per-doc max — because a per-row HOF formulation
+    * (`aggregate` over distinct tokens, counting occurrences of each) is
+    * quadratic in document length; shuffle volume is bounded by Σ distinct
+    * tokens per doc, far below corpus bytes.
+    */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String,
+                      topTokenMax: Double = 0.20, dup2gramMax: Double = 0.20): DataFrame = {
+    val toks = tokens(col(textCol))
+    def dupFrac(k: Int) = {
+      val grams = NearDup.shinglesFromTokens(col("_toks"), k)
+      when(size(col("_toks")) >= k,
+        lit(1.0) - size(grams).cast(DoubleType) / (size(col("_toks")) - (k - 1)))
+        .otherwise(lit(0.0))
+    }
+    val perRow = df
+      .withColumn("_toks", toks)
+      .select(col(idCol), col("_toks"),
+        size(col("_toks")).as("n_tokens"),
+        dupFrac(2).as("dup_2gram_frac"),
+        dupFrac(3).as("dup_3gram_frac"))
+    val topTok = perRow
+      .select(col(idCol), explode(col("_toks")).as("_t"))
+      .groupBy(idCol, "_t").agg(count(lit(1)).as("_c"))
+      .groupBy(idCol).agg(max("_c").as("_top"))
+    perRow.drop("_toks")
+      .join(topTok, Seq(idCol))
+      .withColumn("top_token_frac", col("_top").cast(DoubleType) / col("n_tokens"))
+      .drop("_top")
+      .withColumn("flagged",
+        col("top_token_frac") > topTokenMax || col("dup_2gram_frac") > dup2gramMax)
+  }
+
+  /** PII redaction: emails, North-American phone numbers, and IPv4 addresses
+    * replaced by typed placeholders, with per-document match counts (the
+    * audit trail a compliance pass needs). Pure per-row regex projection —
+    * no shuffle; patterns use only character classes and counted repetition,
+    * which Java and RE2-family engines interpret identically.
+    */
+  val EmailPattern = "[A-Za-z0-9._]+@[A-Za-z0-9.]+[A-Za-z0-9]"
+  val PhonePattern = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  val Ipv4Pattern = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  def redactPii(df: DataFrame, textCol: String, out: String = "redacted"): DataFrame =
+    df.select(col("*"),
+        regexp_count(col(textCol), lit(EmailPattern)).as("n_emails"),
+        regexp_count(col(textCol), lit(PhonePattern)).as("n_phones"),
+        regexp_count(col(textCol), lit(Ipv4Pattern)).as("n_ips"))
+      // order matters: IPv4 before phone would not — the patterns are
+      // disjoint (dots vs dashes) — but email first keeps a digit-bearing
+      // local part from being half-eaten by the number patterns.
+      .withColumn(out,
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col(textCol), EmailPattern, "<EMAIL>"),
+            Ipv4Pattern, "<IP>"),
+          PhonePattern, "<PHONE>"))
+
+  /** TF-IDF top terms per document: tf = in-doc count, idf = ln(N / df),
+    * score rounded to 4 decimals (ln is the one non-rational step — both
+    * engines compute IEEE doubles, and a 1-ulp difference cannot move a
+    * 4-decimal rounding except on a measure-zero boundary). Two hash aggs
+    * (doc×token, then token) + one broadcast of the document-frequency
+    * table; the window's partition key is the doc id, so ranking reuses the
+    * tf agg's clustering.
+    */
+  def tfIdfTopTerms(df: DataFrame, idCol: String, textCol: String,
+                    topK: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy(idCol, "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(broadcast(dfreq), Seq("token"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast(DoubleType) / col("df")), 4))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("tfidf").desc, col("token"))))
+      .filter(col("rank") <= topK)
+      .select(col(idCol), col("token"), col("tf"), col("df"), col("tfidf"), col("rank"))
+  }
+
   /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken): hash every
     * k-char gram, then keep the MINIMUM hash of each w-gram window — any
     * shared substring of length ≥ k+w-1 between two documents is guaranteed

@@ -1,0 +1,100 @@
+package graft.scale
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.TestSpark
+
+/** Behavior tests for the corpus-curation operators added in round 4:
+  * decontamination, repetition filters, PII redaction, TF-IDF. The oracle
+  * queries exercise them at corpus scale; these pin the edge semantics on
+  * hand-built documents where the expected values are computed by hand.
+  */
+class CurationSpec extends AnyFunSuite with Matchers {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("decontaminate: overlap counts, clean docs, and sub-n docs") {
+    val train = Seq(
+      (1L, "a b c d e f g"),        // shares the eval doc's grams
+      (2L, "x y z w v u t"),        // disjoint
+      (3L, "a b c"),                // < n tokens: no grams, clean by definition
+      (4L, "a b c d e a b c d e")   // duplicated gram counted ONCE (distinct)
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, "a b c d e f")).toDF("doc_id", "text")
+    // eval 5-grams: {a b c d e, b c d e f}
+
+    val out = Decontam.decontaminate(train, eval, "doc_id", "text", n = 5)
+      .orderBy("doc_id").collect()
+
+    out.map(_.getLong(0)) shouldBe Array(1L, 2L, 3L, 4L)
+    out.map(_.getLong(2)) shouldBe Array(2L, 0L, 0L, 1L) // n_overlap
+    out.map(_.getBoolean(3)) shouldBe Array(true, false, false, true)
+    // n_grams is the DISTINCT gram count: doc 4's repetition wraps around
+    // ("e a b c d" etc.), so 6 positions yield 5 distinct grams
+    out.map(_.getInt(1)) shouldBe Array(3, 3, 0, 5)
+  }
+
+  test("repetitionStats: fractions match hand computation") {
+    val docs = Seq(
+      (1L, "spam spam spam spam"), // top token 4/4; 2-grams: 3 total, 1 distinct
+      (2L, "a b c d"),             // all unique
+      (3L, "a")                    // sub-2-token: dup fracs are 0 by definition
+    ).toDF("doc_id", "text")
+
+    val rows = TextOps.repetitionStats(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("top_token_frac", "dup_2gram_frac", "dup_3gram_frac", "flagged")
+      .collect()
+
+    rows(0).getDouble(0) shouldBe 1.0
+    rows(0).getDouble(1) shouldBe (1.0 - 1.0 / 3.0) +- 1e-12
+    rows(0).getDouble(2) shouldBe (1.0 - 1.0 / 2.0) +- 1e-12
+    rows(0).getBoolean(3) shouldBe true
+
+    rows(1).getDouble(0) shouldBe 0.25
+    rows(1).getDouble(1) shouldBe 0.0
+    rows(1).getBoolean(3) shouldBe true // 1/4 > 0.20 top-token gate
+
+    rows(2).getDouble(0) shouldBe 1.0 // single token dominates
+    rows(2).getDouble(1) shouldBe 0.0
+    rows(2).getDouble(2) shouldBe 0.0
+  }
+
+  test("redactPii: all three pattern families, counts + replacement") {
+    val docs = Seq(
+      (1L, "mail bob.smith@corp.example.com and 555-867-5309 via 192.168.0.1"),
+      (2L, "no pii here")
+    ).toDF("doc_id", "text")
+
+    val out = TextOps.redactPii(docs, "text").orderBy("doc_id").collect()
+    out(0).getAs[Int]("n_emails") shouldBe 1
+    out(0).getAs[Int]("n_phones") shouldBe 1
+    out(0).getAs[Int]("n_ips") shouldBe 1
+    out(0).getAs[String]("redacted") shouldBe "mail <EMAIL> and <PHONE> via <IP>"
+    out(1).getAs[String]("redacted") shouldBe "no pii here"
+  }
+
+  test("tfIdfTopTerms: corpus-wide terms score 0, rare terms rank first") {
+    // 'common' appears in all 3 docs -> idf = ln(1) = 0
+    val docs = Seq(
+      (1L, "common rare1 rare1 common"),
+      (2L, "common rare2"),
+      (3L, "common common")
+    ).toDF("doc_id", "text")
+
+    val out = TextOps.tfIdfTopTerms(docs, "doc_id", "text", topK = 2)
+      .orderBy("doc_id", "rank").collect()
+
+    // doc 1: rare1 (tf=2, df=1, score 2*ln3) beats common (0)
+    val d1 = out.filter(_.getLong(0) == 1L)
+    d1(0).getAs[String]("token") shouldBe "rare1"
+    d1(0).getAs[Double]("tfidf") shouldBe (2.0 * math.log(3.0) +- 1e-4)
+    d1(1).getAs[String]("token") shouldBe "common"
+    d1(1).getAs[Double]("tfidf") shouldBe 0.0
+    // doc 3 has only 'common': a single rank-1 row at score 0
+    out.filter(_.getLong(0) == 3L).map(_.getAs[String]("token")) shouldBe Array("common")
+  }
+}
