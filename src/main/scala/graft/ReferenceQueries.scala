@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 
 import graft.Ordered._
 import graft.cdc.Envelope
-import graft.ops.{Denormalize, Materialize, Toast}
+import graft.ops.{Denormalize, Layout, Materialize, RangeJoin, Toast}
 
 /** Driver-verifiable queries covering the reference's operator surface
   * (SURVEY.md §2) over the driver parquet tables. Each entry has a DuckDB
@@ -484,6 +484,38 @@ object ReferenceQueries {
           element_at(col("after"), "value").as("value_str"),
           col("op"))
         .ordered("event_id")
+    }),
+
+    // Equi+range join via time binning: any same-user event within 6 hours
+    // after a purchase. The bin equi-join replaces the nested-loop plan a
+    // bare BETWEEN predicate would get (see RangeJoin).
+    "q_range_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val win = 21600000L // 6 h in ms
+      val purchases = ev.filter(col("event_type") === "purchase").select(
+        col("user_id"), col("event_id").as("purchase_id"),
+        unix_millis(col("ts")).as("start_ms"),
+        (unix_millis(col("ts")) + win).as("end_ms"))
+      val others = ev.filter(col("event_type") =!= "purchase").select(
+        col("user_id"), col("event_id"), unix_millis(col("ts")).as("t_ms"))
+      RangeJoin.pointInInterval(others, purchases, Seq("user_id"),
+        "t_ms", "start_ms", "end_ms", binWidth = win)
+        .select(col("user_id"), col("purchase_id"), col("event_id"),
+          (col("t_ms") - col("start_ms")).as("gap_ms"))
+        .ordered("purchase_id", "event_id")
+    }),
+
+    // Z-order (Morton) layout values: bit-interleave two keys so a range
+    // partition on z clusters BOTH dimensions (multi-dim scan pruning).
+    // The oracle checks the interleave arithmetic; LayoutSpec checks the
+    // actual per-partition envelope narrowing.
+    "q_zorder" -> ((s, d) => {
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        pmod(col("o_custkey"), lit(1024L)).as("cx"),
+        pmod(col("o_orderkey"), lit(1024L)).as("cy"))
+        .withColumn("z", Layout.zValue2(col("cx"), col("cy"), bits = 10))
+        .ordered("o_orderkey")
     })
   )
 
@@ -755,6 +787,23 @@ object ReferenceQueries {
     "q_generic_envelope" ->
       """SELECT event_id, event_type AS event_type_str,
         | CAST(value AS VARCHAR) AS value_str, 'c' AS op
-        |FROM events ORDER BY event_id""".stripMargin
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_range_join" ->
+      """WITH p AS (SELECT user_id, event_id AS purchase_id, epoch_ms(ts) AS start_ms
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, event_id, epoch_ms(ts) AS t_ms
+        |      FROM events WHERE event_type <> 'purchase')
+        |SELECT p.user_id, p.purchase_id, c.event_id, c.t_ms - p.start_ms AS gap_ms
+        |FROM p JOIN c ON p.user_id = c.user_id
+        | AND c.t_ms >= p.start_ms AND c.t_ms <= p.start_ms + 21600000
+        |ORDER BY purchase_id, event_id""".stripMargin,
+
+    "q_zorder" ->
+      """SELECT o_orderkey, o_custkey % 1024 AS cx, o_orderkey % 1024 AS cy,
+        | CAST(list_sum(list_transform(range(0, 10), i ->
+        |   ((((o_custkey % 1024) >> i) & 1) << (2*i))
+        |   + ((((o_orderkey % 1024) >> i) & 1) << (2*i + 1)))) AS BIGINT) AS z
+        |FROM orders ORDER BY o_orderkey""".stripMargin
   )
 }
