@@ -42,13 +42,13 @@ object Bench {
       case None => SparkEntry.queries.keys.toSeq.sorted
     }
     names.foreach(materialize) // warmup: codegen + parquet footer caches
-    // Two timed passes, min per query: a transient host-contention spike in
-    // one pass doesn't masquerade as engine cost.
-    val pass1 = names.map(n => n -> materialize(n)).toMap
+    // Three timed passes, min per query: transient host-contention spikes
+    // (observed: the same query at 2 s and 20 s minutes apart on this
+    // shared host) must not masquerade as engine cost.
+    val passes = (1 to 3).map(_ => names.map(n => n -> materialize(n)).toMap)
     val results = names.map { n =>
-      val t2 = materialize(n)
-      val t1 = pass1(n)
-      n -> (if (t1 < 0) t2 else if (t2 < 0) t1 else math.min(t1, t2))
+      val ts = passes.map(_(n)).filter(_ >= 0)
+      n -> (if (ts.isEmpty) -1.0 else ts.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -505,6 +505,30 @@ object ReferenceQueries {
         .ordered("purchase_id", "event_id")
     }),
 
+    // Retract-mode aggregation (Flink's changelog-aware aggregates): an
+    // envelope stream — inserts for every event, −U/+U pairs doubling the
+    // value where event_id % 7 = 0, deletes for errors — maintains per-user
+    // count/sum by SIGNED contribution in one hash agg; the oracle aggregates
+    // the equivalent final table directly.
+    "q_retract_agg" -> ((s, d) => {
+      val dec = DecimalType(18, 2)
+      val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
+        col("value").cast(dec).as("v"), col("event_type"))
+      val isDel = col("event_type") === "error"
+      val isUpd = !isDel && col("event_id") % 7 === 0
+      val img = struct(col("user_id"), col("v"))
+      val imgDoubled = struct(col("user_id"), (col("v") * 2).cast(dec).as("v"))
+      val never = lit(false)
+      val env = ev.select(when(never, img).as("before"), img.as("after"))
+        .unionByName(ev.filter(isUpd).select(img.as("before"), imgDoubled.as("after")))
+        .unionByName(ev.filter(isDel).select(img.as("before"), when(never, img).as("after")))
+      Materialize.retractAgg(Materialize.retractions(env), Seq("user_id"), col("v"))
+        .select(col("user_id"), col("n_live"),
+          col("sum_value").cast(DoubleType).as("sum_value"),
+          (col("sum_value").cast(DoubleType) / col("n_live")).as("avg_value"))
+        .ordered("user_id")
+    }),
+
     // Z-order (Morton) layout values: bit-interleave two keys so a range
     // partition on z clusters BOTH dimensions (multi-dim scan pruning).
     // The oracle checks the interleave arithmetic; LayoutSpec checks the
@@ -798,6 +822,17 @@ object ReferenceQueries {
         |FROM p JOIN c ON p.user_id = c.user_id
         | AND c.t_ms >= p.start_ms AND c.t_ms <= p.start_ms + 21600000
         |ORDER BY purchase_id, event_id""".stripMargin,
+
+    "q_retract_agg" ->
+      """WITH fin AS (
+        | SELECT user_id,
+        |  CASE WHEN event_id % 7 = 0
+        |   THEN CAST(2 * CAST(value AS DECIMAL(18,2)) AS DECIMAL(18,2))
+        |   ELSE CAST(value AS DECIMAL(18,2)) END AS v
+        | FROM events WHERE event_type <> 'error')
+        |SELECT user_id, count(*) AS n_live, CAST(sum(v) AS DOUBLE) AS sum_value,
+        | CAST(sum(v) AS DOUBLE) / count(*) AS avg_value
+        |FROM fin GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_zorder" ->
       """SELECT o_orderkey, o_custkey % 1024 AS cx, o_orderkey % 1024 AS cy,

@@ -70,4 +70,39 @@ object Materialize {
       .withColumn(validTo, lead(ord, 1).over(w))
       .withColumn(isCurrent, col(validTo).isNull)
   }
+
+  /** Envelope stream → signed retraction rows — the dataflow behind Flink's
+    * retract-mode aggregates (the changelog-mode machinery SURVEY §4 maps to
+    * the library level). Every non-null `after` image contributes +1, every
+    * non-null `before` image −1: an insert is (+after), a delete (−before),
+    * an update the pair (−before, +after) — Flink's -U/+U retraction pair as
+    * data. Output: the image struct's fields flattened, plus `w`.
+    */
+  def retractions(env: DataFrame, beforeCol: String = "before",
+                  afterCol: String = "after"): DataFrame =
+    env.filter(col(afterCol).isNotNull)
+      .select(col(afterCol + ".*"), lit(1L).as("w"))
+      .unionByName(
+        env.filter(col(beforeCol).isNotNull)
+          .select(col(beforeCol + ".*"), lit(-1L).as("w")))
+
+  /** Changelog-aware aggregation over [[retractions]] output: maintains
+    * count/sum per group WITHOUT rebuilding the base table — updates and
+    * deletes are subtracted, not re-scanned. Decomposable aggregates only
+    * (count = Σw, sum = Σ value·w); groups retracted to zero live rows drop
+    * out. ONE hash aggregate with map-side partial combine: shuffle volume
+    * is bounded by group cardinality — the property that makes incremental
+    * view maintenance over a 100 TB changelog feasible.
+    *
+    * `valueCol` should be exact-typed (cast doubles to DECIMAL first):
+    * retraction arithmetic relies on a − a == 0, which float accumulation
+    * orders don't guarantee.
+    */
+  def retractAgg(contributions: DataFrame, groupCols: Seq[String],
+                 valueCol: Column): DataFrame =
+    contributions
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(col("w")).as("n_live"),
+        sum(valueCol * col("w")).as("sum_value"))
+      .filter(col("n_live") > 0)
 }
