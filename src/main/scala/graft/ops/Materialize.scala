@@ -100,9 +100,33 @@ object Materialize {
     */
   def retractAgg(contributions: DataFrame, groupCols: Seq[String],
                  valueCol: Column): DataFrame =
+    retractPartials(contributions, groupCols, valueCol)
+      .filter(col("n_live") > 0)
+
+  /** Unfiltered signed partials — the MERGEABLE form of [[retractAgg]]:
+    * (group, n_live = Σw, sum_value = Σ value·w). Partials from disjoint
+    * change batches add, which is what makes the aggregate incrementally
+    * maintainable (see [[mergeRetractState]]).
+    */
+  def retractPartials(contributions: DataFrame, groupCols: Seq[String],
+                      valueCol: Column): DataFrame =
     contributions
       .groupBy(groupCols.map(col): _*)
       .agg(sum(col("w")).as("n_live"),
         sum(valueCol * col("w")).as("sum_value"))
-      .filter(col("n_live") > 0)
+
+  /** Incremental view maintenance step: fold one change batch's partials
+    * into the running state — union + re-aggregate (both inputs are already
+    * one row per group, so the merge shuffles only group-cardinality rows).
+    * Fully-retracted groups are dropped; they re-enter from zero if later
+    * inserts revive them. Query the maintained state with
+    * `.filter(n_live > 0)` semantics already applied.
+    */
+  def mergeRetractState(state: DataFrame, deltaPartials: DataFrame,
+                        groupCols: Seq[String]): DataFrame =
+    state.unionByName(deltaPartials)
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(col("n_live")).as("n_live"),
+        sum(col("sum_value")).as("sum_value"))
+      .filter(col("n_live") =!= 0)
 }
