@@ -18,13 +18,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * inside whole-stage codegen: one fused primitive loop over the two
   * `ArrayData`, no allocation, no boxing.
   *
-  * Semantics: sequential left-fold in element order — bit-for-bit the same
-  * result as the HOF form and the DuckDB oracle's `list_sum(list_transform)`
-  * (IEEE double addition in the same order). Extra elements beyond the
-  * shorter input are ignored; a NULL array yields NULL (`nullIntolerant`).
-  * NULL ELEMENTS read as 0 contributions (embedding arrays are dense;
-  * the HOF form would instead null the whole result — don't feed sparse
-  * arrays with null holes to either).
+  * Semantics: EXACTLY the HOF form's, so the optimizer rewrite
+  * ([[graft.plans.RewriteHofDotProduct]]) is sound on every input —
+  * sequential left-fold in element order (bit-for-bit the same result as the
+  * interpreted fold and the DuckDB oracle's `list_sum(list_transform)`,
+  * IEEE double addition in the same order); NULL when either array is NULL
+  * (`nullIntolerant`), when the lengths differ (zip_with pads the shorter
+  * side with NULL, nulling the fold), or when any element is NULL. The
+  * element null checks are emitted only for inputs whose array type admits
+  * null elements — dense embedding columns keep the tight two-load loop.
   */
 case class VecDot(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -41,15 +43,28 @@ case class VecDot(left: Expression, right: Expression)
     }
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  // ragged lengths / null elements null the result even when both array
+  // COLUMNS are non-nullable
+  override def nullable: Boolean = true
   override def prettyName: String = "vec_dot"
+
+  private def elemsNullable(e: Expression): Boolean = e.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => true
+  }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     acc
   }
 
@@ -58,13 +73,24 @@ case class VecDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      // emit element null checks only where the type admits null elements
+      val nullChecks = Seq(
+        if (elemsNullable(left)) Some(s"$a.isNullAt($i)") else None,
+        if (elemsNullable(right)) Some(s"$b.isNullAt($i)") else None).flatten
+      val elemGuard = if (nullChecks.isEmpty) ""
+        else s"if (${nullChecks.mkString(" || ")}) { ${ev.isNull} = true; break; }"
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $elemGuard
+         |    $acc += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 
@@ -85,11 +111,14 @@ object VectorFunctions {
     ColumnBridge.column(VecDot(toDoubleArray(ColumnBridge.expression(a)),
       toDoubleArray(ColumnBridge.expression(b))))
 
-  /** SQL registration — apply with
-    * `SparkSession.builder().withExtensions(VectorFunctions.register)`,
-    * then `SELECT vec_dot(a, b)` works in `spark.sql`.
+  /** SQL + optimizer registration — apply with
+    * `SparkSession.builder().withExtensions(VectorFunctions.register)`:
+    * `SELECT vec_dot(a, b)` works in `spark.sql`, and the
+    * `aggregate(zip_with(...))` dot-product idiom is rewritten to the
+    * native expression wherever it appears
+    * ([[graft.plans.RewriteHofDotProduct]]).
     */
-  val register: SparkSessionExtensions => Unit = ext =>
+  val register: SparkSessionExtensions => Unit = { ext =>
     ext.injectFunction((
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
@@ -98,4 +127,6 @@ object VectorFunctions {
           s"vec_dot(ARRAY<DOUBLE>, ARRAY<DOUBLE>) takes 2 arguments, got ${children.size}")
         VecDot(toDoubleArray(children.head), toDoubleArray(children(1)))
       }))
+    ext.injectOptimizerRule(_ => graft.plans.RewriteHofDotProduct)
+  }
 }

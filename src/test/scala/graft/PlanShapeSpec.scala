@@ -109,4 +109,30 @@ class PlanShapeSpec extends AnyFunSuite with Matchers {
     "HashAggregate".r.findAllIn(plan).size should be >= 2
     plan should include("PushedFilters: [IsNotNull(ts)]")
   }
+
+  test("q_range_join: the range predicate rides a hash join, not a nested loop") {
+    val plan = finalPlan(q("q_range_join"))
+    withClue(plan.linesIterator.filter(_.contains("Join")).mkString("\n")) {
+      plan should not include "NestedLoop"
+      plan should not include "CartesianProduct"
+      // the bin key makes it an equi-join (broadcast at this SF; sort-merge
+      // hash at scale) with the exact bounds as residual condition
+      plan should include("Join")
+    }
+  }
+
+  test("q_decontaminate: per-doc aggregate reuses the explicit repartition") {
+    val plan = finalPlan(q("q_decontaminate"))
+    withClue(plan.linesIterator.filter(_.contains("Exchange")).mkString("\n")) {
+      // the eval gram set rides a broadcast off its cache fence, and the
+      // planner must not ADD any doc_id shuffle beyond the one explicit
+      // repartition (ENSURE_REQUIREMENTS on doc_id would mean the final
+      // aggregate stopped reusing it — a second pass over the train side)
+      plan should include("BroadcastHashJoin")
+      plan should include("InMemoryTableScan")
+      plan.linesIterator.count(l =>
+        l.contains("Exchange hashpartitioning(doc_id") &&
+          l.contains("ENSURE_REQUIREMENTS")) shouldBe 0
+    }
+  }
 }

@@ -50,4 +50,48 @@ class VectorFunctionsSpec extends AnyFunSuite with Matchers {
     spark.sql("SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
       .collect().head.getDouble(0) shouldBe 11.0
   }
+
+  test("HOF-equivalent edge semantics: ragged lengths and null elements yield null") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0))).toDF("a", "b")
+      .select(VectorFunctions.vecDot(col("a"), col("b")).as("native"),
+        hofDot(col("a"), col("b")).as("hof"))
+    val r = df.collect().head
+    r.isNullAt(0) shouldBe true
+    r.isNullAt(1) shouldBe true
+
+    val withNullElem = spark.sql(
+      "SELECT vec_dot(array(1.0d, CAST(NULL AS DOUBLE)), array(3.0d, 4.0d)) AS d," +
+        " aggregate(zip_with(array(1.0d, CAST(NULL AS DOUBLE)), array(3.0d, 4.0d)," +
+        "   (x, y) -> x * y), 0.0d, (acc, v) -> acc + v) AS h")
+      .collect().head
+    withNullElem.isNullAt(0) shouldBe true
+    withNullElem.isNullAt(1) shouldBe true
+  }
+
+  test("optimizer rewrites the aggregate(zip_with) idiom to the native VecDot") {
+    // non-foldable inputs (literal arrays would be constant-folded away
+    // before the plan check could see the rewrite)
+    val vecs = spark.range(2).select(
+      array(col("id").cast("double"), lit(2.0)).as("a"),
+      array(lit(3.0), col("id").cast("double")).as("b"))
+
+    val df = vecs.select(hofDot(col("a"), col("b")).as("d"))
+    df.queryExecution.optimizedPlan.toString should include("vec_dot")
+    df.orderBy("d").collect().map(_.getDouble(0)) shouldBe Array(0.0, 5.0)
+
+    // the SQL spelling goes through the same rule
+    vecs.createOrReplaceTempView("vecs")
+    val sqlDf = spark.sql(
+      "SELECT aggregate(zip_with(a, b, (x, y) -> x * y), 0.0d, (acc, v) -> acc + v) AS d FROM vecs")
+    sqlDf.queryExecution.optimizedPlan.toString should include("vec_dot")
+    sqlDf.orderBy("d").collect().map(_.getDouble(0)) shouldBe Array(0.0, 5.0)
+
+    // a non-dot fold (sum of maxima) is left untouched
+    val other = vecs.select(
+      aggregate(zip_with(col("a"), col("b"), (x, y) => greatest(x, y)),
+        lit(0.0), (acc, v) => acc + v).as("d"))
+    other.queryExecution.optimizedPlan.toString should not include "vec_dot"
+    other.orderBy("d").collect().map(_.getDouble(0)) shouldBe Array(5.0, 5.0)
+  }
 }
