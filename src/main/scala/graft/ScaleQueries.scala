@@ -393,6 +393,40 @@ object ScaleQueries {
       TextOps.tfIdfTopTerms(Tables.documents(s, d).select("doc_id", "text"),
         "doc_id", "text", topK = 3)
         .ordered("doc_id", "rank")
+    }),
+
+    // Winnowing copy detection (MOSS-style): docs sharing ≥2 surviving
+    // fingerprints pair up — SUBSTRING-level overlap, which catches the
+    // planted prefix-mutated copies (every 31st doc re-appears with an
+    // edited head) that exact dedup misses and token-shingle Jaccard
+    // under-scores. Ubiquitous fingerprints (document frequency > 5) carry
+    // no copy signal and are dropped before the self-join — the same
+    // selectivity dial as the LSH band and prefix-filter operators; without
+    // it the hot fingerprint's bucket is quadratic.
+    "q_winnow_pairs" -> ((s, d) => {
+      val n = s.sessionState.conf.numShufflePartitions
+      val base = Tables.documents(s, d).select("doc_id", "text")
+      val copies = base.filter(col("doc_id") % 31 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"),
+          concat(lit("prefix edit "), col("text")).as("text"))
+      val corpus = base.unionByName(copies).repartition(n, col("doc_id"))
+      // cache BEFORE the explode: Generate would otherwise inline the
+      // staged gram array into the window-minimum lambda, recomputing the
+      // whole md5 pipeline once PER WINDOW (observed: 121 s instead of
+      // 0.3 s at sf0.01 — the quadratic-inline pathology the
+      // winnowFingerprints scaladoc warns about, triggered by explode)
+      val fps = TextOps.winnowFingerprints(corpus, "text")
+        .select(col("doc_id"), col("fingerprints")).cache()
+      val x = fps.select(col("doc_id"), explode(col("fingerprints")).as("fp"))
+      val keep = x.groupBy("fp").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 5).select("fp")
+      val xx = x.join(keep, Seq("fp"))
+      xx.select(col("fp"), col("doc_id").as("a_id"))
+        .join(xx.select(col("fp"), col("doc_id").as("b_id")), Seq("fp"))
+        .filter(col("a_id") < col("b_id"))
+        .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2)
+        .ordered("a_id", "b_id")
     })
   )
 
@@ -820,6 +854,35 @@ object ScaleQueries {
         |   '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
         |   '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5
         |FROM w ORDER BY doc_id""".stripMargin,
+
+    "q_winnow_pairs" ->
+      """WITH all_docs AS (
+        | SELECT doc_id, text FROM documents
+        | UNION ALL
+        | SELECT doc_id + 10000, 'prefix edit ' || text FROM documents
+        | WHERE doc_id % 31 = 0),
+        |g AS (
+        | SELECT doc_id,
+        |  CASE WHEN length(text) >= 7 THEN
+        |    list_transform(generate_series(1, length(text)-6),
+        |      i -> ('0x' || substr(md5(substr(text, CAST(i AS INTEGER), 7)), 1, 15))::BIGINT)
+        |  ELSE []::BIGINT[] END AS gh
+        | FROM all_docs),
+        |f AS (
+        | SELECT doc_id,
+        |  CASE WHEN len(gh) >= 4 THEN
+        |    list_sort(list_distinct(list_transform(generate_series(1, len(gh)-3),
+        |      j -> list_min(gh[j:j+3]))))
+        |  WHEN len(gh) > 0 THEN [list_min(gh)]
+        |  ELSE []::BIGINT[] END AS fps
+        | FROM g),
+        |x AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+        |keep AS (SELECT fp FROM x GROUP BY fp HAVING count(*) <= 5),
+        |xx AS (SELECT doc_id, fp FROM x JOIN keep USING (fp))
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared
+        |FROM xx a JOIN xx b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY a_id, b_id""".stripMargin,
 
     "q_tfidf" ->
       """WITH tf AS (SELECT doc_id, token, count(*) AS tf FROM (
