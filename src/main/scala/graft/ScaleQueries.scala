@@ -427,6 +427,20 @@ object ScaleQueries {
         .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_shared"))
         .filter(col("n_shared") >= 2)
         .ordered("a_id", "b_id")
+    }),
+
+    // Token-budget mixture sampling: spend half the corpus's tokens across
+    // sources weighted (srcN -> N%3+1); per-source acceptance rates in
+    // exact integer permille, applied via the append-stable hash bucket.
+    "q_mixture_sample" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        size(TextOps.tokens(col("text"))).cast(LongType).as("n_tokens"))
+      val weights = docs.select("source").distinct()
+        .withColumn("w", substring(col("source"), 4, 10).cast(LongType) % 3 + 1)
+      Sampling.mixtureSample(docs, "doc_id", "source", "n_tokens", weights,
+        budgetNum = 1, budgetDen = 2)
+        .select("doc_id", "source", "n_tokens", "w", "p_permille", "bucket_pm")
+        .ordered("doc_id")
     })
   )
 
@@ -883,6 +897,23 @@ object ScaleQueries {
         |FROM xx a JOIN xx b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING count(*) >= 2
         |ORDER BY a_id, b_id""".stripMargin,
+
+    "q_mixture_sample" ->
+      """WITH d AS (SELECT doc_id, source,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+        |wt AS (SELECT source, (CAST(substr(source, 4) AS BIGINT) % 3) + 1 AS w
+        |       FROM (SELECT DISTINCT source FROM d)),
+        |tot AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS toks FROM d GROUP BY source),
+        |sw AS (SELECT CAST(sum(w) AS BIGINT) AS sum_w FROM wt),
+        |g AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS grand FROM d),
+        |r AS (SELECT source, w,
+        |  least(1000, (((grand * 1) // 2) * w * 1000) // (sum_w * toks)) AS p_permille
+        | FROM tot JOIN wt USING (source) CROSS JOIN sw CROSS JOIN g)
+        |SELECT doc_id, source, n_tokens, w, p_permille,
+        | ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 AS bucket_pm
+        |FROM d JOIN r USING (source)
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 < p_permille
+        |ORDER BY doc_id""".stripMargin,
 
     "q_tfidf" ->
       """WITH tf AS (SELECT doc_id, token, count(*) AS tf FROM (

@@ -79,4 +79,39 @@ object Sampling {
       .withColumn("rate_pct", rate)
       .filter(col("bucket") < col("rate_pct"))
   }
+
+  /** Token-budget mixture sampling — the domain-rebalancing pass of a
+    * training run: given per-source mixture WEIGHTS and a total token
+    * budget, allocate `budget · wₛ / Σw` tokens to source s and keep each
+    * source's documents at the acceptance rate that hits its allocation
+    * (capped at keep-everything for under-represented sources; real runs
+    * epoch small domains instead of upsampling rows).
+    *
+    * All arithmetic is integer (permille rates, BIGINT division), so the
+    * sample is exactly reproducible by any engine; acceptance reuses the
+    * append-stable hash bucket. The rate table is one row per source —
+    * broadcast back onto the corpus; the corpus itself is touched by one
+    * aggregate (map-side combined) and one per-row filter. No corpus
+    * shuffle.
+    *
+    * @param weights    (strataCol, "w": LONG) — relative mixture weights
+    * @param budgetNum/budgetDen budget = total_tokens · num / den
+    */
+  def mixtureSample(df: DataFrame, idCol: String, strataCol: String,
+                    nTokensCol: String, weights: DataFrame,
+                    budgetNum: Long, budgetDen: Long): DataFrame = {
+    require(budgetNum >= 0 && budgetDen > 0, "budget fraction must be >= 0")
+    val totals = df.groupBy(strataCol).agg(sum(col(nTokensCol)).as("toks"))
+    val sumW = weights.agg(sum(col("w")).as("sum_w"))
+    val grand = df.agg(sum(col(nTokensCol)).as("grand"))
+    val rates = totals.join(weights, Seq(strataCol))
+      .crossJoin(sumW).crossJoin(grand)
+      .withColumn("budget", expr(s"grand * $budgetNum div $budgetDen"))
+      .withColumn("p_permille",
+        least(lit(1000L), expr("(budget * w * 1000) div (sum_w * toks)")))
+      .select(col(strataCol), col("w"), col("p_permille"))
+    df.join(broadcast(rates), Seq(strataCol))
+      .withColumn("bucket_pm", hashBucket(col(idCol), 1000))
+      .filter(col("bucket_pm") < col("p_permille"))
+  }
 }

@@ -97,4 +97,27 @@ class CurationSpec extends AnyFunSuite with Matchers {
     // doc 3 has only 'common': a single rank-1 row at score 0
     out.filter(_.getLong(0) == 3L).map(_.getAs[String]("token")) shouldBe Array("common")
   }
+
+  test("mixtureSample: rates hit the per-source allocation, capped at keep-all") {
+    // source A: 100 docs x 10 tokens = 1000; source B: 10 docs x 10 = 100.
+    // equal weights, budget = half the corpus (550): A's allocation is 275
+    // of 1000 -> 275 permille; B's is 275 of 100 -> capped at 1000.
+    val docs = ((1L to 100L).map(i => (i, "A", 10L)) ++
+      (101L to 110L).map(i => (i, "B", 10L))).toDF("doc_id", "source", "n_tokens")
+    val weights = Seq(("A", 1L), ("B", 1L)).toDF("source", "w")
+
+    val out = Sampling.mixtureSample(docs, "doc_id", "source", "n_tokens",
+      weights, budgetNum = 1, budgetDen = 2)
+
+    val rates = out.select("source", "p_permille").distinct()
+      .as[(String, Long)].collect().toMap
+    rates("A") shouldBe 275L
+    rates("B") shouldBe 1000L
+    // capped source keeps every document
+    out.filter(col("source") === "B").count() shouldBe 10
+    // sampled tokens of A land near its allocation (hash-uniformity, not exact)
+    val aTokens = out.filter(col("source") === "A")
+      .agg(sum("n_tokens")).as[Long].collect().head
+    aTokens should (be >= 180L and be <= 370L)
+  }
 }
