@@ -34,6 +34,11 @@ object RangeJoin {
                       ptsCol: String, startCol: String, endCol: String,
                       binWidth: Long): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    require(!(points.columns ++ intervals.columns).contains("_bin"),
+      "inputs must not already carry a _bin column")
+    // floor (not integer div, which truncates toward zero) so negative
+    // timestamps bin consistently on both sides; double division is exact
+    // for |ts| < 2^53 — every epoch-milli/micro value in range.
     val p = points.withColumn("_bin", floor(col(ptsCol) / binWidth))
     // explode of a NULL array emits zero rows, so the degenerate end<start
     // interval simply disappears (no _bin null-filter pass needed)

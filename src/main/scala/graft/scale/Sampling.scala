@@ -94,7 +94,10 @@ object Sampling {
     * aggregate (map-side combined) and one per-row filter. No corpus
     * shuffle.
     *
-    * @param weights    (strataCol, "w": LONG) — relative mixture weights
+    * @param weights    (strataCol, "w": LONG) — relative mixture weights.
+    *   EXPLICIT allowlist: sources absent from `weights` are excluded from
+    *   the sample entirely (inner join ≡ weight 0) — list every source you
+    *   want kept.
     * @param budgetNum/budgetDen budget = total_tokens · num / den
     */
   def mixtureSample(df: DataFrame, idCol: String, strataCol: String,
