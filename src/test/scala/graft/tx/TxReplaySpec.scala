@@ -249,6 +249,39 @@ class TxReplaySpec extends AnyFunSuite with Matchers {
     }
   }
 
+  // ---- Arrival-order invariance: the heart of the LSN-ordered design ----
+  // Debezium topics deliver data events in any order relative to each other
+  // (poc.md's whole premise); the replay's output must be a pure function
+  // of the event SET, not the arrival sequence. Shuffle the same history
+  // into several arrival orders and require identical emissions.
+  test("replay output is invariant to input arrival order") {
+    val left = Seq(
+      LeftEv(1, "c", 1, 1, OrderRow(10, "a")),
+      LeftEv(2, "c", 2, 1, OrderRow(20, "b")),
+      LeftEv(1, "u", 5, 2, OrderRow(10, "a2")),
+      LeftEv(2, "d", 8, 3, OrderRow(20, "b")))
+    val right = Seq(
+      RightEv(1, 1, "c", 3, 1, LineRow(7, 1, 1.0)),
+      RightEv(2, 1, "c", 4, 1, LineRow(8, 2, 2.0)),
+      RightEv(1, 2, "c", 6, 2, LineRow(9, 3, 3.0)),
+      RightEv(1, 1, "d", 7, 2, LineRow(7, 1, 1.0)),
+      RightEv(2, 1, "u", 9, 3, LineRow(8, 5, 2.5)))
+    val ends = Seq(TxEnd(1, 100, 2, 2), TxEnd(2, 200, 1, 2), TxEnd(3, 300, 1, 1))
+
+    def canonical(l: Seq[LeftEv], r: Seq[RightEv], e: Seq[TxEnd]): Seq[String] =
+      TxReplay.replay(l.toDF(), r.toDF(), e.toDF())
+        .orderBy("commit_lsn", "key").collect().map(_.toString).toSeq
+
+    val baseline = canonical(left, right, ends)
+    baseline should not be empty
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      withClue(s"seed=$seed: ") {
+        canonical(rnd.shuffle(left), rnd.shuffle(right), rnd.shuffle(ends)) shouldBe baseline
+      }
+    }
+  }
+
   // ---- Degenerate inputs: the engine must return empty, never throw ----
   test("degenerate inputs: no ENDs, stalled watermark, floor above history, empty streams") {
     val left = Seq(LeftEv(1, "c", 1, 1, OrderRow(7, "addr")))
