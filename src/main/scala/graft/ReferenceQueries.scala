@@ -529,6 +529,35 @@ object ReferenceQueries {
         .ordered("user_id")
     }),
 
+    // Ranking-window family: ntile / percent_rank / cume_dist / dense_rank
+    // over a totally-ordered partition (tie-broken by key so both engines
+    // rank identically). One keyed shuffle + per-partition sort.
+    "q_rank_funcs" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_orderpriority"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cdist"),
+        dense_rank().over(w).as("drank"))
+        .ordered("o_orderkey")
+    }),
+
+    // Boolean / conditional aggregate family: count_if, bool_and, bool_or,
+    // and a tie-deterministic max_by (ordering struct includes the id).
+    "q_bool_aggs" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(
+          expr("count_if(event_type = 'error')").as("n_errors"),
+          expr("bool_and(value >= 0)").as("all_nonneg"),
+          expr("bool_or(event_type = 'purchase')").as("has_purchase"),
+          max_by(col("event_id"), struct(col("ts"), col("event_id")))
+            .as("last_event_id"))
+        .ordered("user_id")
+    }),
+
     // Z-order (Morton) layout values: bit-interleave two keys so a range
     // partition on z clusters BOTH dimensions (multi-dim scan pruning).
     // The oracle checks the interleave arithmetic; LayoutSpec checks the
@@ -822,6 +851,31 @@ object ReferenceQueries {
         |FROM p JOIN c ON p.user_id = c.user_id
         | AND c.t_ms >= p.start_ms AND c.t_ms <= p.start_ms + 21600000
         |ORDER BY purchase_id, event_id""".stripMargin,
+
+    "q_rank_funcs" ->
+      """SELECT o_orderkey, o_orderpriority,
+        | CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        | round(percent_rank() OVER w, 6) AS pct_rank,
+        | round(cume_dist() OVER w, 6) AS cdist,
+        | CAST(dense_rank() OVER w AS INTEGER) AS drank
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_bool_aggs" ->
+      """WITH agg AS (
+        | SELECT user_id,
+        |  count(*) FILTER (WHERE event_type = 'error') AS n_errors,
+        |  bool_and(value >= 0) AS all_nonneg,
+        |  bool_or(event_type = 'purchase') AS has_purchase
+        | FROM events GROUP BY user_id),
+        |last AS (
+        | SELECT user_id, event_id AS last_event_id FROM (
+        |  SELECT user_id, event_id,
+        |   row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1)
+        |SELECT user_id, n_errors, all_nonneg, has_purchase, last_event_id
+        |FROM agg JOIN last USING (user_id) ORDER BY user_id""".stripMargin,
 
     "q_retract_agg" ->
       """WITH fin AS (

@@ -429,6 +429,24 @@ object ScaleQueries {
         .ordered("a_id", "b_id")
     }),
 
+    // Edit-distance verification of near-dup candidates: LSH generates the
+    // pairs, levenshtein CONFIRMS at the character level — the expensive
+    // exact metric runs only on candidates, never all pairs (the scale
+    // contract of every verifier in this package).
+    "q_edit_distance" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val pairs = NearDup.minHashDedup(docs, "doc_id", "text", threshold = 0.7)
+      val lev = levenshtein(col("a_text"), col("b_text"))
+      pairs
+        .join(docs.select(col("doc_id").as("a_id"), col("text").as("a_text")), Seq("a_id"))
+        .join(docs.select(col("doc_id").as("b_id"), col("text").as("b_text")), Seq("b_id"))
+        .select(col("a_id"), col("b_id"), col("jac"),
+          lev.as("lev"),
+          round(lit(1.0) - lev.cast(DoubleType) /
+            greatest(length(col("a_text")), length(col("b_text"))), 6).as("lev_sim"))
+        .ordered("a_id", "b_id")
+    }),
+
     // Token-budget mixture sampling: spend half the corpus's tokens across
     // sources weighted (srcN -> N%3+1); per-source acceptance rates in
     // exact integer permille, applied via the append-stable hash bucket.
@@ -896,6 +914,24 @@ object ScaleQueries {
         |SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared
         |FROM xx a JOIN xx b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "q_edit_distance" ->
+      s"""WITH $shinglesCte,
+        |p AS (
+        | SELECT a_id, b_id, jac FROM (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |   CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        |     / len(list_distinct(list_concat(a.shingles, b.shingles))) AS jac
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        | WHERE jac >= 0.7)
+        |SELECT a_id, b_id, jac,
+        | levenshtein(da.text, db.text) AS lev,
+        | round(1.0 - CAST(levenshtein(da.text, db.text) AS DOUBLE)
+        |   / greatest(length(da.text), length(db.text)), 6) AS lev_sim
+        |FROM p
+        |JOIN documents da ON da.doc_id = p.a_id
+        |JOIN documents db ON db.doc_id = p.b_id
         |ORDER BY a_id, b_id""".stripMargin,
 
     "q_mixture_sample" ->
