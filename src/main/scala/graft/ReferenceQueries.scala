@@ -529,6 +529,23 @@ object ReferenceQueries {
         .ordered("user_id")
     }),
 
+    // Table profiling (ANALYZE-style column statistics): per-column min /
+    // max / exact distinct count / null fraction in ONE pass over the scan
+    // — the stats a cost-based optimizer and a data-quality monitor both
+    // feed on. Multiple count(DISTINCT) in one agg expand via a single
+    // Expand node (one shuffle), not one scan per column.
+    "q_table_stats" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      o.agg(
+        count(lit(1)).as("n_rows"),
+        min("o_totalprice").as("min_price"),
+        max("o_totalprice").as("max_price"),
+        countDistinct("o_custkey").as("ndv_custkey"),
+        countDistinct("o_orderpriority").as("ndv_priority"),
+        round(sum(when(col("o_orderstatus").isNull, 1L).otherwise(0L))
+          .cast(DoubleType) / count(lit(1)), 6).as("null_frac_status"))
+    }),
+
     // Ranking-window family: ntile / percent_rank / cume_dist / dense_rank
     // over a totally-ordered partition (tie-broken by key so both engines
     // rank identically). One keyed shuffle + per-partition sort.
@@ -851,6 +868,16 @@ object ReferenceQueries {
         |FROM p JOIN c ON p.user_id = c.user_id
         | AND c.t_ms >= p.start_ms AND c.t_ms <= p.start_ms + 21600000
         |ORDER BY purchase_id, event_id""".stripMargin,
+
+    "q_table_stats" ->
+      """SELECT count(*) AS n_rows,
+        | min(o_totalprice) AS min_price,
+        | max(o_totalprice) AS max_price,
+        | count(DISTINCT o_custkey) AS ndv_custkey,
+        | count(DISTINCT o_orderpriority) AS ndv_priority,
+        | round(CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |   / count(*), 6) AS null_frac_status
+        |FROM orders""".stripMargin,
 
     "q_rank_funcs" ->
       """SELECT o_orderkey, o_orderpriority,
