@@ -429,6 +429,23 @@ object ScaleQueries {
         .ordered("a_id", "b_id")
     }),
 
+    // One k-means iteration (the IVF index-BUILD loop): assign every vector
+    // to its nearest centroid, then recompute each centroid as the
+    // element-wise mean of its bucket. The mean folds a SORTED value list
+    // per (bucket, dim) so the double accumulation order is identical in
+    // any engine — determinism the unordered hash-agg sum can't give.
+    // Shuffle volume: buckets × dims rows, independent of corpus size.
+    "q_kmeans_step" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val assigned = Similarity.assignBuckets(e, e.filter(col("vec_id") % 10 === 3))
+      assigned.select(col("bucket"), posexplode(col("vec")).as(Seq("pos", "x")))
+        .groupBy("bucket", "pos")
+        .agg(round(
+          aggregate(array_sort(collect_list(col("x"))), lit(0.0), (a, v) => a + v)
+            / count(lit(1)), 6).as("m"))
+        .ordered("bucket", "pos")
+    }),
+
     // Edit-distance verification of near-dup candidates: LSH generates the
     // pairs, levenshtein CONFIRMS at the character level — the expensive
     // exact metric runs only on candidates, never all pairs (the scale
@@ -915,6 +932,22 @@ object ScaleQueries {
         |FROM xx a JOIN xx b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING count(*) >= 2
         |ORDER BY a_id, b_id""".stripMargin,
+
+    "q_kmeans_step" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |cent AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % 10 = 3),
+        |scored AS (SELECT e.vec_id, e.v, c.centroid_id,
+        |  ${cosSql("e.v", "c.cv")} AS ccos FROM e CROSS JOIN cent c),
+        |assign AS (SELECT vec_id, v, centroid_id AS bucket FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) AS rn
+        |  FROM scored) WHERE rn = 1),
+        |x AS (SELECT bucket,
+        |  unnest(list_transform(range(1, len(v)+1), i -> {'pos': i-1, 'x': v[i]}),
+        |    recursive := true)
+        | FROM assign)
+        |SELECT bucket, CAST(pos AS INTEGER) AS pos,
+        | round(list_reduce(list_sort(list(x)), (a, b) -> a + b) / count(*), 6) AS m
+        |FROM x GROUP BY bucket, pos ORDER BY bucket, pos""".stripMargin,
 
     "q_edit_distance" ->
       s"""WITH $shinglesCte,
