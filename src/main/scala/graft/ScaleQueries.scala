@@ -433,8 +433,11 @@ object ScaleQueries {
     // to its nearest centroid, then recompute each centroid as the
     // element-wise mean of its bucket. The mean folds a SORTED value list
     // per (bucket, dim) so the double accumulation order is identical in
-    // any engine — determinism the unordered hash-agg sum can't give.
-    // Shuffle volume: buckets × dims rows, independent of corpus size.
+    // any engine — determinism the unordered hash-agg sum can't give. That
+    // sorted fold is the ORACLE formulation: collect_list moves each
+    // bucket's values through the shuffle. A production iteration swaps it
+    // for plain avg() — map-side partial combine, buckets × dims shuffle
+    // rows — accepting last-ulp nondeterminism no one checks.
     "q_kmeans_step" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       val assigned = Similarity.assignBuckets(e, e.filter(col("vec_id") % 10 === 3))
