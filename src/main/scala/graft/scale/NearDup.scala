@@ -116,8 +116,11 @@ object NearDup {
   }
 
   /** MinHash-LSH near-dup join. numHashes = bands * rowsPerBand; signatures
-    * use Spark's codegen'd murmur3 `hash(seed, shingle)` (internal only —
-    * verification is exact Jaccard, so output is hash-agnostic).
+    * come from the native one-pass [[graft.functions.MinHashSig]] expression
+    * (the HOF spelling — one interpreted `array_min(transform(...))`
+    * traversal PER SLOT — is the operator's hot loop; signatures are
+    * internal candidate state and verification is exact Jaccard, so output
+    * is hash-agnostic).
     */
   def minHashDedup(df: DataFrame, idCol: String, textCol: String,
                    threshold: Double = 0.5, bands: Int = 32, rowsPerBand: Int = 3,
@@ -125,9 +128,7 @@ object NearDup {
     // cache(): feeds both the signature/banding build and the exact verify
     val docs = withShingles(df, idCol, textCol, shingleK).cache()
 
-    val sig = array((0 until bands * rowsPerBand).map { i =>
-      array_min(transform(col("sh"), s => hash(lit(i), s).cast(LongType)))
-    }: _*)
+    val sig = graft.functions.TextHashFunctions.minHashSig(col("sh"), bands * rowsPerBand)
     // cache(): fence + single evaluation of the signature table (see
     // verifyPairs — the bucket self-join would otherwise push the full
     // signature expression into the serial pre-shuffle stage)
