@@ -112,8 +112,96 @@ case class MinHashSig(child: Expression, numHashes: Int)
     copy(child = newChild)
 }
 
+/** SimHash majority vote over pre-computed 60-bit element hashes: bit j of
+  * the output is set when more than half the elements have bit j set. The
+  * hashes stay in Catalyst's codegen'd md5/conv pipeline (they must remain
+  * engine-reproducible — [[graft.scale.Hashing.md5Long60]]); this expression
+  * only replaces the interpreted vote — an `aggregate` whose accumulator
+  * `zip_with`s a 60-slot count array PER ELEMENT — with one fused loop.
+  * Value-identical to the HOF formulation: same hashes, same majority rule,
+  * empty input → 0 (no bit has a majority), NULL input → NULL; null
+  * elements are skipped (the upstream transform never produces them).
+  */
+case class SimHashVote(child: Expression) extends UnaryExpression {
+
+  private val Bits = 60
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"simhash_vote requires ARRAY<LONG> input, got ${t.sql}")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_vote"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val counts = new Array[Int](Bits)
+    var total = 0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        total += 1
+        val h = arr.getLong(i)
+        var j = 0
+        while (j < Bits) {
+          counts(j) += ((h >>> j) & 1L).toInt
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < Bits) {
+      if (2 * counts(j) > total) sig |= 1L << j
+      j += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val counts = ctx.freshName("counts")
+      val total = ctx.freshName("total")
+      val h = ctx.freshName("h")
+      val sig = ctx.freshName("sig")
+      s"""
+         |int $n = $a.numElements();
+         |int[] $counts = new int[$Bits];
+         |int $total = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i)) {
+         |    $total++;
+         |    long $h = $a.getLong($i);
+         |    for (int $j = 0; $j < $Bits; $j++) {
+         |      $counts[$j] += (int) (($h >>> $j) & 1L);
+         |    }
+         |  }
+         |}
+         |long $sig = 0L;
+         |for (int $j = 0; $j < $Bits; $j++) {
+         |  if (2 * $counts[$j] > $total) $sig |= 1L << $j;
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextHashFunctions {
   /** Column API: one-pass MinHash signature (ARRAY<LONG> of length n). */
   def minHashSig(shingles: Column, numHashes: Int): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(shingles), numHashes))
+
+  /** Column API: one-pass SimHash majority vote over 60-bit element hashes. */
+  def simHashVote(hashes: Column): Column =
+    ColumnBridge.column(SimHashVote(ColumnBridge.expression(hashes)))
 }

@@ -148,8 +148,6 @@ object NearDup {
     verifyPairs(candidates, docs, threshold)
   }
 
-  private val simHashPowers = array((0 until 60).map(j => lit(1L << j)): _*)
-
   /** 60-bit SimHash from md5-derived shingle hashes: bit j is set when more
     * than half the shingles have bit j set in their 60-bit hash. md5 (not
     * murmur) so any engine can recompute the signature exactly.
@@ -168,15 +166,11 @@ object NearDup {
       .withColumn("_sh", shinglesFromTokens(col("_toks"), shingleK))
       .drop("_toks")
       .withColumn("_hashes", transform(col("_sh"), s => Hashing.md5Long60(s)))
-      .withColumn("_n", size(col("_sh")))
-      .withColumn("_counts", aggregate(col("_hashes"), array_repeat(lit(0L), 60),
-        (acc, h) => zip_with(acc, simHashPowers,
-          (c, p) => c + when(h.bitwiseAND(p) =!= 0, 1L).otherwise(0L))))
-      .withColumn(out, aggregate(
-        zip_with(col("_counts"), simHashPowers,
-          (c, p) => when(c * 2 > col("_n"), p).otherwise(lit(0L))),
-        lit(0L), (acc, b) => acc + b))
-      .drop("_sh", "_hashes", "_n", "_counts")
+      // majority vote fused into the native one-pass expression — the HOF
+      // vote (aggregate whose accumulator zip_withs a 60-slot array per
+      // element) is value-identical but interpreted
+      .withColumn(out, graft.functions.TextHashFunctions.simHashVote(col("_hashes")))
+      .drop("_sh", "_hashes")
 
   /** SimHash near-dup join: block banding (exact for hamming < blocks by
     * pigeonhole), then exact hamming verification via bit_count(xor).

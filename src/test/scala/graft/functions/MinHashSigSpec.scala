@@ -36,6 +36,31 @@ class MinHashSigSpec extends AnyFunSuite with Matchers {
     rows(1).get.zip(sub).foreach { case (sup, s) => sup should be <= s }
   }
 
+  test("simHashVote matches the HOF majority vote bit for bit") {
+    import spark.implicits._
+    val powers = array((0 until 60).map(j => lit(1L << j)): _*)
+    def hofVote(hashes: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =
+      aggregate(
+        zip_with(
+          aggregate(hashes, array_repeat(lit(0L), 60),
+            (acc, h) => zip_with(acc, powers,
+              (c, p) => c + when(h.bitwiseAND(p) =!= 0, 1L).otherwise(0L))),
+          powers,
+          (c, p) => when(c * 2 > n, p).otherwise(lit(0L))),
+        lit(0L), (acc, b) => acc + b)
+
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 20).map(i =>
+      (i.toLong, Seq.fill(rnd.nextInt(9))(rnd.nextLong().abs & ((1L << 60) - 1))))
+    val out = rows.toDF("id", "hs")
+      .select(
+        TextHashFunctions.simHashVote(col("hs")).as("native"),
+        hofVote(col("hs"),
+          org.apache.spark.sql.functions.size(col("hs")).cast("long")).as("hof"))
+      .as[(Long, Long)].collect()
+    out.foreach { case (native, hof) => native shouldBe hof }
+  }
+
   test("interpreted eval matches codegen (literal folding vs column path)") {
     import spark.implicits._
     // constant-folded (interpreted nullSafeEval) result
