@@ -881,9 +881,12 @@ object ScaleQueries {
         |   SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY doc_id, tok)
         | GROUP BY doc_id)
         |SELECT p.doc_id, p.n_tokens, p.dup_2gram_frac, p.dup_3gram_frac,
-        | CAST(top AS DOUBLE) / p.n_tokens AS top_token_frac,
-        | (CAST(top AS DOUBLE) / p.n_tokens > 0.20 OR p.dup_2gram_frac > 0.20) AS flagged
-        |FROM per_row p JOIN top USING (doc_id) ORDER BY doc_id""".stripMargin,
+        | CASE WHEN p.n_tokens > 0
+        |  THEN CAST(coalesce(top, 0) AS DOUBLE) / p.n_tokens ELSE 0.0 END AS top_token_frac,
+        | (CASE WHEN p.n_tokens > 0
+        |   THEN CAST(coalesce(top, 0) AS DOUBLE) / p.n_tokens ELSE 0.0 END > 0.20
+        |  OR p.dup_2gram_frac > 0.20) AS flagged
+        |FROM per_row p LEFT JOIN top USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "q_pii_redact" ->
       """WITH w AS (SELECT doc_id, text ||

@@ -27,6 +27,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * side with NULL, nulling the fold), or when any element is NULL. The
   * element null checks are emitted only for inputs whose array type admits
   * null elements — dense embedding columns keep the tight two-load loop.
+  *
+  * BEHAVIOR CHANGE (since the pre-rewrite version of this expression):
+  * ragged lengths used to truncate to the shorter array and NULL elements
+  * read as 0; both now yield NULL — required for the optimizer rewrite's
+  * soundness. Callers relying on the old truncating semantics must pad/
+  * slice their arrays explicitly. One bit-level nit, documented rather than
+  * papered over: for two empty arrays the HOF form returns -0.0 (zip_with
+  * of empties folds the literal) while vec_dot returns +0.0 — equal under
+  * `==` and every aggregate, distinguishable only by `java.lang.Double
+  * .compare`/bit pattern, which nothing in this engine does.
   */
 case class VecDot(left: Expression, right: Expression)
     extends BinaryExpression {

@@ -36,16 +36,20 @@ object RangeJoin {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
     require(!(points.columns ++ intervals.columns).contains("_bin"),
       "inputs must not already carry a _bin column")
-    // floor (not integer div, which truncates toward zero) so negative
-    // timestamps bin consistently on both sides; double division is exact
-    // for |ts| < 2^53 — every epoch-milli/micro value in range.
-    val p = points.withColumn("_bin", floor(col(ptsCol) / binWidth))
+    // Floor division on LONGs: `ts div w` truncates toward zero (wrong for
+    // negative timestamps), and `floor(ts / w)` routes through a double —
+    // exact only for |ts| < 2^53, so epoch-NANOsecond values (~1.7e18)
+    // would silently misbucket and drop matches. Subtracting the
+    // non-negative pmod first makes the numerator an exact multiple, so the
+    // integral divide is floor division over the full LONG range.
+    def bin(c: String): Column = expr(s"($c - pmod($c, ${binWidth}L)) div ${binWidth}L")
+    val p = points.withColumn("_bin", bin(ptsCol))
     // explode of a NULL array emits zero rows, so the degenerate end<start
     // interval simply disappears (no _bin null-filter pass needed)
     val iv = intervals
       .withColumn("_bin", explode(
         when(col(endCol) >= col(startCol),
-          sequence(floor(col(startCol) / binWidth), floor(col(endCol) / binWidth)))))
+          sequence(bin(startCol), bin(endCol)))))
     p.join(iv, keys :+ "_bin")
       .filter(col(ptsCol) >= col(startCol) && col(ptsCol) <= col(endCol))
       .drop("_bin")

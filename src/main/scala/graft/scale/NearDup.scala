@@ -121,6 +121,13 @@ object NearDup {
     * traversal PER SLOT — is the operator's hot loop; signatures are
     * internal candidate state and verification is exact Jaccard, so output
     * is hash-agnostic).
+    *
+    * Signatures are a PER-JOB artifact, not a stable format: the hash
+    * family (XXH64+splitmix today, murmur3 before) can change between
+    * versions, which silently shifts LSH candidate recall if signatures or
+    * band keys are persisted and compared across versions. Never store
+    * signatures for reuse by a later run — recompute them; only the
+    * Jaccard-verified output pairs are version-stable.
     */
   def minHashDedup(df: DataFrame, idCol: String, textCol: String,
                    threshold: Double = 0.5, bands: Int = 32, rowsPerBand: Int = 3,

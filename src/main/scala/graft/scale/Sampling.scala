@@ -87,9 +87,16 @@ object Sampling {
     * (capped at keep-everything for under-represented sources; real runs
     * epoch small domains instead of upsampling rows).
     *
-    * All arithmetic is integer (permille rates, BIGINT division), so the
+    * All arithmetic is integer (permille rates, integral division), so the
     * sample is exactly reproducible by any engine; acceptance reuses the
-    * append-stable hash bucket. The rate table is one row per source —
+    * append-stable hash bucket. The intermediate products run in
+    * DECIMAL(38,0) — `budget · w · 1000` exceeds 2^63 as soon as the corpus
+    * is grand-token scale and the caller's relative weights are large, and
+    * in non-ANSI mode a BIGINT product would wrap silently into negative
+    * permille rates that drop whole sources; 38 digits cover every
+    * realistic (budget, weight) pair and overflow beyond that yields NULL
+    * (row filtered out, never a wrapped rate). The rate table is one row
+    * per source —
     * broadcast back onto the corpus; the corpus itself is touched by one
     * aggregate (map-side combined) and one per-row filter. No corpus
     * shuffle.
@@ -109,9 +116,11 @@ object Sampling {
     val grand = df.agg(sum(col(nTokensCol)).as("grand"))
     val rates = totals.join(weights, Seq(strataCol))
       .crossJoin(sumW).crossJoin(grand)
-      .withColumn("budget", expr(s"grand * $budgetNum div $budgetDen"))
+      .withColumn("budget",
+        expr(s"cast(grand as decimal(38,0)) * ${budgetNum}L div ${budgetDen}L"))
       .withColumn("p_permille",
-        least(lit(1000L), expr("(budget * w * 1000) div (sum_w * toks)")))
+        least(lit(1000L), expr(
+          "cast(budget as decimal(38,0)) * w * 1000 div (cast(sum_w as decimal(38,0)) * toks)")))
       .select(col(strataCol), col("w"), col("p_permille"))
     df.join(broadcast(rates), Seq(strataCol))
       .withColumn("bucket_pm", hashBucket(col(idCol), 1000))

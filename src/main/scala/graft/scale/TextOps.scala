@@ -159,9 +159,15 @@ object TextOps {
       .select(col(idCol), explode(col("_toks")).as("_t"))
       .groupBy(idCol, "_t").agg(count(lit(1)).as("_c"))
       .groupBy(idCol).agg(max("_c").as("_top"))
+    // LEFT join: a doc with NULL or empty text produces no exploded token
+    // rows and hence no topTok row — it must still appear in the output
+    // (with top_token_frac 0, unflagged), not vanish from the quality gate.
     perRow.drop("_toks")
-      .join(topTok, Seq(idCol))
-      .withColumn("top_token_frac", col("_top").cast(DoubleType) / col("n_tokens"))
+      .join(topTok, Seq(idCol), "left")
+      .withColumn("top_token_frac",
+        when(col("n_tokens") > 0,
+          coalesce(col("_top"), lit(0L)).cast(DoubleType) / col("n_tokens"))
+          .otherwise(lit(0.0)))
       .drop("_top")
       .withColumn("flagged",
         col("top_token_frac") > topTokenMax || col("dup_2gram_frac") > dup2gramMax)
