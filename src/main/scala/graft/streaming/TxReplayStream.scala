@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.tx.TxReplay
@@ -11,7 +11,7 @@ import graft.tx.TxReplay
   * the micro-batch LSN-ordered replay design (SURVEY §7.3 path (a)).
   *
   * Each micro-batch contributes new left/right change events and tx END
-  * events. The engine buffers them (versioned parquet state dirs — the
+  * events. The engine buffers them (bucketed parquet state dirs — the
   * operator-state analogue of the reference's checkpointed ListState,
   * `TxAware…Operator.java:100-160`), replays the full buffer with
   * [[TxReplay.replay]], emits only documents for transactions whose commit
@@ -22,22 +22,42 @@ import graft.tx.TxReplay
   * (key, line) (right) among emitted transactions, plus all future and
   * still-unfinished (no END yet) events.
   *
+  * INCREMENTAL STATE (write amplification): event state is hash-bucketed by
+  * key — `pmod(hash(key), numBuckets)` — and a micro-batch rewrites ONLY the
+  * buckets it touches: buckets holding this batch's new events, plus buckets
+  * holding events of transactions that emit this batch (whose history the
+  * compaction shrinks — the exact set the reference's per-key `cleanupState`
+  * visits on watermark advance). Untouched buckets keep their existing
+  * files, so bytes written per batch scale with the batch's DELTA, not the
+  * buffer — the parquet analogue of ListState's O(delta) updates
+  * (`TxAware…Operator.java:432-444`), where the previous design rewrote the
+  * entire compacted state every batch. The bucket function must be stable
+  * across restarts (state outlives the JVM): Spark's `hash()` is murmur3
+  * with a fixed seed, stable across sessions and cluster layouts. Replay
+  * still READS the full compacted buffer each batch — that is the
+  * micro-batch replay design itself, a parallel column-pruned scan — only
+  * the write side is delta-sized.
+  *
   * RESTART/RECOVERY: scalar progress (state version, watermark, last
-  * committed batch id) is persisted in `stateRoot/MANIFEST`, written via
-  * tmp-file + atomic rename AFTER the batch's state and emitted docs are
-  * durable — the parquet-state analogue of the reference's checkpointed
-  * operator state. A fresh instance over the same `stateRoot` resumes from
-  * the manifest; [[attach]] skips micro-batches at-or-below the committed
-  * batch id and REDELIVERS the committed batch's persisted output (Structured
-  * Streaming re-runs the last batch whose sink didn't commit), so a restart
-  * neither loses nor double-emits documents. Superseded `v*` state dirs are
-  * pruned once the manifest points past them.
+  * committed batch id, bucket count) plus the per-bucket live-version table
+  * is persisted in `stateRoot/MANIFEST`, written via tmp-file + atomic
+  * rename AFTER the batch's state and emitted docs are durable — the
+  * parquet-state analogue of the reference's checkpointed operator state. A
+  * fresh instance over the same `stateRoot` resumes from the manifest;
+  * [[TxReplayStream.attach]] skips micro-batches at-or-below the committed
+  * batch id and REDELIVERS the committed batch's persisted output
+  * (Structured Streaming re-runs the last batch whose sink didn't commit),
+  * so a restart neither loses nor double-emits documents. Superseded bucket
+  * versions are pruned once the manifest points past them; a crash mid-batch
+  * leaves the old manifest naming only fully-written old dirs, and the
+  * half-written next version is overwritten on redelivery.
   *
   * Scale: state lives in parquet partitions, all operations are the same
   * keyed shuffles as the batch replay; the driver holds only the watermark
-  * scalar and batch counter (orchestration state, like any streaming
-  * engine's). Per-batch replay cost is bounded by the compacted buffer, not
-  * the full history.
+  * scalar, batch counter, and the numBuckets-sized version table
+  * (orchestration state, like any streaming engine's). Per-batch replay
+  * cost is bounded by the compacted buffer, per-batch WRITE cost by the
+  * batch's delta.
   *
   * WHY MICRO-BATCH REPLAY AND NOT A `transformWithState` OPERATOR (the
   * "streaming-native" design (b) floated in SURVEY §7.3): the contiguous
@@ -70,37 +90,69 @@ import graft.tx.TxReplay
   * state compaction would have discarded the history its as-of resolution
   * needs). DATA events may arrive in any order and any batch.
   */
-class TxReplayStream(spark: SparkSession, stateRoot: String) {
+class TxReplayStream(spark: SparkSession, stateRoot: String, numBuckets: Int = 16) {
+  require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
 
-  private def dir(version: Long, name: String) = s"$stateRoot/v$version/$name"
   private val manifestPath = Paths.get(stateRoot, "MANIFEST")
 
-  private def readState(version: Long, name: String): Option[DataFrame] = {
-    val p = dir(version, name)
-    if (Files.exists(Paths.get(p))) Some(spark.read.parquet(p)) else None
+  @volatile private var version: Long = -1
+  @volatile private var watermark: Long = Long.MinValue
+  @volatile private var committedBatch: Long = -1
+  // Adopted from the manifest on resume — the on-disk layout wins over the
+  // constructor argument (re-bucketing existing state would orphan files).
+  @volatile private var buckets: Int = numBuckets
+  // live state version per bucket, -1 = bucket holds no data
+  private var leftVer: Array[Long] = Array.fill(numBuckets)(-1L)
+  private var rightVer: Array[Long] = Array.fill(numBuckets)(-1L)
+
+  // Recover progress from the manifest (crash/restart path): the manifest is
+  // only ever moved into place after its version's state dirs are fully
+  // written, so whatever it names is safe to resume from.
+  if (Files.exists(manifestPath)) {
+    val lines = Files.readAllLines(manifestPath)
+    require(lines.size >= 3, s"corrupt state manifest at $manifestPath")
+    val Array(v, w, b, nb) = lines.get(0).trim.split(" ")
+    version = v.toLong
+    watermark = w.toLong
+    committedBatch = b.toLong
+    buckets = nb.toInt
+    leftVer = lines.get(1).trim.split(" ").map(_.toLong)
+    rightVer = lines.get(2).trim.split(" ").map(_.toLong)
+    require(leftVer.length == buckets && rightVer.length == buckets,
+      s"manifest bucket table does not match its bucket count $buckets")
+  }
+
+  private def bucketDir(name: String, b: Int, v: Long) = s"$stateRoot/$name/b$b/v$v"
+  private def scalarDir(name: String, v: Long) = s"$stateRoot/$name/v$v"
+
+  private def bucketOf(c: Column): Column = pmod(hash(c), lit(buckets))
+
+  /** Membership predicate on the row's key bucket; empty set → constant
+    * false (Spark's `In` with an empty list is not a plan we want to rely
+    * on), so `!inBuckets(empty)` is the everything-matches filter.
+    */
+  private def inBuckets(dirty: Set[Int]): Column =
+    if (dirty.isEmpty) lit(false) else bucketOf(col("key")).isInCollection(dirty)
+
+  private def readBuckets(name: String, vers: Array[Long]): Option[DataFrame] = {
+    val paths = vers.zipWithIndex.collect { case (v, b) if v >= 0 => bucketDir(name, b, v) }
+    if (paths.isEmpty) None else Some(spark.read.parquet(paths.toIndexedSeq: _*))
+  }
+
+  private def readScalar(name: String): Option[DataFrame] = {
+    val p = scalarDir(name, version)
+    if (version >= 0 && Files.exists(Paths.get(p))) Some(spark.read.parquet(p)) else None
   }
 
   private def unionWith(state: Option[DataFrame], fresh: DataFrame): DataFrame =
     state.map(_.unionByName(fresh)).getOrElse(fresh)
 
-  @volatile private var version: Long = -1
-  @volatile private var watermark: Long = Long.MinValue
-  @volatile private var committedBatch: Long = -1
-
-  // Recover scalar progress from the manifest (crash/restart path): the
-  // manifest is only ever moved into place after its version's state dirs
-  // are fully written, so whatever it names is safe to resume from.
-  if (Files.exists(manifestPath)) {
-    val Array(v, w, b) = Files.readString(manifestPath).trim.split(" ")
-    version = v.toLong
-    watermark = w.toLong
-    committedBatch = b.toLong
-  }
-
-  private def commitManifest(v: Long, w: Long, b: Long): Unit = {
+  private def commitManifest(v: Long, w: Long, b: Long,
+                             lv: Array[Long], rv: Array[Long]): Unit = {
     val tmp = Paths.get(stateRoot, ".MANIFEST.tmp")
     Files.createDirectories(Paths.get(stateRoot))
-    Files.writeString(tmp, s"$v $w $b")
+    Files.writeString(tmp,
+      s"$v $w $b $buckets\n${lv.mkString(" ")}\n${rv.mkString(" ")}")
     Files.move(tmp, manifestPath,
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
@@ -113,21 +165,73 @@ class TxReplayStream(spark: SparkSession, stateRoot: String) {
       finally walk.close()
     }
 
-  /** Drop every state version below `keep` — they are unreachable once the
-    * manifest points at `keep` (the current batch reads only `v$keep`).
+  /** Write the compacted keep-state of the dirty buckets: ONE partitioned
+    * write job into a staging dir, then a per-bucket atomic-ish move into
+    * `name/b<i>/v<next>` (a rename on every real filesystem — no second
+    * data pass). A dirty bucket that compacted to zero rows produces no
+    * staged dir and its version drops to -1 (empty). Returns the updated
+    * per-bucket version table; untouched buckets keep their entries.
     */
-  private def pruneBelow(keep: Long): Unit = {
-    val root = Paths.get(stateRoot)
-    if (Files.exists(root)) {
-      val ls = Files.list(root)
+  private def writeBuckets(name: String, keep: DataFrame, dirty: Set[Int],
+                           vers: Array[Long], next: Long): Array[Long] = {
+    if (dirty.isEmpty) return vers
+    val stage = Paths.get(s"$stateRoot/$name/.stage-v$next")
+    deleteRecursively(stage)
+    keep.withColumn("_b", bucketOf(col("key")))
+      .write.partitionBy("_b").mode(SaveMode.Overwrite).parquet(stage.toString)
+    val out = vers.clone()
+    dirty.foreach { b =>
+      val staged = stage.resolve(s"_b=$b")
+      val target = Paths.get(bucketDir(name, b, next))
+      deleteRecursively(target) // leftovers from a crashed attempt at `next`
+      if (Files.exists(staged)) {
+        Files.createDirectories(target.getParent)
+        Files.move(staged, target)
+        out(b) = next
+      } else out(b) = -1L
+    }
+    deleteRecursively(stage)
+    out
+  }
+
+  /** Drop state files unreachable from the committed manifest: bucket
+    * versions other than each bucket's live one, leftover staging dirs, and
+    * scalar (ends/emitted) versions below the current.
+    */
+  private def prune(lv: Array[Long], rv: Array[Long], keep: Long): Unit = {
+    def pruneBuckets(name: String, vers: Array[Long]): Unit = {
+      val base = Paths.get(stateRoot, name)
+      if (!Files.exists(base)) return
+      val ls = Files.list(base)
       try ls.forEach { p =>
         val n = p.getFileName.toString
-        // toLongOption: a stray non-state entry (e.g. a dir named just "v",
-        // or digits overflowing Long) must not kill the streaming query
+        if (n.startsWith(".stage")) deleteRecursively(p)
+        else if (n.startsWith("b")) n.drop(1).toIntOption.foreach { b =>
+          val live = if (b < vers.length) vers(b) else -1L
+          val vls = Files.list(p)
+          try vls.forEach { vp =>
+            val vn = vp.getFileName.toString
+            // toLongOption: a stray non-state entry must not kill the query
+            if (vn.startsWith("v"))
+              vn.drop(1).toLongOption.filter(_ != live).foreach(_ => deleteRecursively(vp))
+          } finally vls.close()
+        }
+      } finally ls.close()
+    }
+    def pruneScalar(name: String): Unit = {
+      val base = Paths.get(stateRoot, name)
+      if (!Files.exists(base)) return
+      val ls = Files.list(base)
+      try ls.forEach { p =>
+        val n = p.getFileName.toString
         if (n.startsWith("v"))
           n.drop(1).toLongOption.filter(_ < keep).foreach(_ => deleteRecursively(p))
       } finally ls.close()
     }
+    pruneBuckets("left", lv)
+    pruneBuckets("right", rv)
+    pruneScalar("ends")
+    pruneScalar("emitted")
   }
 
   /** Process one micro-batch of new events; returns the emitted documents
@@ -138,15 +242,19 @@ class TxReplayStream(spark: SparkSession, stateRoot: String) {
     */
   def processBatch(newLeft: DataFrame, newRight: DataFrame,
                    newEnds: DataFrame, batchId: Long = -1L): DataFrame = {
-    val left = unionWith(readState(version, "left"), newLeft)
-    val right = unionWith(readState(version, "right"), newRight)
-    val ends = unionWith(readState(version, "ends"), newEnds)
+    val stateLeft = readBuckets("left", leftVer)
+    val stateRight = readBuckets("right", rightVer)
+    val left = unionWith(stateLeft, newLeft)
+    val right = unionWith(stateRight, newRight)
+    val ends = unionWith(readScalar("ends"), newEnds)
 
     // reachable txs over the buffer, with settled (already-emitted and
     // compacted) txs floored out — their shrunken buffers must not read as
-    // "incomplete" and stall the watermark
+    // "incomplete" and stall the watermark. cache(): consumed by the
+    // watermark aggregate and both dirty-bucket scans below.
     val reach = TxReplay.txCompleteness(left, right, ends, watermark)
-      .filter(col("reachable"))
+      .filter(col("reachable")).select("tx_id", "commit_lsn")
+      .cache()
     val newWm = reach.agg(max("commit_lsn")).collect()(0) match {
       case r if r.isNullAt(0) => watermark
       case r => math.max(r.getLong(0), watermark)
@@ -155,8 +263,26 @@ class TxReplayStream(spark: SparkSession, stateRoot: String) {
     // one doc per (key, tx) not yet emitted in an earlier batch
     val emitted = TxReplay.replay(left, right, ends, watermark)
 
-    // compaction (cleanupState): enrich to learn each event's commit LSN;
-    // unfinished events (no END yet) stay raw in the buffer
+    // Dirty buckets = buckets of this batch's new events + buckets of every
+    // event belonging to a tx that emits this batch (their history shrinks
+    // under compaction — the set the reference's cleanupState visits).
+    // ≤ numBuckets ints: driver orchestration state, like the watermark.
+    val reachTx = reach.select("tx_id")
+    def dirtySet(fresh: DataFrame, all: DataFrame): Set[Int] =
+      fresh.select(bucketOf(col("key")).as("_b"))
+        .union(all.join(broadcast(reachTx), Seq("tx_id"))
+          .select(bucketOf(col("key")).as("_b")))
+        .distinct().collect().map(_.getInt(0)).toSet
+    val dirtyLeft = dirtySet(newLeft, left)
+    val dirtyRight = dirtySet(newRight, right)
+
+    // compaction (cleanupState), over the dirty-bucket slices only: enrich
+    // to learn each event's commit LSN; unfinished events (no END yet) stay
+    // raw in the buffer. Untouched buckets keep their existing files —
+    // their events' compaction is deferred to the batch whose tx emission
+    // touches them, which changes nothing semantically: replay's as-of
+    // max_by tolerates superseded versions, and settled txs are floored out
+    // of completeness by the watermark.
     val endsKeyed = ends.select("tx_id", "commit_lsn")
     def split(ev: DataFrame, latestKeys: Seq[String]): DataFrame = {
       val enriched = ev.join(broadcast(endsKeyed), Seq("tx_id"))
@@ -170,30 +296,42 @@ class TxReplayStream(spark: SparkSession, stateRoot: String) {
       val future = enriched.filter(col("commit_lsn") > newWm).select(ev.columns.map(col).toIndexedSeq: _*)
       latestPast.unionByName(future).unionByName(unfinished)
     }
-    val keepLeft = split(left, Seq("key"))
-    val keepRight = split(right, Seq("key", "line_id"))
-    // retain END rows still referenced by kept events or not yet emitted
-    val referenced = keepLeft.select("tx_id").union(keepRight.select("tx_id")).distinct()
+    val keepLeft = split(left.filter(inBuckets(dirtyLeft)), Seq("key"))
+    val keepRight = split(right.filter(inBuckets(dirtyRight)), Seq("key", "line_id"))
+
+    // Retain END rows referenced by ANY kept event — the rewritten dirty
+    // buckets AND the untouched buckets (whose deferred compaction will
+    // need the END to learn its events' commit LSNs; dropping it would
+    // reclassify them as unfinished and stall the watermark) — plus ENDs
+    // not yet emitted. The untouched scan reads only the tx_id column.
+    val untouchedTx = Seq(
+      stateLeft.map(_.filter(!inBuckets(dirtyLeft)).select("tx_id")),
+      stateRight.map(_.filter(!inBuckets(dirtyRight)).select("tx_id"))).flatten
+    val referenced = (Seq(keepLeft.select("tx_id"), keepRight.select("tx_id")) ++ untouchedTx)
+      .reduce(_ union _).distinct()
     val keepEnds = ends.join(referenced, Seq("tx_id"), "left_semi")
       .unionByName(ends.filter(col("commit_lsn") > newWm))
       .dropDuplicates("tx_id")
 
     val next = version + 1
     val thisBatch = if (batchId >= 0) batchId else committedBatch + 1
-    // durability order: state + emitted docs first, manifest (atomic move)
-    // last — a crash in between leaves the manifest at the old version with
-    // the old dirs intact, and the half-written v(next) is overwritten on
-    // redelivery.
-    emitted.write.mode(SaveMode.Overwrite).parquet(dir(next, "emitted"))
-    keepLeft.write.mode(SaveMode.Overwrite).parquet(dir(next, "left"))
-    keepRight.write.mode(SaveMode.Overwrite).parquet(dir(next, "right"))
-    keepEnds.write.mode(SaveMode.Overwrite).parquet(dir(next, "ends"))
-    commitManifest(next, newWm, thisBatch)
+    // durability order: emitted docs + bucket state + ends first, manifest
+    // (atomic move) last — a crash in between leaves the manifest at the
+    // old version naming only old, fully-written dirs, and any half-written
+    // v(next) output is overwritten on redelivery.
+    emitted.write.mode(SaveMode.Overwrite).parquet(scalarDir("emitted", next))
+    val newLeftVer = writeBuckets("left", keepLeft, dirtyLeft, leftVer, next)
+    val newRightVer = writeBuckets("right", keepRight, dirtyRight, rightVer, next)
+    keepEnds.write.mode(SaveMode.Overwrite).parquet(scalarDir("ends", next))
+    reach.unpersist()
+    commitManifest(next, newWm, thisBatch, newLeftVer, newRightVer)
     version = next
     watermark = newWm
     committedBatch = thisBatch
-    pruneBelow(next)
-    spark.read.parquet(dir(next, "emitted"))
+    leftVer = newLeftVer
+    rightVer = newRightVer
+    prune(newLeftVer, newRightVer, next)
+    spark.read.parquet(scalarDir("emitted", next))
   }
 
   /** Current watermark (largest emitted commit LSN; MinValue before any). */
@@ -202,13 +340,16 @@ class TxReplayStream(spark: SparkSession, stateRoot: String) {
   /** Last micro-batch id whose state+output are durably committed. */
   def lastCommittedBatch: Long = committedBatch
 
+  /** Number of state buckets in effect (manifest's on resume). */
+  def bucketCount: Int = buckets
+
   /** The committed output of the newest processed batch — what a restarted
     * query must redeliver when Structured Streaming re-runs a batch the
     * engine already committed but the sink did not.
     */
   def lastEmitted: DataFrame = {
     require(version >= 0, "no batch committed yet")
-    spark.read.parquet(dir(version, "emitted"))
+    spark.read.parquet(scalarDir("emitted", version))
   }
 }
 

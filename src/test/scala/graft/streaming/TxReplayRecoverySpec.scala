@@ -60,10 +60,18 @@ class TxReplayRecoverySpec extends AnyFunSuite with Matchers {
     e2.currentWatermark shouldBe 200L
     e2.lastCommittedBatch shouldBe 1L
 
-    // superseded state versions are pruned; only the live one remains
-    val liveVersions = Files.list(Paths.get(root)).toArray.map(_.toString)
-      .map(p => Paths.get(p).getFileName.toString)
-      .filter(_.startsWith("v")).sorted.toSeq
-    liveVersions shouldBe Seq("v1")
+    // superseded state versions are pruned: the scalar dirs (ends, emitted)
+    // keep only the newest version, and every state bucket keeps at most
+    // ONE live version dir (untouched buckets may legitimately still point
+    // at an older version — that is the incremental design)
+    def names(p: java.nio.file.Path): Seq[String] = {
+      val ls = Files.list(p)
+      try ls.toArray.map(x => x.asInstanceOf[java.nio.file.Path].getFileName.toString).toSeq.sorted
+      finally ls.close()
+    }
+    names(Paths.get(root, "ends")) shouldBe Seq("v1")
+    names(Paths.get(root, "emitted")) shouldBe Seq("v1")
+    for (side <- Seq("left", "right"); b <- names(Paths.get(root, side)) if b.startsWith("b"))
+      names(Paths.get(root, side, b)).size shouldBe 1
   }
 }
