@@ -270,6 +270,22 @@ object ReferenceQueries {
         .ordered("id", "event_id")
     }),
 
+    // O2: the SQL PTF's exact state machine (SqlPtfJob.java:131-165) — like
+    // q_toast_backfill but a delete RESETS the latch: a sentinel arriving
+    // after a 'd' backfills NULL, not the pre-delete value. error→'d',
+    // purchase→'c', click→'u'+sentinel, rest→'u'.
+    "q_toast_ptf" -> ((s, d) => {
+      val src = Tables.events(s, d).select(
+        col("user_id").as("id"), col("event_id").as("lsn"),
+        when(col("event_type") === "error", "d")
+          .when(col("event_type") === "purchase", "c")
+          .otherwise("u").as("op"),
+        when(col("event_type") === "click", Envelope.ToastSentinel)
+          .otherwise(col("props")).as("biography"))
+      Toast.backfillPtf(src, "id", col("lsn"), "op", "biography")
+        .ordered("id", "lsn")
+    }),
+
     // J4: latest-version-per-key as-of a point (the tx join's row resolution).
     "q_latest_asof" -> ((s, d) => {
       val cutoff = lit("1997-01-01").cast(TimestampType)
@@ -729,6 +745,25 @@ object ReferenceQueries {
         |         RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW)
         | ELSE biography END AS biography
         |FROM src ORDER BY id, event_id""".stripMargin,
+
+    "q_toast_ptf" ->
+      """WITH src AS (
+        | SELECT user_id AS id, event_id AS lsn,
+        |  CASE WHEN event_type = 'error' THEN 'd'
+        |       WHEN event_type = 'purchase' THEN 'c' ELSE 'u' END AS op,
+        |  CASE WHEN event_type = 'click' THEN '__debezium_unavailable_value'
+        |       ELSE props END AS biography
+        | FROM events)
+        |SELECT id, lsn, op,
+        | CASE WHEN op = 'u' AND biography = '__debezium_unavailable_value' THEN
+        |  (last_value(CASE WHEN op = 'd' THEN {'v': NULL::VARCHAR}
+        |              WHEN op = 'c' THEN {'v': biography}
+        |              WHEN op = 'u' AND biography IS DISTINCT FROM '__debezium_unavailable_value'
+        |               THEN {'v': biography} END IGNORE NULLS)
+        |    OVER (PARTITION BY id ORDER BY lsn
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)).v
+        | ELSE biography END AS biography
+        |FROM src ORDER BY id, lsn""".stripMargin,
 
     "q_latest_asof" ->
       """SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity FROM (

@@ -53,6 +53,39 @@ object Toast {
       when(col(targetCol) === sentinel, latch).otherwise(col(targetCol)))
   }
 
+  /** O2: the SQL PTF's EXACT state machine
+    * (`SqlPtfJob.java:131-165, ToastBackfillFunction.eval`), batch form —
+    * the one semantic the OVER-agg latch lacks is the DELETE RESET:
+    * `op='d'` clears the per-key state, so a sentinel arriving after a
+    * delete backfills NULL, not the pre-delete value. Faithful port of the
+    * switch: c/r set state to the value AS-IS (even a sentinel), u sets it
+    * only for non-sentinel values (a NULL update value sets NULL — `equals`
+    * on the sentinel constant), d resets to null; only a sentinel-valued
+    * UPDATE substitutes.
+    *
+    * Declarative spelling: state-setting events become a non-null struct
+    * (struct-wrapping distinguishes "state is NULL" from "no state
+    * change"); the per-key running `last(ignoreNulls)` IS the state at each
+    * row. Same single-shuffle + per-key-sort plan as [[backfill]]. Spark
+    * has no `FROM Fn(TABLE t PARTITION BY k)` PTF syntax, so this library
+    * form + the windowed SQL spelling (SqlIngestParitySpec) are the
+    * SQL-surface mapping of the reference's PTF invocation
+    * (`SqlPtfJob.java:116-126`).
+    */
+  def backfillPtf(df: DataFrame, keyCol: String, ord: Column, opCol: String,
+                  targetCol: String, sentinel: String = Envelope.ToastSentinel): DataFrame = {
+    import org.apache.spark.sql.types.StringType
+    val w = Window.partitionBy(col(keyCol)).orderBy(ord)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val v = col(targetCol)
+    val setter = when(col(opCol) === "d", struct(lit(null).cast(StringType).as("v")))
+      .when(col(opCol).isin("c", "r"), struct(v.as("v")))
+      .when(col(opCol) === "u" && !(v <=> sentinel), struct(v.as("v")))
+    val state = last(setter, ignoreNulls = true).over(w).getField("v")
+    df.withColumn(targetCol,
+      when(col(opCol) === "u" && v === sentinel, state).otherwise(v))
+  }
+
   /** Backfill a field inside the envelope's `after` struct — the reference's
     * actual call shape (`after.biography`), rebuilding the ROW with one field
     * replaced (P3, `SqlOverAggJob.java:113-129`).
