@@ -115,6 +115,27 @@ object ReferenceQueries {
         .ordered("event_type")
     }),
 
+    // §1.2: JSONB as a first-class type — the reference's `details jsonb`
+    // column (`debezium-engine/postgres/public_inventory.sql:38`) mapped to
+    // Spark 4 VARIANT instead of string+get_json_object: parse once
+    // (binary-encoded, no re-parse per path), then typed path extraction
+    // incl. nested objects and array indexing. The oracle recomputes the
+    // same values from the base columns directly — proving the variant
+    // round-trip is lossless and correctly typed.
+    "q_variant" -> ((s, d) => {
+      val enriched = Tables.events(s, d).withColumn("j", to_json(struct(
+        get_json_object(col("props"), "$.k").cast(LongType).as("k"),
+        struct(col("event_type").as("t")).as("meta"),
+        array(col("value"), col("value") * 2).as("arr"))))
+      enriched
+        .withColumn("v", parse_json(col("j")))
+        .select(col("event_id"),
+          variant_get(col("v"), "$.k", "bigint").as("k"),
+          variant_get(col("v"), "$.meta.t", "string").as("t"),
+          variant_get(col("v"), "$.arr[1]", "double").as("v2"))
+        .ordered("event_id")
+    }),
+
     // S1+S4+S5: full envelope encode→decode roundtrip. Build a Debezium
     // envelope JSON from each event row, decode it with the typed schema,
     // re-derive txId/commitLsn (P7) — output must equal the source rows.
@@ -659,6 +680,12 @@ object ReferenceQueries {
         | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         | count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_variant" ->
+      """SELECT event_id,
+        | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        | event_type AS t, value * 2 AS v2
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "q_envelope_roundtrip" ->
       """SELECT event_id, user_id, event_type, value, 'c' AS op,
