@@ -135,6 +135,16 @@ object ScaleQueries {
         .ordered("q_id", "rank")
     }),
 
+    // IVF with nprobe=2: queries scan their two nearest centroids' buckets —
+    // the recall dial for queries near Voronoi boundaries. Corpus buckets
+    // stay disjoint (nearest-1), so no pair dedup is needed.
+    "q_embed_ivf_nprobe" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.ivfTopKProbe(e, e.filter(col("vec_id") % 10 === 3),
+        e.filter(col("label") === 0), k = 3, nprobe = 2)
+        .ordered("q_id", "rank")
+    }),
+
     // BPE-style pre-tokenization counts. The corpus text is pure [a-z ], so
     // digit/punctuation runs are appended deterministically (same expression
     // in the oracle) to exercise every regex branch.
@@ -840,6 +850,30 @@ object ScaleQueries {
         |  ${cosSql("q.v", "c.v")} AS cos
         | FROM assign q JOIN assign c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
         | WHERE q.label = 0)
+        |SELECT q_id, neighbor_id, cos, CAST(rank AS INTEGER) AS rank FROM (
+        | SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank
+        | FROM p)
+        |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+
+    "q_embed_ivf_nprobe" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+        |cent AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % 10 = 3),
+        |scored AS (
+        | SELECT e.vec_id, e.v, e.label, c.centroid_id,
+        |  ${cosSql("e.v", "c.cv")} AS ccos
+        | FROM e CROSS JOIN cent c),
+        |ranked AS (
+        | SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) AS rn
+        | FROM scored),
+        |assign AS (
+        | SELECT vec_id, v, centroid_id AS bucket FROM ranked WHERE rn = 1),
+        |probes AS (
+        | SELECT vec_id AS q_id, v AS qv, centroid_id AS bucket
+        | FROM ranked WHERE label = 0 AND rn <= 2),
+        |p AS (
+        | SELECT q.q_id, c.vec_id AS neighbor_id,
+        |  ${cosSql("q.qv", "c.v")} AS cos
+        | FROM probes q JOIN assign c ON q.bucket = c.bucket AND q.q_id <> c.vec_id)
         |SELECT q_id, neighbor_id, cos, CAST(rank AS INTEGER) AS rank FROM (
         | SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank
         | FROM p)

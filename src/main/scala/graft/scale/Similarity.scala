@@ -155,6 +155,45 @@ object Similarity {
       .select("a_id", "b_id", "cos")
   }
 
+  /** IVF-flat probe with nprobe > 1: each query scans its `nprobe` nearest
+    * centroids' buckets instead of only its own — the standard IVF recall
+    * dial (a query near a Voronoi boundary finds neighbors that fell just
+    * across it). Corpus buckets stay nearest-1 (disjoint), so probing N
+    * buckets never produces duplicate (query, neighbor) pairs and needs no
+    * dedup. Cost: nprobe × the per-bucket scan; the probe-ranking window
+    * runs only over |queries| × |centroids| rows (queries are the small
+    * side by contract — the corpus assignment stays the map-side-combined
+    * max_by). `nprobe = 1` reduces exactly to [[ivfTopK]].
+    */
+  def ivfTopKProbe(corpus: DataFrame, centroids: DataFrame, queryIds: DataFrame,
+                   k: Int, nprobe: Int,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    // cache(): the assignment table feeds both the probe and corpus sides
+    val assigned = assignBuckets(corpus, centroids, idCol, vecCol).cache()
+    val qvecs = assigned.join(queryIds.select(col(idCol).as("vec_id")), Seq("vec_id"))
+      .select(col("vec_id").as("q_id"), col("vec").as("q_vec"), col("norm").as("q_norm"))
+    val cent = normed(centroids, idCol, vecCol, "cent")
+      .withColumnRenamed("cent_id", "centroid_id")
+    val pw = Window.partitionBy("q_id").orderBy(col("ccos").desc, col("centroid_id"))
+    val probes = qvecs.join(broadcast(cent))
+      .withColumn("ccos",
+        pairCos(col("q_vec"), col("cent_vec"), col("q_norm"), col("cent_norm")))
+      .withColumn("crank", row_number().over(pw))
+      .filter(col("crank") <= nprobe)
+      .select(col("q_id"), col("centroid_id").as("bucket"), col("q_vec"), col("q_norm"))
+    val bucketed = assigned
+      .select(col("vec_id").as("neighbor_id"), col("bucket"),
+        col("vec").as("c_vec"), col("norm").as("c_norm"))
+    val scored = probes.join(bucketed, Seq("bucket"))
+      .filter(col("q_id") =!= col("neighbor_id"))
+      .withColumn("cos", pairCos(col("q_vec"), col("c_vec"), col("q_norm"), col("c_norm")))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "neighbor_id", "cos", "rank")
+  }
+
   /** IVF-flat probe: top-k within the query's own bucket (nprobe = 1).
     * Approximate by construction — the recall/cost trade-off is the bucket
     * count; exactness is what `bruteForceTopK` is for.
