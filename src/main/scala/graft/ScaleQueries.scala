@@ -339,6 +339,24 @@ object ScaleQueries {
         .ordered("doc_id")
     }),
 
+    // Multimodal REAL decode: a deterministic synthetic BMP per doc
+    // (dimensions + every pixel are closed-form in (doc_id, x, y)), decoded
+    // by the actual 24bpp BMP parser (offset arithmetic, no codec library)
+    // through the per-partition decode seam. The oracle recomputes the
+    // per-channel means from the pixel formulas directly — it never parses
+    // BMP, so agreement proves the decoder reads the layout correctly.
+    "q_multimodal_decode" -> ((s, d) => {
+      import s.implicits._
+      val ids = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      val frames = ids.map(id => (id, 0, Multimodal.syntheticBmp(id)))
+      Multimodal.decodeImages(frames).toDF()
+        .select(col("doc_id"), col("width"), col("height"),
+          round(col("mean_r"), 6).as("mean_r"),
+          round(col("mean_g"), 6).as("mean_g"),
+          round(col("mean_b"), 6).as("mean_b"))
+        .ordered("doc_id")
+    }),
+
     // Multimodal: documents.text as a stand-in binary payload — typed
     // metadata (length/sha256/magic) + frame sampling, all over BINARY.
     "q_multimodal_meta" -> ((s, d) => {
@@ -833,6 +851,23 @@ object ScaleQueries {
         |   AS resized_hex,
         | octet_length(encode(text)) AS byte_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_multimodal_decode" ->
+      """WITH d AS (
+        | SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents),
+        |idx AS (
+        | SELECT doc_id, w, h, unnest(generate_series(0, w * h - 1)) AS i FROM d),
+        |px AS (
+        | SELECT doc_id, w, h,
+        |  ((i % w) * 7 + (i // w) * 13 + doc_id) % 256 AS r,
+        |  ((i % w) * 3 + (i // w) * 5 + 2 * doc_id) % 256 AS g,
+        |  ((i % w) + (i // w) + 3 * doc_id) % 256 AS b
+        | FROM idx)
+        |SELECT doc_id, CAST(max(w) AS INT) AS width, CAST(max(h) AS INT) AS height,
+        | round(CAST(sum(r) AS DOUBLE) / (max(w) * max(h)), 6) AS mean_r,
+        | round(CAST(sum(g) AS DOUBLE) / (max(w) * max(h)), 6) AS mean_g,
+        | round(CAST(sum(b) AS DOUBLE) / (max(w) * max(h)), 6) AS mean_b
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_embed_ivf" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),

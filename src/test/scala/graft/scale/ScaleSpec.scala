@@ -32,6 +32,32 @@ class ScaleSpec extends AnyFunSuite with Matchers {
     decoded.map(f => (f.doc_id, f.frame_no)).distinct.length shouldBe decoded.length
   }
 
+  test("BMP codec: encode → decode round-trips dimensions and exact channel means") {
+    // 3x2 image with hand-computed channel sums; width 3 forces row padding
+    // (9 pixel bytes → 12-byte rows), the layout detail a naive reader gets
+    // wrong. Pixels (x,y): r = 10x + y, g = 100 + x, b = 250 - 10y.
+    val bytes = Multimodal.encodeBmp(3, 2, (x, y) => (10 * x + y, 100 + x, 250 - 10 * y))
+    val f = Multimodal.decodeBmp(7L, 0, bytes)
+    f.doc_id shouldBe 7L
+    f.width shouldBe 3
+    f.height shouldBe 2
+    // r: {0,10,20, 1,11,21} → 63/6; g: {100,101,102}×2 → 606/6; b: {250×3, 240×3}
+    f.mean_r shouldBe 63.0 / 6 +- 1e-12
+    f.mean_g shouldBe 606.0 / 6 +- 1e-12
+    f.mean_b shouldBe (750.0 + 720.0) / 6 +- 1e-12
+
+    // the distributed seam with the real codec
+    val frames = Seq((1L, 0), (2L, 0), (10L, 1)).toDS()
+      .map { case (id, no) => (id, no, Multimodal.syntheticBmp(id)) }
+    val out = Multimodal.decodeImages(frames).collect().sortBy(_.doc_id)
+    out.map(f => (f.doc_id, f.width, f.height)).toSeq shouldBe
+      Seq((1L, 5, 4), (2L, 6, 5), (10L, 4, 5))
+
+    // malformed payloads fail loudly, not as garbage statistics
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.decodeBmp(0L, 0, Array[Byte](1, 2, 3))
+  }
+
   test("IVF top-k recalls most brute-force neighbors on its own bucket") {
     val e = Tables.embeddings(spark, sf)
     val queries = e.filter(col("label") === 0)
