@@ -228,9 +228,9 @@ object NearDup {
     * graph diameter; near-dup components are cliques or short chains
     * (diameter ≤ ~3), so the loop is 2-4 rounds of one join + one groupBy
     * each — the standard Spark iterative-graph pattern. For adversarial
-    * long-chain graphs at cluster scale, swap the propagation step for the
-    * large-star/small-star contraction (Kiveris et al.), which converges in
-    * O(log n) rounds with the same per-round shape.
+    * long-chain graphs at cluster scale use [[clusterPairsLargeGraph]]
+    * (large-star/small-star contraction, O(log n) rounds, same per-round
+    * shape and output contract).
     *
     * Returns one row per input id: (id, cluster_root, is_canonical) with
     * `cluster_root` = min id of the component and singletons their own root.
@@ -260,6 +260,88 @@ object NearDup {
     edges.unpersist()
     labels.withColumn("is_canonical", col("id") === col("root"))
       .withColumnRenamed("root", "cluster_root")
+  }
+
+  /** [[clusterPairs]]'s adversarial-graph counterpart: connected components
+    * via alternating large-star/small-star contraction (the two-operation
+    * MapReduce CC algorithm of Kiveris et al., "Connected Components in
+    * MapReduce and Beyond") — O(log n) rounds on ANY graph shape, where
+    * min-label propagation needs diameter rounds (a 10k-link chain of
+    * near-dups would take 10k propagation rounds but ~log₂(10k) ≈ 14
+    * contractions). Same per-round plan shape: one aggregate + one join.
+    *
+    *  - large-star: every node links its STRICTLY LARGER neighbors to the
+    *    minimum of its closed neighborhood — components contract downward
+    *    without ever creating an upward edge (no cycles).
+    *  - small-star: every node links its not-larger neighbors and itself
+    *    to that minimum — flattens the trees large-star built.
+    *
+    * Fixpoint = the edge set stops changing; the graph is then a union of
+    * stars centered at each component's minimum id. Output contract is
+    * identical to [[clusterPairs]]: (id, cluster_root, is_canonical), one
+    * row per input id, singletons their own root.
+    */
+  def clusterPairsLargeGraph(ids: DataFrame, pairs: DataFrame,
+                             maxRounds: Int = 40): DataFrame = {
+    // Canonical (big, small) orientation; self-pairs contribute nothing.
+    // Each round ends in an EAGER localCheckpoint — the standard lineage
+    // fence for iterative graph algorithms, and here it is load-bearing
+    // twice over: (a) the convergence probe alone is limit-1 and would
+    // materialize only the partitions it touched, leaving later rounds to
+    // recompute through r-deep lineage; (b) every round references the
+    // previous round's frame TWICE (the symmetric union + the probe), so
+    // an uncheckpointed plan is a shared DAG whose per-action string
+    // rendering (SQL-listener plan descriptions) expands to 2^rounds
+    // nodes — measured as minutes of driver CPU inside generateTreeString
+    // by round ~8. A LogicalRDD leaf keeps every round's plan constant
+    // size. Superseded rounds' blocks are reclaimed by the ContextCleaner
+    // once their frames go out of scope.
+    var edges = pairs
+      .select(greatest(col("a_id"), col("b_id")).as("u"),
+        least(col("a_id"), col("b_id")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true)
+    var edgeCount = edges.count()
+    var converged = edgeCount == 0
+    var round = 0
+    while (!converged && round < maxRounds) {
+      // ---- large-star: over the SYMMETRIC neighbor view ----
+      val sym = edges.select(col("u"), col("v"))
+        .union(edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(least(min("v"), first("u")).as("m"))
+      // emit {v, m(u)} for v > u: m ≤ u < v keeps the (big, small) orientation
+      val ls = sym.join(mins, Seq("u"))
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+      // ---- small-star: ls is (big, small)-oriented, so grouping by u sees
+      // exactly the not-larger neighbors ----
+      val mins2 = ls.groupBy("u").agg(min("v").as("m")) // all v < u ⇒ min(N∪{u}) = min(v)
+      val next = ls.join(mins2, Seq("u"))
+        .select(explode(array(
+          struct(col("v").as("x"), col("m").as("y")), // small neighbor → m
+          struct(col("u").as("x"), col("m").as("y")))) // u itself → m
+          .as("e"))
+        .select(col("e.x").as("u"), col("e.y").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint(true) // lineage fence — see the header comment
+      val nextCount = next.count()
+      // fixpoint: same cardinality AND no edge outside the old set ⇒ the
+      // distinct edge sets are equal (one anti-join probe, limit-1)
+      converged = nextCount == edgeCount &&
+        next.exceptAll(edges).limit(1).isEmpty
+      edges = next
+      edgeCount = nextCount
+      round += 1
+    }
+    // at the star fixpoint every edge is (member, component-min)
+    val roots = edges.groupBy("u").agg(min("v").as("root"))
+    val out = ids.join(roots, ids("id") === roots("u"), "left")
+      .select(col("id"),
+        coalesce(col("root"), col("id")).as("cluster_root"))
+      .withColumn("is_canonical", col("id") === col("cluster_root"))
+    out
   }
 
   /** EXACT n-gram-Jaccard similarity join via prefix filtering: canonical

@@ -92,12 +92,22 @@ class ConversionsSpec extends AnyFunSuite with Matchers {
     val joined = Skew.saltedJoin(dupRows, small, "k", salts = 8)
     joined.count() shouldBe 800 // row-preserving under duplicates
 
-    // observable spread: the documented salt formula over identical rows
-    // lands on >1 salt only because of the positional component
-    val salts = dupRows
-      .withColumn("_salt", pmod(hash(col("k"), col("v"), monotonically_increasing_id()), lit(8)))
+    // observable spread: identical rows land on >1 salt only because of
+    // the per-partition occurrence counter (a pure content hash would
+    // collapse them all onto one salt)
+    val saltDist = graft.scale.Skew.withSalt(dupRows, 8)
       .select("_salt").distinct().count()
-    salts should be > 1L
+    saltDist should be > 1L
+
+    // retry stability: the salt is a pure function of the partition's row
+    // MULTISET (content hash + occurrence), so re-evaluating the same
+    // input — Spark's recompute of a retried task — yields the identical
+    // salted multiset, row order notwithstanding
+    val a = graft.scale.Skew.withSalt(dupRows, 8)
+      .groupBy("_salt").count().orderBy("_salt").collect().toSeq
+    val b = graft.scale.Skew.withSalt(dupRows, 8)
+      .groupBy("_salt").count().orderBy("_salt").collect().toSeq
+    a shouldBe b
 
     // the row-preserving contract holds only for inner/left
     an[IllegalArgumentException] should be thrownBy
