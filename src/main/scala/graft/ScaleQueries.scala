@@ -385,6 +385,17 @@ object ScaleQueries {
         .ordered("doc_id")
     }),
 
+    // Same contamination report via the Bloom-prefilter path (exact output;
+    // the prefilter only prunes the gram shuffle — see Decontam scaladoc).
+    "q_decontaminate_bloom" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      Decontam.bloomDecontaminate(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0),
+        "doc_id", "text", n = 5)
+        .ordered("doc_id")
+    }),
+
     // Gopher-style repetition filters: top-token fraction + duplicate
     // 2/3-gram fractions, with the quality-gate flag.
     "q_repetition" -> ((s, d) => {
@@ -915,6 +926,27 @@ object ScaleQueries {
         |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
 
     "q_decontaminate" ->
+      """WITH g AS (
+        | SELECT doc_id,
+        |  CASE WHEN len(toks) >= 5 THEN
+        |   list_distinct(list_transform(generate_series(1, len(toks)-4),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+        |         toks[i+3] || ' ' || toks[i+4]))
+        |  ELSE []::VARCHAR[] END AS grams
+        | FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+        |ev AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 50 = 0),
+        |tr AS (SELECT doc_id, grams FROM g WHERE doc_id % 50 <> 0),
+        |ov AS (SELECT doc_id, count(*) AS n_overlap
+        |       FROM (SELECT doc_id, unnest(grams) AS gram FROM tr) tg
+        |       JOIN ev USING (gram) GROUP BY doc_id)
+        |SELECT t.doc_id, len(t.grams) AS n_grams,
+        | coalesce(ov.n_overlap, 0) AS n_overlap,
+        | coalesce(ov.n_overlap, 0) >= 1 AS contaminated
+        |FROM tr t LEFT JOIN ov USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // The Bloom path is exact (no false negatives + exact verify), so its
+    // oracle is the same exact-overlap SQL as q_decontaminate.
+    "q_decontaminate_bloom" ->
       """WITH g AS (
         | SELECT doc_id,
         |  CASE WHEN len(toks) >= 5 THEN

@@ -37,6 +37,41 @@ class CurationSpec extends AnyFunSuite with Matchers {
     out.map(_.getInt(1)) shouldBe Array(3, 3, 0, 5)
   }
 
+  test("bloomDecontaminate: exact-equivalent to decontaminate") {
+    val train = Seq(
+      (1L, "a b c d e f g"),
+      (2L, "x y z w v u t"),
+      (3L, "a b c"),
+      (4L, "a b c d e a b c d e")
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, "a b c d e f")).toDF("doc_id", "text")
+
+    val out = Decontam.bloomDecontaminate(train, eval, "doc_id", "text", n = 5)
+      .orderBy("doc_id").collect()
+    out.map(_.getLong(0)) shouldBe Array(1L, 2L, 3L, 4L)
+    out.map(_.getLong(2)) shouldBe Array(2L, 0L, 0L, 1L)
+    out.map(_.getBoolean(3)) shouldBe Array(true, false, false, true)
+    out.map(_.getInt(1)) shouldBe Array(3, 3, 0, 5)
+
+    // Equivalence on a wider corpus, including at an aggressive (tiny) Bloom
+    // sizing where false positives are LIKELY — the verify join must erase
+    // them. 200 synthetic docs over a 30-word vocabulary.
+    val words = ('a' to 'z').map(_.toString) ++ Seq("aa", "bb", "cc", "dd")
+    val docs = (1L to 200L).map { i =>
+      val toks = (0 until 12).map(j => words(((i * 7 + j * j + 3) % 30).toInt))
+      (i, toks.mkString(" "))
+    }.toDF("doc_id", "text")
+    val tr = docs.filter(col("doc_id") % 10 =!= 0)
+    val ev = docs.filter(col("doc_id") % 10 === 0)
+    val exact = Decontam.decontaminate(tr, ev, "doc_id", "text", n = 5)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    for (bits <- Seq(2, 16)) { // 2 bits/gram ≈ 40% fpp: FP-heavy path
+      val bloom = Decontam.bloomDecontaminate(tr, ev, "doc_id", "text", n = 5,
+        bitsPerGram = bits).orderBy("doc_id").collect().map(_.toSeq)
+      bloom shouldBe exact
+    }
+  }
+
   test("repetitionStats: fractions match hand computation") {
     val docs = Seq(
       (1L, "spam spam spam spam"), // top token 4/4; 2-grams: 3 total, 1 distinct
