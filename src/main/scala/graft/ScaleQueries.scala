@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 import org.apache.spark.sql.expressions.Window
 
 import graft.Ordered._
-import graft.scale.{Decontam, Embeddings, Multimodal, NearDup, Packing, Sampling, Similarity, TextOps}
+import graft.scale.{Decontam, Dsir, Embeddings, Multimodal, NearDup, Packing, Sampling, Similarity, TextOps}
 
 /** Driver-verifiable queries for the training-data-pipeline operators
   * (`graft.scale`) over the `documents` table, each with a DuckDB oracle
@@ -394,6 +394,27 @@ object ScaleQueries {
         docs.filter(col("doc_id") % 50 === 0),
         "doc_id", "text", n = 5)
         .ordered("doc_id")
+    }),
+
+    // DSIR importance weights: docs with doc_id % 10 = 1 stand in for the
+    // target corpus; every other doc is raw and gets a weight.
+    "q_dsir_weights" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      Dsir.importanceWeights(
+        docs.filter(col("doc_id") % 10 =!= 1),
+        docs.filter(col("doc_id") % 10 === 1),
+        "doc_id", "text")
+        .ordered("doc_id")
+    }),
+
+    // Gumbel top-k resampling over the same weights: sampling-without-
+    // replacement ∝ exp(weight), deterministic via md5-derived noise.
+    "q_dsir_select" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      Dsir.resampleTopK(
+        docs.filter(col("doc_id") % 10 =!= 1),
+        docs.filter(col("doc_id") % 10 === 1),
+        "doc_id", "text", k = 50)
     }),
 
     // Gopher-style repetition filters: top-token fraction + duplicate
@@ -964,6 +985,57 @@ object ScaleQueries {
         | coalesce(ov.n_overlap, 0) AS n_overlap,
         | coalesce(ov.n_overlap, 0) >= 1 AS contaminated
         |FROM tr t LEFT JOIN ov USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // Mirrors Dsir.weightsNano verbatim: same md5 buckets, same smoothing
+    // expression shape (identical IEEE evaluation order), nano-LONG floor
+    // before the per-doc sum so summation order can't perturb the double.
+    "q_dsir_weights" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT doc_id, unnest(list_concat(toks,
+        |   CASE WHEN len(toks) >= 2 THEN
+        |    list_transform(generate_series(1, len(toks)-1),
+        |     i -> toks[i] || ' ' || toks[i+1])
+        |   ELSE []::VARCHAR[] END)) AS gram FROM t),
+        |b AS (SELECT doc_id,
+        |   ('0x' || substr(md5(gram), 1, 15))::BIGINT % 1024 AS bucket FROM g),
+        |tc AS (SELECT bucket, count(*) AS ct FROM b WHERE doc_id % 10 = 1 GROUP BY bucket),
+        |rc AS (SELECT bucket, count(*) AS cr FROM b WHERE doc_id % 10 <> 1 GROUP BY bucket),
+        |tot AS (SELECT (SELECT sum(ct) FROM tc) AS nt, (SELECT sum(cr) FROM rc) AS nr),
+        |ratios AS (SELECT bucket,
+        |   CAST(floor(ln(((coalesce(ct, 0) + 1.0) / (nt + 1024.0)) /
+        |                 ((coalesce(cr, 0) + 1.0) / (nr + 1024.0))) * 1000000000.0)
+        |     AS BIGINT) AS lr_nano
+        |   FROM tc FULL OUTER JOIN rc USING (bucket) CROSS JOIN tot)
+        |SELECT doc_id, count(*) AS n_feats,
+        | round(sum(lr_nano) / 1000000000.0, 6) AS log_w
+        |FROM b JOIN ratios USING (bucket) WHERE doc_id % 10 <> 1
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_dsir_select" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT doc_id, unnest(list_concat(toks,
+        |   CASE WHEN len(toks) >= 2 THEN
+        |    list_transform(generate_series(1, len(toks)-1),
+        |     i -> toks[i] || ' ' || toks[i+1])
+        |   ELSE []::VARCHAR[] END)) AS gram FROM t),
+        |b AS (SELECT doc_id,
+        |   ('0x' || substr(md5(gram), 1, 15))::BIGINT % 1024 AS bucket FROM g),
+        |tc AS (SELECT bucket, count(*) AS ct FROM b WHERE doc_id % 10 = 1 GROUP BY bucket),
+        |rc AS (SELECT bucket, count(*) AS cr FROM b WHERE doc_id % 10 <> 1 GROUP BY bucket),
+        |tot AS (SELECT (SELECT sum(ct) FROM tc) AS nt, (SELECT sum(cr) FROM rc) AS nr),
+        |ratios AS (SELECT bucket,
+        |   CAST(floor(ln(((coalesce(ct, 0) + 1.0) / (nt + 1024.0)) /
+        |                 ((coalesce(cr, 0) + 1.0) / (nr + 1024.0))) * 1000000000.0)
+        |     AS BIGINT) AS lr_nano
+        |   FROM tc FULL OUTER JOIN rc USING (bucket) CROSS JOIN tot),
+        |w AS (SELECT doc_id, sum(lr_nano) AS w_nano
+        |      FROM b JOIN ratios USING (bucket) WHERE doc_id % 10 <> 1
+        |      GROUP BY doc_id)
+        |SELECT doc_id,
+        | round(w_nano / 1000000000.0 +
+        |  -ln(-ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |           + 0.5) / 1152921504606846976.0)), 6) AS score
+        |FROM w ORDER BY score DESC, doc_id LIMIT 50""".stripMargin,
 
     "q_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
