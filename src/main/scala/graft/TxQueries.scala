@@ -104,6 +104,20 @@ object TxQueries {
       present(TxReplay.replay(l, r, ends))
     }),
 
+    // The same end-to-end replay through the sorted per-key scan form —
+    // identical semantics and oracle; the hot-key (many-txs-per-key) plan.
+    "q_tx_replay_sorted" -> ((s, d) => {
+      val l = leftEvents(s, d)
+      val r = rightEvents(s, d)
+      val maxTx = l.agg(max("tx_id").as("max_tx"))
+      val ends = txEnds(l, r).crossJoin(broadcast(maxTx))
+        .withColumn("expected_right",
+          when(col("tx_id") === col("max_tx") - 3, col("expected_right") + 1)
+            .otherwise(col("expected_right")))
+        .drop("max_tx")
+      present(TxReplay.replaySorted(l, r, ends))
+    }),
+
     // A1 accumulation across transactions (IT scenario 3 shape): odd-suppkey
     // lines commit with their order; even-suppkey lines commit in a later
     // tx (+50000) → a second, cumulative doc per affected order.
@@ -214,6 +228,16 @@ object TxQueries {
 
   val oracle: Map[String, String] = Map(
     "q_tx_replay_orders" ->
+      s"""SELECT o.o_orderkey AS key, 1000000 + (o.o_orderkey // 10) AS commit_lsn,
+        | o.o_custkey, o.o_orderstatus, o.o_totalprice, o.o_orderdate, o.o_orderpriority,
+        | $linesJson AS lines,
+        | false AS deleted
+        |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |WHERE (o.o_orderkey // 10) < (SELECT max(o_orderkey // 10) FROM orders) - 3
+        |GROUP BY ALL ORDER BY key, commit_lsn""".stripMargin,
+
+    // identical semantics to q_tx_replay_orders (the sorted-scan form)
+    "q_tx_replay_sorted" ->
       s"""SELECT o.o_orderkey AS key, 1000000 + (o.o_orderkey // 10) AS commit_lsn,
         | o.o_custkey, o.o_orderstatus, o.o_totalprice, o.o_orderdate, o.o_orderpriority,
         | $linesJson AS lines,

@@ -1,6 +1,6 @@
 package graft.tx
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -104,8 +104,20 @@ object TxReplay {
     * key, commit_lsn, row (header struct), lines ARRAY<STRUCT(line_id, row)>
     * sorted by line_id, deleted BOOLEAN.
     */
-  def replay(left: DataFrame, right: DataFrame, txEnds: DataFrame,
-             floorLsn: Long = Long.MinValue): DataFrame = {
+  /** Shared prelude of both replay forms: commit-LSN enrichment, reachable
+    * txs, and the emission probes — every (key, L) where the key changed in
+    * tx L (flushBuffers iterates watermarks × keys; only keys with an event
+    * at L produce pairs — TxAware…Operator.java:221-266). Probes are
+    * deliberately NOT cached or pre-partitioned although both consumers
+    * read them: measured A/B at sf0.1 (TxProfile variants, min of 3),
+    * caching costs ~+1s — the columnar cache write/read exceeds the
+    * recomputation (a union of broadcast-enriched scans + map-side-deduped
+    * distinct), and the InMemoryRelation blocks AQE's runtime replanning of
+    * the joins above it. A pre-repartition on key is a wash for the same
+    * reason.
+    */
+  private def staged(left: DataFrame, right: DataFrame, txEnds: DataFrame,
+                     floorLsn: Long): (DataFrame, DataFrame, DataFrame) = {
     // cache the tx DIMENSION (one row per transaction — always small): it is
     // referenced once per enrichment/probe/as-of branch below, and when the
     // caller derives it from aggregations over the event streams, each
@@ -120,24 +132,21 @@ object TxReplay {
 
     // Probe sources: data events restricted to reachable txs (broadcast tx
     // dimension). NOTE: only the PROBES are restricted — as-of resolution
-    // below scans ALL ENDed events, because settled txs (at or below the
-    // floor in micro-batch use) are valid history for later documents.
+    // scans ALL ENDed events, because settled txs (at or below the floor in
+    // micro-batch use) are valid history for later documents.
     val lr = l.join(broadcast(reachableTx.select("tx_id")), Seq("tx_id"))
     val rr = r.join(broadcast(reachableTx.select("tx_id")), Seq("tx_id"))
 
-    // Emission probes: every (key, L) where the key changed in tx L
-    // (flushBuffers iterates watermarks × keys; only keys with an event at L
-    // produce pairs — TxAware…Operator.java:221-266). Deliberately NOT
-    // cached or pre-partitioned although both as-of joins consume it:
-    // measured A/B at sf0.1 (TxProfile variants, min of 3), caching costs
-    // ~+1s — the columnar cache write/read exceeds the recomputation (a
-    // union of broadcast-enriched scans + map-side-deduped distinct), and
-    // the InMemoryRelation blocks AQE's runtime replanning of the joins
-    // above it. A pre-repartition on key is a wash for the same reason.
     val probes = lr.select(col("key"), col("commit_lsn"))
       .union(rr.select(col("key"), col("commit_lsn")))
       .distinct()
       .withColumnRenamed("commit_lsn", "probe_lsn")
+    (l, r, probes)
+  }
+
+  def replay(left: DataFrame, right: DataFrame, txEnds: DataFrame,
+             floorLsn: Long = Long.MinValue): DataFrame = {
+    val (l, r, probes) = staged(left, right, txEnds, floorLsn)
 
     // Header as-of: latest left per key with commit_lsn <= L, ordered by
     // (commit_lsn, lsn) — the in-tx tiebreak matches the buffer scan order
@@ -184,6 +193,107 @@ object TxReplay {
         col("row"),
         col("lines"),
         (col("left_op") === "d").as("deleted"))
+  }
+
+  /** [[replay]] re-expressed as ONE sorted per-key scan — the versioned-key
+    * (hot-key) form. The declarative replay resolves each probe by joining
+    * it against every event version of its key: per key that costs
+    * O(versions × probes), which is quadratic when single keys are updated
+    * across many transactions (the regime the reference's per-key ListState
+    * buffer handles natively — `TxAware…Operator.java:221-266` walks the
+    * buffer once per flush). This form merges left events, right events,
+    * and probes into one key-partitioned stream sorted by
+    * (commit_lsn, lsn), replays it through per-key running state (latest
+    * left + latest right per line id), and emits each probe's document at
+    * the moment the scan passes it — O((V+P) log (V+P)) sort plus
+    * output-sized emission, never V×P.
+    *
+    * Cost of admission: the scan is a typed `flatMapSortedGroups` — the
+    * per-key loop leaves whole-stage codegen, and every row crosses the
+    * encoder boundary once. Measured at sf0.1 (TxAsofProfile): the
+    * declarative form wins on wide-and-shallow CDC (≤2 versions/key — the
+    * expansion IS the output); this form wins on hot keys (200 keys × 400
+    * txs: the join expansion is 80× the output). Pick by update depth;
+    * both produce identical rows (TxReplaySortedSpec asserts equality on
+    * both regimes).
+    *
+    * Sort-order contract: probes carry lsn = Long.MaxValue, so at equal
+    * commit_lsn a probe sorts after every real event — "as of L" is
+    * inclusive, matching the `commit_lsn <= probe_lsn` predicate of the
+    * join form. State updates are last-write-wins in (commit_lsn, lsn)
+    * order, matching `max_by`.
+    */
+  def replaySorted(left: DataFrame, right: DataFrame, txEnds: DataFrame,
+                   floorLsn: Long = Long.MinValue): DataFrame = {
+    val (l, r, probes) = staged(left, right, txEnds, floorLsn)
+    val lRowType = l.schema("row").dataType
+    val rRowType = r.schema("row").dataType
+
+    // The scan reads scalar columns through typed getters, so pin the input
+    // contract's LONG types explicitly (a no-op for conforming inputs; an
+    // INT key or a commit_lsn that arrived as a wider numeric through an
+    // expression is narrowed here instead of failing row-by-row).
+    val asLong = (c: String) => col(c).cast(LongType).as(c)
+    val unified = l.select(asLong("key"), asLong("commit_lsn"), asLong("lsn"),
+        lit(0).as("kind"), lit(null).cast(LongType).as("line_id"), col("op"),
+        col("row").as("lrow"), lit(null).cast(rRowType).as("rrow"))
+      .unionByName(r.select(asLong("key"), asLong("commit_lsn"), asLong("lsn"),
+        lit(1).as("kind"), asLong("line_id"), col("op"),
+        lit(null).cast(lRowType).as("lrow"), col("row").as("rrow")))
+      .unionByName(probes.select(asLong("key"),
+        col("probe_lsn").cast(LongType).as("commit_lsn"),
+        lit(Long.MaxValue).as("lsn"), lit(2).as("kind"),
+        lit(null).cast(LongType).as("line_id"),
+        lit(null).cast(StringType).as("op"),
+        lit(null).cast(lRowType).as("lrow"), lit(null).cast(rRowType).as("rrow")))
+
+    val lineType = StructType(Seq(
+      StructField("line_id", LongType),
+      StructField("row", rRowType)))
+    val outSchema = StructType(Seq(
+      StructField("key", LongType),
+      StructField("commit_lsn", LongType),
+      StructField("row", lRowType),
+      StructField("lines", ArrayType(lineType)),
+      StructField("deleted", BooleanType)))
+
+    unified
+      .groupByKey((row: Row) => row.getLong(0))(Encoders.scalaLong)
+      .flatMapSortedGroups(col("commit_lsn"), col("lsn"), col("kind")) {
+        (key: Long, rows: Iterator[Row]) =>
+          // running state: latest left version + latest right per line id
+          var leftLsn = Long.MinValue
+          var leftOp: String = null
+          var leftRow: Row = null
+          val lines = scala.collection.mutable.TreeMap.empty[Long, (String, Row)]
+          rows.flatMap { e =>
+            e.getInt(3) match {
+              case 0 => // left event
+                leftLsn = e.getLong(1); leftOp = e.getString(5)
+                leftRow = e.getStruct(6); Iterator.empty
+              case 1 => // right event
+                lines(e.getLong(4)) = (e.getString(5), e.getStruct(7))
+                Iterator.empty
+              case _ => // probe: emit the document as of this commit LSN
+                val probeLsn = e.getLong(1)
+                val nPairs = lines.size
+                // INNER semantics (no left as-of → nothing) and the
+                // reference's emit gate: a left-changed-only probe with
+                // zero pairs produces no document
+                if (leftRow != null && (leftLsn < probeLsn || nPairs > 0)) {
+                  // no right rows as-of L → NULL lines; some rows but all
+                  // deleted → empty array (the collect_list contract)
+                  val arr: Array[Row] =
+                    if (nPairs == 0) null
+                    else lines.iterator.collect {
+                      case (id, (op, rw)) if op != "d" => Row(id, rw)
+                    }.toArray
+                  Iterator.single(Row(key, probeLsn, leftRow, arr, leftOp == "d"))
+                } else Iterator.empty
+            }
+          }
+      }(Encoders.row(outSchema))
+      .toDF()
   }
 
   /** S8/O10: tombstone encoding of the replay output — key JSON + value JSON,
