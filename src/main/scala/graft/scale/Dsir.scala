@@ -58,7 +58,15 @@ object Dsir {
   private def docBuckets(df: DataFrame, idCol: String, textCol: String,
                          numBuckets: Int): DataFrame =
     df.withColumn("_toks", split(col(textCol), " "))
-      .select(col(idCol), explode(unigramsAndBigrams(col("_toks"))).as("_gram"))
+      .select(col(idCol), unigramsAndBigrams(col("_toks")).as("_g"))
+      // explode_outer + isNotNull ≡ explode here (split never yields null
+      // elements, so only a null text row differs — dropped by both), but
+      // explode's implicit isnotnull/size>0 constraints push into the scan
+      // with the gram pipeline inlined per conjunct: measured 2.3 s vs
+      // 0.3 s at sf0.1 for this one generator choice (the Decontam
+      // pathology again)
+      .select(col(idCol), explode_outer(col("_g")).as("_gram"))
+      .where(col("_gram").isNotNull)
       .select(col(idCol),
         pmod(Hashing.md5Long60(col("_gram")), lit(numBuckets.toLong)).as("_bucket"))
 
