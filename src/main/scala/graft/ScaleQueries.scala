@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 import org.apache.spark.sql.expressions.Window
 
 import graft.Ordered._
-import graft.scale.{Decontam, Dsir, Embeddings, Multimodal, NearDup, Packing, Sampling, Similarity, TextOps}
+import graft.scale.{Decontam, Dsir, Embeddings, Multimodal, NearDup, Packing, Sampling, Similarity, SpanDedup, TextOps}
 
 /** Driver-verifiable queries for the training-data-pipeline operators
   * (`graft.scale`) over the `documents` table, each with a DuckDB oracle
@@ -115,6 +115,24 @@ object ScaleQueries {
     "q_ngram_jaccard" -> ((s, d) => {
       NearDup.ngramJaccardJoin(Tables.documents(s, d), "doc_id", "text", threshold = 0.5)
         .ordered("a_id", "b_id")
+    }),
+
+    // Exact substring (span-level) dedup, Lee et al. ACL 2022: duplicated
+    // k-token runs keep only their smallest-(doc,pos) occurrence. Fixture
+    // plants half-copies (the first floor(n/2) tokens of every >=16-token
+    // doc, id+10000) — each reduces to '' or a short tail; the base
+    // corpus's planted near-dups additionally shed unmutated 8-token runs.
+    "q_span_dedup" -> ((s, d) => {
+      val base = Tables.documents(s, d).select("doc_id", "text")
+      val half = base
+        .withColumn("_t", TextOps.tokens(col("text")))
+        .filter(size(col("_t")) >= 16)
+        .select((col("doc_id") + 10000).as("doc_id"),
+          array_join(slice(col("_t"), lit(1), floor(size(col("_t")) / 2).cast("int")), " ")
+            .as("text"))
+      SpanDedup.dedupSpans(base.union(half), "doc_id", "text", k = 8)
+        .select("doc_id", "dedup_text", "n_removed")
+        .ordered("doc_id")
     }),
 
     // Exact cosine top-5 for the label-0 query set — the ANN baseline.
@@ -712,6 +730,48 @@ object ScaleQueries {
         |WHERE hamming <= 3 ORDER BY a_id, b_id""".stripMargin,
 
     "q_ngram_jaccard" -> allPairsJaccardSql(0.5),
+
+    "q_span_dedup" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |all_docs AS (
+        | SELECT doc_id, text FROM base
+        | UNION ALL
+        | SELECT doc_id + 10000 AS doc_id,
+        |        array_to_string(arr[1 : len(arr) // 2], ' ') AS text
+        | FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM base)
+        | WHERE len(arr) >= 16),
+        |split AS (SELECT doc_id, string_split(text, ' ') AS arr FROM all_docs),
+        |toks AS (
+        | SELECT doc_id, i - 1 AS i, arr[i] AS tok
+        | FROM (SELECT doc_id, arr, unnest(generate_series(1, len(arr))) AS i FROM split)),
+        |grams AS (
+        | SELECT doc_id, p AS pos, md5(array_to_string(arr[p + 1 : p + 8], ' ')) AS g
+        | FROM (SELECT doc_id, arr, unnest(generate_series(0, len(arr) - 8)) AS p
+        |       FROM split WHERE len(arr) >= 8)),
+        |occ AS (
+        | SELECT doc_id, pos,
+        |        row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn,
+        |        count(*) OVER (PARTITION BY g) AS c
+        | FROM grams),
+        |removed AS (
+        | SELECT DISTINCT doc_id, pos + x AS i
+        | FROM (SELECT doc_id, pos, unnest(generate_series(0, 7)) AS x
+        |       FROM occ WHERE c > 1 AND rn > 1)),
+        |nrem AS (SELECT doc_id, count(*) AS n_removed FROM removed GROUP BY doc_id),
+        |kept AS (
+        | SELECT t.doc_id, t.i, t.tok
+        | FROM toks t LEFT JOIN removed r ON t.doc_id = r.doc_id AND t.i = r.i
+        | WHERE r.doc_id IS NULL),
+        |rebuilt AS (
+        | SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS rb
+        | FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id,
+        | CASE WHEN n.n_removed IS NULL THEN d.text ELSE coalesce(r.rb, '') END AS dedup_text,
+        | coalesce(n.n_removed, 0) AS n_removed
+        |FROM all_docs d
+        |LEFT JOIN nrem n USING (doc_id)
+        |LEFT JOIN rebuilt r USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q_embed_topk" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),

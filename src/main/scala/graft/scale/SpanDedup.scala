@@ -1,0 +1,117 @@
+package graft.scale
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Exact SUBSTRING (span-level) deduplication — remove repeated token runs
+  * from the corpus while keeping one canonical occurrence, the ExactSubstr
+  * pass of Lee et al., "Deduplicating Training Data Makes Language Models
+  * Better" (ACL 2022). Document-level dedup ([[TextOps.exactDedup]],
+  * [[NearDup]]) drops whole near-identical documents; this operator cuts
+  * the boilerplate INSIDE otherwise-distinct documents (license headers,
+  * navigation chrome, quoted reply chains) that survives document-level
+  * passes and measurably degrades trained models.
+  *
+  * Semantics (deterministic, engine-portable): tokenize on single spaces;
+  * every k-token window is a gram occurrence (doc, pos). For each gram that
+  * occurs more than once corpus-wide, the occurrence with the smallest
+  * (doc_id, pos) is canonical; every token covered by a NON-canonical
+  * occurrence of a duplicated gram is removed. Rebuilt text = the kept
+  * tokens rejoined with spaces (split+rejoin on single space is lossless,
+  * so untouched documents round-trip byte-identical). Overlapping duplicate
+  * grams merge naturally — their covered positions union.
+  *
+  * Scale shape (the suffix-array the paper uses is a single-machine
+  * construct; this is the shuffle-native equivalent):
+  *   1. gram occurrences: narrow posexplode, corpus × k fanout bounded by
+  *      token count;
+  *   2. canonical/min per gram: ONE hash aggregation (`min(struct)` +
+  *      `count` both partial-aggregate map-side, so a hot gram — exactly
+  *      the boilerplate this pass exists to remove — combines locally
+  *      before the shuffle); grams occurring once are pruned HERE, so the
+  *      join below only ever sees the duplicated minority;
+  *   3. removed positions: equi-join occurrences to duplicated grams on the
+  *      gram hash (plain hash join, no window sort — a window
+  *      `row_number() OVER (PARTITION BY gram)` would put the hottest gram
+  *      on one task with no partial aggregation);
+  *   4. rebuild: only documents that LOST a token are re-assembled
+  *      (semi-join gate); the untouched majority passes through unscanned.
+  * Every shuffle is keyed (gram hash, then (doc, position), then doc); no
+  * step is quadratic in document length or corpus size.
+  *
+  * Gram identity is `md5(gram text)` — engine-reproducible (the repo-wide
+  * portable-hash convention, computable by the DuckDB oracle), and it fixes
+  * the shuffle width at 32 bytes regardless of k.
+  */
+object SpanDedup {
+
+  /** @param k  span granularity in tokens: runs shorter than k are never
+    *   deduplicated; a duplicated run of length L >= k loses all L tokens at
+    *   its non-canonical sites (covered by its length-k subwindows). The
+    *   paper uses 50 BPE tokens; pick k ~ the shortest boilerplate worth
+    *   cutting. Documents with fewer than k tokens are never modified.
+    * @return input columns + `dedup_text` (kept tokens, '' when everything
+    *   was removed) + `n_removed` (count of removed token positions, 0 for
+    *   untouched documents). One output row per input row.
+    */
+  def dedupSpans(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"span granularity k must be >= 2, got $k")
+    require(!df.columns.contains("dedup_text") && !df.columns.contains("n_removed"),
+      "input must not already carry dedup_text/n_removed columns")
+    val id = col(idCol)
+
+    val withToks = df.select(id, TextOps.tokens(col(textCol)).as("_toks"))
+    // (doc, pos, gram-hash) occurrences; `sequence` guarded by the size
+    // filter (a negative end would count DOWN — same guard as
+    // [[NearDup.shinglesFromTokens]])
+    val grams = withToks
+      .filter(size(col("_toks")) >= k)
+      .select(id, posexplode(transform(
+        sequence(lit(0), size(col("_toks")) - k),
+        i => md5(concat_ws(" ", (0 until k).map(o => get(col("_toks"), i + o)): _*)))))
+      .withColumnRenamed("pos", "_pos")
+      .withColumnRenamed("col", "_g")
+
+    // one hash-agg: canonical (min (doc,pos)) + occurrence count per gram,
+    // keeping only grams that actually repeat
+    val canon = grams
+      .groupBy("_g")
+      .agg(min(struct(id.as("_cid"), col("_pos").as("_cpos"))).as("_min"),
+        count(lit(1)).as("_n"))
+      .filter(col("_n") > 1)
+      .select(col("_g"), col("_min._cid").as("_cid"), col("_min._cpos").as("_cpos"))
+
+    // non-canonical occurrences of duplicated grams -> covered positions
+    val removed = grams
+      .join(canon, "_g")
+      .filter(!(id === col("_cid") && col("_pos") === col("_cpos")))
+      .select(id, explode(sequence(col("_pos"), col("_pos") + (k - 1))).as("_i"))
+
+    // distinct removed-position count per doc (overlapping grams overlap)
+    val nRemoved = removed.groupBy(idCol)
+      .agg(countDistinct(col("_i")).as("n_removed"))
+
+    // rebuild ONLY the touched documents: explode their tokens, anti-join
+    // the removed positions (duplicate keys on the right are fine for
+    // left_anti), reassemble in position order
+    val touchedToks = withToks
+      .join(nRemoved.select(idCol), Seq(idCol), "left_semi")
+      .select(id, posexplode(col("_toks")))
+      .toDF(idCol, "_i", "_tok")
+    val rebuilt = touchedToks
+      .join(removed, Seq(idCol, "_i"), "left_anti")
+      .groupBy(idCol)
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("_i"), col("_tok")))),
+          s => s.getField("_tok")), " ").as("_rebuilt"))
+
+    df.join(nRemoved, Seq(idCol), "left")
+      .join(rebuilt, Seq(idCol), "left")
+      .withColumn("dedup_text",
+        when(col("n_removed").isNull, col(textCol))
+          // touched but no rebuilt row = every token was removed
+          .otherwise(coalesce(col("_rebuilt"), lit(""))))
+      .withColumn("n_removed", coalesce(col("n_removed"), lit(0L)))
+      .drop("_rebuilt")
+  }
+}
