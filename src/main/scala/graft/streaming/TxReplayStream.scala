@@ -242,96 +242,111 @@ class TxReplayStream(spark: SparkSession, stateRoot: String, numBuckets: Int = 1
     */
   def processBatch(newLeft: DataFrame, newRight: DataFrame,
                    newEnds: DataFrame, batchId: Long = -1L): DataFrame = {
-    val stateLeft = readBuckets("left", leftVer)
-    val stateRight = readBuckets("right", rightVer)
-    val left = unionWith(stateLeft, newLeft)
-    val right = unionWith(stateRight, newRight)
-    val ends = unionWith(readScalar("ends"), newEnds)
+    // The unioned buffer feeds every job in this batch — watermark,
+    // replay+emit, the dirty-bucket scan, both compaction writes — so cache
+    // it once instead of re-reading the state parquet per job. These are
+    // LEAF caches (AQE still replans the joins above them), sized by the
+    // compacted buffer, and released in the finally.
+    val left = unionWith(readBuckets("left", leftVer), newLeft).cache()
+    val right = unionWith(readBuckets("right", rightVer), newRight).cache()
+    val ends = unionWith(readScalar("ends"), newEnds).cache()
 
     // reachable txs over the buffer, with settled (already-emitted and
     // compacted) txs floored out — their shrunken buffers must not read as
     // "incomplete" and stall the watermark. cache(): consumed by the
-    // watermark aggregate and both dirty-bucket scans below.
+    // watermark aggregate, the replay (passed in, so completeness is not
+    // computed twice), and the dirty-bucket scan below.
     val reach = TxReplay.txCompleteness(left, right, ends, watermark)
       .filter(col("reachable")).select("tx_id", "commit_lsn")
       .cache()
-    val newWm = reach.agg(max("commit_lsn")).collect()(0) match {
-      case r if r.isNullAt(0) => watermark
-      case r => math.max(r.getLong(0), watermark)
+    try {
+      val newWm = reach.agg(max("commit_lsn")).collect()(0) match {
+        case r if r.isNullAt(0) => watermark
+        case r => math.max(r.getLong(0), watermark)
+      }
+
+      // one doc per (key, tx) not yet emitted in an earlier batch
+      val emitted = TxReplay.replay(left, right, ends, watermark, Some(reach))
+
+      // Dirty buckets = buckets of this batch's new events + buckets of every
+      // event belonging to a tx that emits this batch (their history shrinks
+      // under compaction — the set the reference's cleanupState visits).
+      // ≤ 2·numBuckets ints collected in ONE job: driver orchestration
+      // state, like the watermark.
+      val reachTx = reach.select("tx_id")
+      def tagged(fresh: DataFrame, all: DataFrame, side: Int): DataFrame =
+        fresh.select(bucketOf(col("key")).as("_b"))
+          .union(all.join(broadcast(reachTx), Seq("tx_id"))
+            .select(bucketOf(col("key")).as("_b")))
+          .select(col("_b"), lit(side).as("_side"))
+      val dirty = tagged(newLeft, left, 0).union(tagged(newRight, right, 1))
+        .distinct().collect()
+      val dirtyLeft = dirty.collect { case r if r.getInt(1) == 0 => r.getInt(0) }.toSet
+      val dirtyRight = dirty.collect { case r if r.getInt(1) == 1 => r.getInt(0) }.toSet
+
+      // compaction (cleanupState), over the dirty-bucket slices only: enrich
+      // to learn each event's commit LSN; unfinished events (no END yet) stay
+      // raw in the buffer. Untouched buckets keep their existing files —
+      // their events' compaction is deferred to the batch whose tx emission
+      // touches them, which changes nothing semantically: replay's as-of
+      // max_by tolerates superseded versions, and settled txs are floored out
+      // of completeness by the watermark.
+      val endsKeyed = ends.select("tx_id", "commit_lsn")
+      def split(ev: DataFrame, latestKeys: Seq[String]): DataFrame = {
+        val enriched = ev.join(broadcast(endsKeyed), Seq("tx_id"))
+        val unfinished = ev.join(broadcast(endsKeyed.select("tx_id")), Seq("tx_id"), "left_anti")
+        val past = enriched.filter(col("commit_lsn") <= newWm)
+        val latestPast = past
+          .groupBy(latestKeys.map(col): _*)
+          .agg(max_by(struct(ev.columns.map(col).toIndexedSeq: _*),
+            struct(col("commit_lsn"), col("lsn"))).as("_keep"))
+          .select(col("_keep.*"))
+        val future = enriched.filter(col("commit_lsn") > newWm).select(ev.columns.map(col).toIndexedSeq: _*)
+        latestPast.unionByName(future).unionByName(unfinished)
+      }
+      val keepLeft = split(left.filter(inBuckets(dirtyLeft)), Seq("key"))
+      val keepRight = split(right.filter(inBuckets(dirtyRight)), Seq("key", "line_id"))
+
+      val next = version + 1
+      val thisBatch = if (batchId >= 0) batchId else committedBatch + 1
+      // durability order: emitted docs + bucket state + ends first, manifest
+      // (atomic move) last — a crash in between leaves the manifest at the
+      // old version naming only old, fully-written dirs, and any half-written
+      // v(next) output is overwritten on redelivery.
+      emitted.write.mode(SaveMode.Overwrite).parquet(scalarDir("emitted", next))
+      val newLeftVer = writeBuckets("left", keepLeft, dirtyLeft, leftVer, next)
+      val newRightVer = writeBuckets("right", keepRight, dirtyRight, rightVer, next)
+
+      // Retain END rows referenced by ANY kept event — read the tx_id column
+      // back from the NEW state table (the just-written dirty buckets plus
+      // the untouched buckets' live files, a file-pruned single-column scan)
+      // rather than recomputing both compaction plans. Untouched buckets'
+      // deferred compaction needs its ENDs to learn commit LSNs; dropping
+      // one would reclassify its events as unfinished and stall the
+      // watermark. Plus ENDs not yet emitted.
+      val referenced = (readBuckets("left", newLeftVer) ++ readBuckets("right", newRightVer))
+        .map(_.select("tx_id"))
+        .reduceOption(_ union _)
+      val keepEnds = referenced
+        .map(ref => ends.join(ref.distinct(), Seq("tx_id"), "left_semi"))
+        .getOrElse(ends.filter(lit(false)))
+        .unionByName(ends.filter(col("commit_lsn") > newWm))
+        .dropDuplicates("tx_id")
+      keepEnds.write.mode(SaveMode.Overwrite).parquet(scalarDir("ends", next))
+      commitManifest(next, newWm, thisBatch, newLeftVer, newRightVer)
+      version = next
+      watermark = newWm
+      committedBatch = thisBatch
+      leftVer = newLeftVer
+      rightVer = newRightVer
+      prune(newLeftVer, newRightVer, next)
+      spark.read.parquet(scalarDir("emitted", next))
+    } finally {
+      reach.unpersist()
+      left.unpersist()
+      right.unpersist()
+      ends.unpersist()
     }
-
-    // one doc per (key, tx) not yet emitted in an earlier batch
-    val emitted = TxReplay.replay(left, right, ends, watermark)
-
-    // Dirty buckets = buckets of this batch's new events + buckets of every
-    // event belonging to a tx that emits this batch (their history shrinks
-    // under compaction — the set the reference's cleanupState visits).
-    // ≤ numBuckets ints: driver orchestration state, like the watermark.
-    val reachTx = reach.select("tx_id")
-    def dirtySet(fresh: DataFrame, all: DataFrame): Set[Int] =
-      fresh.select(bucketOf(col("key")).as("_b"))
-        .union(all.join(broadcast(reachTx), Seq("tx_id"))
-          .select(bucketOf(col("key")).as("_b")))
-        .distinct().collect().map(_.getInt(0)).toSet
-    val dirtyLeft = dirtySet(newLeft, left)
-    val dirtyRight = dirtySet(newRight, right)
-
-    // compaction (cleanupState), over the dirty-bucket slices only: enrich
-    // to learn each event's commit LSN; unfinished events (no END yet) stay
-    // raw in the buffer. Untouched buckets keep their existing files —
-    // their events' compaction is deferred to the batch whose tx emission
-    // touches them, which changes nothing semantically: replay's as-of
-    // max_by tolerates superseded versions, and settled txs are floored out
-    // of completeness by the watermark.
-    val endsKeyed = ends.select("tx_id", "commit_lsn")
-    def split(ev: DataFrame, latestKeys: Seq[String]): DataFrame = {
-      val enriched = ev.join(broadcast(endsKeyed), Seq("tx_id"))
-      val unfinished = ev.join(broadcast(endsKeyed.select("tx_id")), Seq("tx_id"), "left_anti")
-      val past = enriched.filter(col("commit_lsn") <= newWm)
-      val latestPast = past
-        .groupBy(latestKeys.map(col): _*)
-        .agg(max_by(struct(ev.columns.map(col).toIndexedSeq: _*),
-          struct(col("commit_lsn"), col("lsn"))).as("_keep"))
-        .select(col("_keep.*"))
-      val future = enriched.filter(col("commit_lsn") > newWm).select(ev.columns.map(col).toIndexedSeq: _*)
-      latestPast.unionByName(future).unionByName(unfinished)
-    }
-    val keepLeft = split(left.filter(inBuckets(dirtyLeft)), Seq("key"))
-    val keepRight = split(right.filter(inBuckets(dirtyRight)), Seq("key", "line_id"))
-
-    // Retain END rows referenced by ANY kept event — the rewritten dirty
-    // buckets AND the untouched buckets (whose deferred compaction will
-    // need the END to learn its events' commit LSNs; dropping it would
-    // reclassify them as unfinished and stall the watermark) — plus ENDs
-    // not yet emitted. The untouched scan reads only the tx_id column.
-    val untouchedTx = Seq(
-      stateLeft.map(_.filter(!inBuckets(dirtyLeft)).select("tx_id")),
-      stateRight.map(_.filter(!inBuckets(dirtyRight)).select("tx_id"))).flatten
-    val referenced = (Seq(keepLeft.select("tx_id"), keepRight.select("tx_id")) ++ untouchedTx)
-      .reduce(_ union _).distinct()
-    val keepEnds = ends.join(referenced, Seq("tx_id"), "left_semi")
-      .unionByName(ends.filter(col("commit_lsn") > newWm))
-      .dropDuplicates("tx_id")
-
-    val next = version + 1
-    val thisBatch = if (batchId >= 0) batchId else committedBatch + 1
-    // durability order: emitted docs + bucket state + ends first, manifest
-    // (atomic move) last — a crash in between leaves the manifest at the
-    // old version naming only old, fully-written dirs, and any half-written
-    // v(next) output is overwritten on redelivery.
-    emitted.write.mode(SaveMode.Overwrite).parquet(scalarDir("emitted", next))
-    val newLeftVer = writeBuckets("left", keepLeft, dirtyLeft, leftVer, next)
-    val newRightVer = writeBuckets("right", keepRight, dirtyRight, rightVer, next)
-    keepEnds.write.mode(SaveMode.Overwrite).parquet(scalarDir("ends", next))
-    reach.unpersist()
-    commitManifest(next, newWm, thisBatch, newLeftVer, newRightVer)
-    version = next
-    watermark = newWm
-    committedBatch = thisBatch
-    leftVer = newLeftVer
-    rightVer = newRightVer
-    prune(newLeftVer, newRightVer, next)
-    spark.read.parquet(scalarDir("emitted", next))
   }
 
   /** Current watermark (largest emitted commit LSN; MinValue before any). */

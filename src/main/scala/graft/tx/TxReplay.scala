@@ -117,7 +117,8 @@ object TxReplay {
     * reason.
     */
   private def staged(left: DataFrame, right: DataFrame, txEnds: DataFrame,
-                     floorLsn: Long): (DataFrame, DataFrame, DataFrame) = {
+                     floorLsn: Long,
+                     reachable: Option[DataFrame]): (DataFrame, DataFrame, DataFrame) = {
     // cache the tx DIMENSION (one row per transaction — always small): it is
     // referenced once per enrichment/probe/as-of branch below, and when the
     // caller derives it from aggregations over the event streams, each
@@ -126,9 +127,15 @@ object TxReplay {
     val l = fixCommitLsn(left, ends)
     val r = fixCommitLsn(right, ends)
 
-    val reachableTx = txCompleteness(left, right, ends, floorLsn)
-      .filter(col("reachable")).select("tx_id", "commit_lsn")
-      .cache()
+    // A caller that already computed the reachable-tx set (TxReplayStream
+    // needs it for its watermark and compaction anyway) passes it in —
+    // (tx_id, commit_lsn), ideally cached — instead of paying the
+    // completeness aggregation twice per micro-batch; that caller owns the
+    // passed frame's cache lifecycle.
+    val reachableTx = reachable.getOrElse(
+      txCompleteness(left, right, ends, floorLsn)
+        .filter(col("reachable")).select("tx_id", "commit_lsn")
+        .cache())
 
     // Probe sources: data events restricted to reachable txs (broadcast tx
     // dimension). NOTE: only the PROBES are restricted — as-of resolution
@@ -145,8 +152,9 @@ object TxReplay {
   }
 
   def replay(left: DataFrame, right: DataFrame, txEnds: DataFrame,
-             floorLsn: Long = Long.MinValue): DataFrame = {
-    val (l, r, probes) = staged(left, right, txEnds, floorLsn)
+             floorLsn: Long = Long.MinValue,
+             reachable: Option[DataFrame] = None): DataFrame = {
+    val (l, r, probes) = staged(left, right, txEnds, floorLsn, reachable)
 
     // Header as-of: latest left per key with commit_lsn <= L, ordered by
     // (commit_lsn, lsn) — the in-tx tiebreak matches the buffer scan order
@@ -228,8 +236,9 @@ object TxReplay {
     * order, matching `max_by`.
     */
   def replaySorted(left: DataFrame, right: DataFrame, txEnds: DataFrame,
-                   floorLsn: Long = Long.MinValue): DataFrame = {
-    val (l, r, probes) = staged(left, right, txEnds, floorLsn)
+                   floorLsn: Long = Long.MinValue,
+                   reachable: Option[DataFrame] = None): DataFrame = {
+    val (l, r, probes) = staged(left, right, txEnds, floorLsn, reachable)
     val lRowType = l.schema("row").dataType
     val rRowType = r.schema("row").dataType
 
