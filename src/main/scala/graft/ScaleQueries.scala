@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 import org.apache.spark.sql.expressions.Window
 
 import graft.Ordered._
-import graft.scale.{Decontam, Dsir, Embeddings, Multimodal, NearDup, Packing, Sampling, Similarity, SpanDedup, TextOps}
+import graft.scale.{Decontam, Dsir, Embeddings, LangModel, Multimodal, NearDup, Packing, Sampling, Similarity, Sketches, SpanDedup, TextOps}
 
 /** Driver-verifiable queries for the training-data-pipeline operators
   * (`graft.scale`) over the `documents` table, each with a DuckDB oracle
@@ -556,6 +556,30 @@ object ScaleQueries {
       Sampling.mixtureSample(docs, "doc_id", "source", "n_tokens", weights,
         budgetNum = 1, budgetDen = 2)
         .select("doc_id", "source", "n_tokens", "w", "p_permille", "bucket_pm")
+        .ordered("doc_id")
+    }),
+
+    // KMV distinct-count sketch: per-event-type distinct users estimated
+    // from O(k) mergeable state (native TypedImperativeAggregate — ONE pass,
+    // map-side partials, k longs shuffled per group). Deterministic, so the
+    // oracle recomputes the identical sketch with a row_number()<=k window;
+    // n_exact sits alongside to make the estimate auditable.
+    "q_kmv_distinct" -> ((s, d) => {
+      val k = 64
+      Sketches.kmvDistinct(Tables.events(s, d), Seq("event_type"), "user_id", k)
+        .join(Tables.events(s, d).filter(col("user_id").isNotNull)
+          .groupBy("event_type")
+          .agg(countDistinct("user_id").as("n_exact")), Seq("event_type"))
+        .select("event_type", "n_exact", "n_est")
+        .ordered("event_type")
+    }),
+
+    // Corpus-trained unigram LM scoring (CCNet-style quality gate): mean
+    // negative log-likelihood per document; decimal per-token rounding makes
+    // the sum order-independent and therefore oracle-able.
+    "q_ngram_lm" -> ((s, d) => {
+      LangModel.unigramNll(Tables.documents(s, d).select("doc_id", "text"),
+        "doc_id", "text")
         .ordered("doc_id")
     })
   )
@@ -1235,6 +1259,42 @@ object ScaleQueries {
         |SELECT doc_id, token, tf, df, tfidf, CAST(rank AS INTEGER) AS rank FROM (
         | SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rank
         | FROM scored)
-        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    // KMV = the k smallest distinct md5Long60 hashes; in SQL that is a
+    // row_number()<=k window over the distinct hash set. Estimator operands
+    // are exact doubles, so floor((k-1)*2^60/h_k) matches Spark bit-for-bit.
+    "q_kmv_distinct" ->
+      """WITH h AS (
+        | SELECT DISTINCT event_type,
+        |  ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+        | FROM events WHERE user_id IS NOT NULL),
+        |r AS (SELECT event_type, hv,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn FROM h),
+        |s AS (SELECT event_type, count(*) AS n_in_sketch,
+        |  max(CASE WHEN rn = 64 THEN hv END) AS hk
+        | FROM r WHERE rn <= 64 GROUP BY event_type),
+        |x AS (SELECT event_type, count(DISTINCT user_id) AS n_exact
+        | FROM events WHERE user_id IS NOT NULL GROUP BY event_type)
+        |SELECT event_type, n_exact,
+        | CASE WHEN n_in_sketch < 64 THEN n_in_sketch
+        |      ELSE CAST(floor(63.0 * pow(2.0, 60.0) / greatest(hk, 1)) AS BIGINT)
+        | END AS n_est
+        |FROM s JOIN x USING (event_type) ORDER BY event_type""".stripMargin,
+
+    // Per-token NLL rounded to DECIMAL(18,6) BEFORE the per-doc sum: decimal
+    // summation is exact, so the result is independent of aggregation order
+    // (a raw double sum could differ in the last ulp between engines).
+    "q_ngram_lm" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token FROM t WHERE len(token) > 0),
+        |c AS (SELECT token, count(*) AS cnt FROM tf GROUP BY token),
+        |n AS (SELECT sum(cnt) AS n_total FROM c),
+        |sc AS (SELECT doc_id, count(*) AS n_tokens,
+        |  round(CAST(sum(CAST(round(-ln(CAST(cnt AS DOUBLE) / n_total), 6)
+        |    AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS nll
+        | FROM tf JOIN c USING (token) CROSS JOIN n GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(sc.n_tokens, 0) AS n_tokens, sc.nll
+        |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""".stripMargin
   )
 }
