@@ -121,6 +121,30 @@ class PlanShapeSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("kmvDistinct: one exchange, ObjectHashAggregate partials both sides of it") {
+    val df = graft.scale.Sketches.kmvDistinct(
+      Tables.events(spark, sf), Seq("event_type"), "user_id", 64)
+    val plan = finalPlan(df)
+    withClue(plan) {
+      // the sketch is a TypedImperativeAggregate → ObjectHashAggregate with
+      // a map-side partial, so the shuffle carries ≤k longs per group — the
+      // property that makes a 100 TB distinct-count one cheap pass
+      "ObjectHashAggregate".r.findAllIn(plan).size should be >= 2
+      plan.linesIterator.count(_.contains("Exchange hashpartitioning")) shouldBe 1
+    }
+  }
+
+  test("unigramNll: the token-count model broadcasts; no sort-merge join") {
+    val df = graft.scale.LangModel.unigramNll(
+      Tables.documents(spark, sf).select("doc_id", "text"), "doc_id", "text")
+    val plan = finalPlan(df)
+    withClue(plan.linesIterator.filter(_.contains("Join")).mkString("\n")) {
+      plan should include("BroadcastHashJoin")
+      plan should not include "SortMergeJoin"
+      plan should not include "CartesianProduct" // the 1-row total is BroadcastNestedLoop
+    }
+  }
+
   test("q_decontaminate: per-doc aggregate reuses the explicit repartition") {
     val plan = finalPlan(q("q_decontaminate"))
     withClue(plan.linesIterator.filter(_.contains("Exchange")).mkString("\n")) {
