@@ -581,6 +581,16 @@ object ScaleQueries {
       LangModel.unigramNll(Tables.documents(s, d).select("doc_id", "text"),
         "doc_id", "text")
         .ordered("doc_id")
+    }),
+
+    // Next-fit sequence packing without document splitting: sequential
+    // per-group fold (mapPartitions — the one shape no window expresses),
+    // oracled by a recursive CTE walking the identical order.
+    "q_pack_nextfit" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        size(TextOps.tokens(col("text"))).cast(LongType).as("n_tokens"))
+      Packing.nextFitPack(docs, "doc_id", "n_tokens", "source", capacity = 256L)
+        .ordered("doc_id")
     })
   )
 
@@ -1295,6 +1305,27 @@ object ScaleQueries {
         |    AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS nll
         | FROM tf JOIN c USING (token) CROSS JOIN n GROUP BY doc_id)
         |SELECT d.doc_id, coalesce(sc.n_tokens, 0) AS n_tokens, sc.nll
-        |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""".stripMargin
+        |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
+    // The sequential next-fit fold as a recursive CTE: row rn joins row
+    // rn-1's (bin_id, bin_fill) within its source — the same walk the
+    // mapPartitions fold takes.
+    "q_pack_nextfit" ->
+      """WITH RECURSIVE d AS (
+        | SELECT source, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        | FROM documents WHERE len(string_split(text, ' ')) > 0),
+        |p AS (
+        | SELECT source, doc_id, n_tokens, rn,
+        |  CAST(0 AS BIGINT) AS bin_id, n_tokens AS bin_fill
+        | FROM d WHERE rn = 1
+        | UNION ALL
+        | SELECT d.source, d.doc_id, d.n_tokens, d.rn,
+        |  CASE WHEN p.bin_fill + d.n_tokens > 256 THEN p.bin_id + 1 ELSE p.bin_id END,
+        |  CASE WHEN p.bin_fill + d.n_tokens > 256 THEN d.n_tokens
+        |       ELSE p.bin_fill + d.n_tokens END
+        | FROM d JOIN p ON d.source = p.source AND d.rn = p.rn + 1)
+        |SELECT source, doc_id, n_tokens, bin_id, bin_fill FROM p
+        |ORDER BY doc_id""".stripMargin
   )
 }

@@ -46,4 +46,57 @@ object Packing {
       .withColumn("last_chunk", expr(s"(tok_end - 1) div $contextLen"))
       .withColumn("n_chunks", col("last_chunk") - col("first_chunk") + 1)
   }
+
+  /** Next-fit bin packing WITHOUT document splitting: walk each group's
+    * documents in `idCol` order, appending to the current bin until the
+    * next document would overflow `capacity`, then close it and start a
+    * new one. A document larger than `capacity` occupies a bin alone
+    * (oversized bin — callers filter or truncate upstream if that is
+    * unacceptable). This is the packing a pipeline uses when examples must
+    * stay whole (instruction tuning, contrastive pairs), complementing
+    * [[packChunks]]'s concat-then-chunk for plain LM pretraining.
+    *
+    * The running "current fill" resets on overflow, which is sequential
+    * state no window frame expresses — the one operator family in this
+    * package where `mapPartitions` is genuinely the right tool (design
+    * preference (d), documented trade-off): groups are hash-partitioned and
+    * sorted within partitions, then a single O(1)-state pass assigns bins.
+    * Determinism under retries: partitioning is a hash of the group,
+    * the sort order (`groupCol, idCol`) is total, and the fold reads only
+    * that order — re-executed tasks reproduce identical bins. Parallelism
+    * = number of groups, the same dial as [[packChunks]]; a group's rows
+    * stream through the fold (sorted by the shuffle's external sort), so
+    * group size is unbounded.
+    *
+    * Output: groupCol, idCol, nTokensCol, bin_id (0-based per group),
+    * bin_fill (running fill AFTER placing the row — the last row of a bin
+    * carries its final fill).
+    */
+  def nextFitPack(df: DataFrame, idCol: String, nTokensCol: String,
+                  groupCol: String, capacity: Long): DataFrame = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    val pruned = df
+      .select(col(groupCol).cast(StringType).as(groupCol), col(idCol),
+        col(nTokensCol).cast(LongType).as(nTokensCol))
+      .filter(col(nTokensCol) > 0)
+    val outSchema = StructType(pruned.schema.fields ++ Seq(
+      StructField("bin_id", LongType, nullable = false),
+      StructField("bin_fill", LongType, nullable = false)))
+    pruned
+      .repartition(col(groupCol))
+      .sortWithinPartitions(col(groupCol), col(idCol))
+      .mapPartitions { it =>
+        var group: String = null
+        var bin = 0L
+        var fill = 0L
+        it.map { r =>
+          val g = r.getString(0)
+          val n = r.getLong(2)
+          if (g != group) { group = g; bin = 0L; fill = 0L }
+          if (fill > 0 && fill + n > capacity) { bin += 1; fill = n }
+          else fill += n
+          org.apache.spark.sql.Row.fromSeq(r.toSeq ++ Seq(bin, fill))
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
 }

@@ -80,6 +80,49 @@ class PipelinePrepSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("nextFitPack: docs stay whole, bins respect capacity, oversize is alone") {
+    val docs = Seq(
+      (1L, "g1", 100L), (2L, "g1", 100L), (3L, "g1", 60L), // 200+60 > 256 → doc 3 opens bin 1
+      (4L, "g1", 50L),                                     // 60+50 fits bin 1
+      (10L, "g2", 300L),                                   // oversize: bin alone
+      (11L, "g2", 10L),
+      (20L, "g3", 0L)                                      // zero-width: excluded
+    ).toDF("doc_id", "grp", "n_tokens")
+    val out = Packing.nextFitPack(docs, "doc_id", "n_tokens", "grp", 256L)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(1) -> (r.getLong(3), r.getLong(4))).toMap
+
+    out.keySet shouldBe Set(1L, 2L, 3L, 4L, 10L, 11L)
+    out(1L) shouldBe (0L, 100L)
+    out(2L) shouldBe (0L, 200L)
+    out(3L) shouldBe (1L, 60L)
+    out(4L) shouldBe (1L, 110L)
+    out(10L) shouldBe (0L, 300L) // oversize occupies bin 0 alone
+    out(11L) shouldBe (1L, 10L)  // next doc overflows → new bin
+  }
+
+  test("nextFitPack property: random groups — bins contiguous, fill ≤ cap unless singleton") {
+    val rnd = new scala.util.Random(7)
+    val docs = (1L to 400L).map(i =>
+      (i, s"g${i % 7}", 1L + rnd.nextInt(120).toLong)).toDF("doc_id", "grp", "n_tokens")
+    val cap = 256L
+    val out = Packing.nextFitPack(docs, "doc_id", "n_tokens", "grp", cap)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      // bin ids start at 0 and never skip
+      sorted.map(_._4).distinct shouldBe (0L to sorted.map(_._4).max)
+      // replaying the fold gives identical assignments; fills stay ≤ cap
+      var bin = 0L; var fill = 0L
+      sorted.foreach { case (_, _, n, b) =>
+        if (fill > 0 && fill + n > cap) { bin += 1; fill = n } else fill += n
+        b shouldBe bin
+        fill should be <= cap // every n ≤ 121 < cap, so no oversize bins here
+      }
+    }
+  }
+
   test("stratifiedHashSample: rate 100 keeps all, rate 0 keeps none, assignment is stable") {
     val rows = (0L until 400L).map(i => (i, if (i % 4 == 0) "rare" else "common"))
       .toDF("id", "stratum")
