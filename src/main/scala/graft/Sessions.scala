@@ -16,6 +16,8 @@ object Sessions {
       .appName(appName)
       // SQL-surface registration of the native vector expressions
       .withExtensions(graft.functions.VectorFunctions.register)
+      // ... and the KMV sketch aggregate: SELECT kmv(hv, 64) ... GROUP BY
+      .withExtensions(graft.functions.KmvSketch.register)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

@@ -119,4 +119,25 @@ object KmvSketch {
   /** Column API: KMV sketch aggregate over a LONG hash column. */
   def kmv(hash: Column, k: Int): Column =
     ColumnBridge.column(KmvAgg(ColumnBridge.expression(hash), k).toAggregateExpression())
+
+  /** SQL registration — `SELECT grp, kmv(hv, 64) FROM t GROUP BY grp` in
+    * `spark.sql`. k must be a literal; the analyzer wraps the returned
+    * AggregateFunction itself.
+    */
+  val register: org.apache.spark.sql.SparkSessionExtensions => Unit = { ext =>
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("kmv"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[KmvAgg].getName, "kmv"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, s"kmv(hash BIGINT, k INT) takes 2 arguments, got ${children.size}")
+        val k = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
+          case other => throw new IllegalArgumentException(
+            s"kmv k must be an integer literal, got ${other.sql}")
+        }
+        KmvAgg(children.head, k)
+      }))
+  }
 }

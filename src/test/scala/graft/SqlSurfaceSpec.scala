@@ -51,4 +51,18 @@ class SqlSurfaceSpec extends AnyFunSuite with Matchers {
     row.length shouldBe 1
     row.head.getDouble(1) should be > 0.0
   }
+
+  test("kmv aggregate resolves from SQL text and equals the Column API") {
+    Tables.events(spark, sf).createOrReplaceTempView("events_v")
+    val sqlRes = spark.sql(
+      """SELECT event_type,
+        |  kmv(cast(conv(substr(md5(cast(user_id AS STRING)), 1, 15), 16, 10) AS BIGINT), 64) AS kmv
+        |FROM events_v WHERE user_id IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val api = graft.scale.Sketches
+      .kmvDistinct(Tables.events(spark, sf), Seq("event_type"), "user_id", 64)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    sqlRes shouldBe api
+  }
 }
