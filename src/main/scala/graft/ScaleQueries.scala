@@ -591,6 +591,39 @@ object ScaleQueries {
         size(TextOps.tokens(col("text"))).cast(LongType).as("n_tokens"))
       Packing.nextFitPack(docs, "doc_id", "n_tokens", "source", capacity = 256L)
         .ordered("doc_id")
+    }),
+
+    // Priority-aware retention: clusters get a "mirror" copy of every 20th
+    // doc under doc_id+10000 with priority 0 vs the originals' 1 — so the
+    // kept doc is the HIGHER-id mirror, proving the policy overrides the
+    // min-id default. Ties (planted near-dup pairs, all priority 1) fall to
+    // text length then id.
+    "q_dedup_priority" -> ((s, d) => {
+      val base = Tables.documents(s, d).select("doc_id", "text")
+      val mirror = base.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+      val corpus = base.withColumn("prio", lit(1))
+        .unionByName(mirror.withColumn("prio", lit(0)))
+      val pairs = NearDup.minHashDedup(corpus, "doc_id", "text", threshold = 0.7)
+      val labels = NearDup.clusterPairs(
+        corpus.select(col("doc_id").as("id")),
+        pairs)
+      val attrs = corpus.select(col("doc_id").as("id"), col("prio"),
+        length(col("text")).as("sz"))
+      NearDup.resolveCanonical(labels, attrs, "id", "prio", "sz")
+        .select(col("id").as("doc_id"), col("cluster_root"), col("keep_id"),
+          col("is_kept"))
+        .ordered("doc_id")
+    }),
+
+    // CCNet-style per-language perplexity terciles: corpus unigram LM →
+    // per-language ntile(3) → head/middle/tail. Deterministic via the
+    // (nll NULLS FIRST, doc_id) window order shared with the oracle.
+    "q_ccnet_buckets" -> ((s, d) => {
+      LangModel.ccnetBuckets(
+        Tables.documents(s, d).select("doc_id", "lang", "text"),
+        "doc_id", "text", "lang")
+        .ordered("doc_id")
     })
   )
 
@@ -1326,6 +1359,61 @@ object ScaleQueries {
         |       ELSE p.bin_fill + d.n_tokens END
         | FROM d JOIN p ON d.source = p.source AND d.rn = p.rn + 1)
         |SELECT source, doc_id, n_tokens, bin_id, bin_fill FROM p
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // Exact all-pairs clusters + priority-window winner; the mirror copies
+    // (prio 0, higher ids) must win their clusters over the originals.
+    "q_dedup_priority" ->
+      """WITH RECURSIVE all_docs AS (
+        | SELECT doc_id, text, 1 AS prio FROM documents
+        | UNION ALL
+        | SELECT doc_id + 10000, text, 0 FROM documents WHERE doc_id % 20 = 0),
+        |sh AS (
+        | SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks)-2),
+        |     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+        | FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM all_docs)),
+        |pairs AS (
+        | SELECT a_id, b_id FROM (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |   CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        |     / len(list_distinct(list_concat(a.shingles, b.shingles))) AS jac
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        | WHERE jac >= 0.7),
+        |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+        |          UNION ALL SELECT b_id, a_id FROM pairs),
+        |r(id, root) AS (
+        | SELECT doc_id, doc_id FROM all_docs
+        | UNION
+        | SELECT e.dst, r.root FROM r JOIN edges e ON e.src = r.id),
+        |lab AS (SELECT id, min(root) AS cluster_root FROM r GROUP BY id),
+        |att AS (SELECT doc_id AS id, prio, len(text) AS sz FROM all_docs),
+        |w AS (SELECT lab.id, cluster_root,
+        |  first_value(lab.id) OVER (PARTITION BY cluster_root
+        |    ORDER BY prio, sz DESC, lab.id) AS keep_id
+        | FROM lab JOIN att USING (id))
+        |SELECT id AS doc_id, cluster_root, keep_id, id = keep_id AS is_kept
+        |FROM w ORDER BY doc_id""".stripMargin,
+
+    // The q_ngram_lm scoring pipeline + per-language ntile(3). NULLS FIRST
+    // matches Spark's asc_nulls_first for token-less docs.
+    "q_ccnet_buckets" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token FROM t WHERE len(token) > 0),
+        |c AS (SELECT token, count(*) AS cnt FROM tf GROUP BY token),
+        |n AS (SELECT sum(cnt) AS n_total FROM c),
+        |sc AS (SELECT doc_id,
+        |  round(CAST(sum(CAST(round(-ln(CAST(cnt AS DOUBLE) / n_total), 6)
+        |    AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS nll
+        | FROM tf JOIN c USING (token) CROSS JOIN n GROUP BY doc_id),
+        |j AS (SELECT d.doc_id, d.lang, sc.nll
+        |      FROM documents d LEFT JOIN sc USING (doc_id)),
+        |b AS (SELECT doc_id, lang, nll,
+        |  CAST(ntile(3) OVER (PARTITION BY lang ORDER BY nll NULLS FIRST, doc_id)
+        |    AS INTEGER) AS bucket
+        | FROM j)
+        |SELECT doc_id, lang, nll, bucket,
+        | CASE WHEN bucket = 1 THEN 'head' WHEN bucket = 2 THEN 'middle'
+        |      ELSE 'tail' END AS ccnet_bucket
+        |FROM b ORDER BY doc_id""".stripMargin
   )
 }

@@ -49,4 +49,40 @@ object LangModel {
       .join(scored, Seq(idCol), "left")
       .na.fill(0L, Seq("n_tokens"))
   }
+
+  /** CCNet-style per-language perplexity bucketing (Wenzek et al. 2019):
+    * score every document with the corpus unigram LM, then split EACH
+    * language's distribution into `n` equal-frequency buckets — bucket 1 =
+    * "head" (most fluent / most repetitive), bucket n = "tail" (rare-token
+    * noise); CCNet keeps head+middle. Per-language bucketing is the point:
+    * a global threshold would just rank languages, not documents.
+    *
+    * This exact-ntile form sorts each language partition — fine up to the
+    * per-partition sort budget, and oracle-able. At 100 TB swap the window
+    * for two passes: `approx_percentile(nll, [1/n .. (n-1)/n])` per
+    * language (one shuffle to a tiny thresholds table), broadcast the
+    * thresholds back, and bucket per-row — same output up to sketch error
+    * at the cut points, no global sort. The window spec below (NULLS FIRST,
+    * id tiebreak) is what makes the exact form deterministic.
+    *
+    * Output: idCol, langCol, nll, bucket (1..n), ccnet_bucket
+    * (head / middle / tail labels for n=3, "b<k>" otherwise).
+    */
+  def ccnetBuckets(docs: DataFrame, idCol: String, textCol: String,
+                   langCol: String, n: Int = 3): DataFrame = {
+    val scored = unigramNll(docs.select(col(idCol), col(textCol)), idCol, textCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(langCol)
+      .orderBy(col("nll").asc_nulls_first, col(idCol).asc)
+    val labelExpr =
+      if (n == 3)
+        when(col("bucket") === 1, "head")
+          .when(col("bucket") === 2, "middle")
+          .otherwise("tail")
+      else concat(lit("b"), col("bucket"))
+    docs.select(col(idCol), col(langCol))
+      .join(scored.select(col(idCol), col("nll")), Seq(idCol))
+      .withColumn("bucket", ntile(n).over(w))
+      .withColumn("ccnet_bucket", labelExpr)
+  }
 }

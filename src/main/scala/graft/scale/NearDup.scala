@@ -344,6 +344,35 @@ object NearDup {
     out
   }
 
+  /** Priority-aware canonical selection — the retention policy real
+    * curation pipelines apply AFTER clustering: within each near-dup
+    * cluster keep the copy from the most-trusted source, not the one with
+    * the smallest id ([[clusterPairs]]'s `is_canonical` is only a default).
+    * Winner per cluster = first by (priorityCol ASC, sizeCol DESC, id ASC)
+    * — lower priority value = more trusted, longer document preferred on
+    * ties, id as the final deterministic tiebreak.
+    *
+    * One shuffle: a window partitioned by `cluster_root` (clusters are
+    * near-dup components — bounded fan-in, no skew concern; the window
+    * frame for `first` spans from the partition start, so every member row
+    * reads the winner without a groupBy + join-back second shuffle).
+    *
+    * Input: `labels` = (idCol, cluster_root) from either clustering
+    * routine; `attrs` = one row per id carrying the ranking columns.
+    * Output: one row per id — (idCol, cluster_root, keep_id, is_kept).
+    */
+  def resolveCanonical(labels: DataFrame, attrs: DataFrame, idCol: String,
+                       priorityCol: String, sizeCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_root")
+      .orderBy(col(priorityCol).asc, col(sizeCol).desc, col(idCol).asc)
+    labels.select(col(idCol), col("cluster_root"))
+      .join(attrs, Seq(idCol))
+      .withColumn("keep_id", first(col(idCol)).over(w))
+      .withColumn("is_kept", col(idCol) === col("keep_id"))
+      .select(col(idCol), col("cluster_root"), col("keep_id"), col("is_kept"))
+  }
+
   /** EXACT n-gram-Jaccard similarity join via prefix filtering: canonical
     * (lexicographic) global order; a doc's prefix is its first
     * |sh| - ⌈t·|sh|⌉ + 1 sorted shingles; qualifying pairs must share a

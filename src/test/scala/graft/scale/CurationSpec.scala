@@ -133,6 +133,29 @@ class CurationSpec extends AnyFunSuite with Matchers {
     out.filter(_.getLong(0) == 3L).map(_.getAs[String]("token")) shouldBe Array("common")
   }
 
+  test("ccnetBuckets: equal-frequency per-language terciles, head more fluent than tail") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "lang", "text")
+    val out = LangModel.ccnetBuckets(docs, "doc_id", "text", "lang").cache()
+    out.count() shouldBe docs.count() // every doc gets a bucket
+
+    val sizes = out.groupBy("lang", "ccnet_bucket").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val langs = sizes.keys.map(_._1).toSet
+    langs.foreach { l =>
+      val s = Seq("head", "middle", "tail").map(b => sizes.getOrElse((l, b), 0L))
+      withClue(s"lang=$l sizes=$s: ") { s.min should be >= (s.max - 1) }
+    }
+    // within each language the head tercile is strictly more likely under
+    // the corpus LM (lower mean NLL) than the tail
+    val means = out.groupBy("lang", "ccnet_bucket").agg(avg("nll").as("m"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    langs.foreach { l =>
+      withClue(s"lang=$l: ") { means((l, "head")) should be < means((l, "tail")) }
+    }
+    out.unpersist()
+  }
+
   test("mixtureSample: rates hit the per-source allocation, capped at keep-all") {
     // source A: 100 docs x 10 tokens = 1000; source B: 10 docs x 10 = 100.
     // equal weights, budget = half the corpus (550): A's allocation is 275

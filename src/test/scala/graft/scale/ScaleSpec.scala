@@ -170,6 +170,26 @@ class ScaleSpec extends AnyFunSuite with Matchers {
     rev shouldBe labels.map { case (k, v) => k -> v._1 }
   }
 
+  test("resolveCanonical: priority beats min-id; ties fall to size then id") {
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L),
+      (20L, 20L)).toDF("id", "cluster_root")
+    // cluster 1: id 3 has the best (lowest) priority → wins despite max id
+    // and smallest size; cluster 10: equal priority → larger sz wins;
+    // singleton 20 keeps itself.
+    val attrs = Seq(
+      (1L, 1, 100L), (2L, 1, 500L), (3L, 0, 10L),
+      (10L, 2, 50L), (11L, 2, 80L),
+      (20L, 5, 1L)).toDF("id", "prio", "sz")
+    val out = NearDup.resolveCanonical(labels, attrs, "id", "prio", "sz")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    out(1L) shouldBe ((3L, false))
+    out(2L) shouldBe ((3L, false))
+    out(3L) shouldBe ((3L, true))
+    out(10L) shouldBe ((11L, false))
+    out(11L) shouldBe ((11L, true))
+    out(20L) shouldBe ((20L, true))
+  }
+
   test("minhash signatures are partitioning-invariant") {
     val docs = Tables.documents(spark, sf)
     val once = NearDup.minHashDedup(docs, "doc_id", "text", threshold = 0.5)
