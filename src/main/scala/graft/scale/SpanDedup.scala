@@ -71,6 +71,10 @@ object SpanDedup {
         i => md5(concat_ws(" ", (0 until k).map(o => get(col("_toks"), i + o)): _*)))))
       .withColumnRenamed("pos", "_pos")
       .withColumnRenamed("col", "_g")
+    // Deliberately NOT cached despite feeding two consumers: A/B at sf0.1
+    // measured the fence at 8.3 s vs 3.6 s without — materializing the
+    // exploded gram table costs far more than re-running the narrow
+    // tokenize+md5 pipeline, which stays inside whole-stage codegen.
 
     // one hash-agg: canonical (min (doc,pos)) + occurrence count per gram,
     // keeping only grams that actually repeat
