@@ -624,6 +624,24 @@ object ScaleQueries {
         Tables.documents(s, d).select("doc_id", "lang", "text"),
         "doc_id", "text", "lang")
         .ordered("doc_id")
+    }),
+
+    // Count-min frequency sketch (q_kmv_distinct's frequency sibling):
+    // portable md5 bucket hashes, so the oracle rebuilds the identical
+    // (depth, bucket, cnt) table; n_exact alongside audits the CMS
+    // never-undercount guarantee.
+    "q_cms_freq" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(explode(TextOps.tokens(col("text"))).as("token"))
+        .filter(length(col("token")) > 0)
+      val sketch = Sketches.cmsBuild(toks, "token", depth = 4, width = 1024)
+      val exact = toks.groupBy("token").agg(count(lit(1)).as("n_exact"))
+      exact
+        .join(Sketches.cmsLookup(sketch, exact.select("token"), "token",
+          depth = 4, width = 1024), Seq("token"))
+        .select("token", "n_exact", "n_est")
+        .orderBy(col("n_exact").desc, col("token"))
+        .limit(50)
     })
   )
 
@@ -1414,6 +1432,30 @@ object ScaleQueries {
         |SELECT doc_id, lang, nll, bucket,
         | CASE WHEN bucket = 1 THEN 'head' WHEN bucket = 2 THEN 'middle'
         |      ELSE 'tail' END AS ccnet_bucket
-        |FROM b ORDER BY doc_id""".stripMargin
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    // The identical CMS: bucket = md5Long60(depth || chr(1) || token) mod
+    // 1024 per depth 0..3; estimate = min over depths of the bucket count.
+    "q_cms_freq" ->
+      """WITH tf AS (
+        | SELECT token FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        | WHERE len(token) > 0),
+        |probes AS (
+        | SELECT token,
+        |  r.i AS depth,
+        |  ('0x' || substr(md5(CAST(r.i AS VARCHAR) || chr(1) || token), 1, 15))::BIGINT
+        |    % 1024 AS bucket
+        | FROM tf CROSS JOIN range(4) r(i)),
+        |cms AS (SELECT depth, bucket, count(*) AS cnt FROM probes GROUP BY 1, 2),
+        |ex AS (SELECT token, count(*) AS n_exact FROM tf GROUP BY token),
+        |lk AS (
+        | SELECT e.token, min(c.cnt) AS n_est
+        | FROM ex e CROSS JOIN range(4) r(i)
+        | JOIN cms c ON c.depth = r.i
+        |  AND c.bucket = ('0x' || substr(md5(CAST(r.i AS VARCHAR) || chr(1) || e.token), 1, 15))::BIGINT % 1024
+        | GROUP BY e.token)
+        |SELECT token, n_exact, n_est FROM ex JOIN lk USING (token)
+        |ORDER BY n_exact DESC, token LIMIT 50""".stripMargin
   )
 }

@@ -58,4 +58,62 @@ object Sketches {
     sketches.select(groupCols.map(col) :+ explode(col("kmv")).as("_hv"): _*)
       .groupBy(groupCols.map(col): _*)
       .agg(KmvSketch.kmv(col("_hv"), k).as("kmv"))
+
+  // --------------------------------------------------------------------
+  // Count-min sketch — KMV's frequency-estimation sibling, and like it
+  // deterministic by construction: bucket assignment is the portable
+  // [[Hashing.md5Long60]] over (depth || U+0001 || value), so any engine
+  // rebuilds the identical sketch (no private register layout to trust).
+  // The sketch is a (depth, bucket, cnt) TABLE rather than an opaque blob:
+  // built by ONE hash aggregation (d rows per input row, map-side
+  // combined, shuffle bounded by d·w regardless of corpus size), merged
+  // across shards/days by summing cnt per (depth, bucket), and probed by
+  // an equi-join. Estimates never undercount (CMS guarantee); error is
+  // bounded by ceil(e·N/w) with probability 1 - exp(-d).
+  // --------------------------------------------------------------------
+
+  /** Per-depth bucket of a value: pmod(md5Long60(depth ∥ value), width).
+    * U+0001 separates depth from value so "1"+"2x" ≠ "12"+"x"; values
+    * containing U+0001 would need a different separator (tokens don't).
+    */
+  private def cmsBucket(depth: Column, value: Column, width: Int): Column =
+    pmod(Hashing.md5Long60(
+      concat_ws("\u0001", depth.cast("string"), value.cast("string"))),
+      lit(width.toLong))
+
+  /** Build the sketch: one row per non-empty (depth, bucket) with the
+    * occurrence count. NULL values are skipped (mirrors count semantics).
+    */
+  def cmsBuild(df: DataFrame, valueCol: String, depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && width >= 2, s"cms d=$depth w=$width out of range")
+    df.filter(col(valueCol).isNotNull)
+      .select(posexplode(transform(sequence(lit(0), lit(depth - 1)),
+        i => cmsBucket(i, col(valueCol), width))))
+      .toDF("depth", "bucket")
+      .groupBy("depth", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge shard sketches built with identical (d, w): elementwise sum.
+    * merge(cms(A), cms(B)) == cms(A ⊎ B) exactly (counts are linear).
+    */
+  def cmsMerge(sketches: DataFrame): DataFrame =
+    sketches.groupBy("depth", "bucket").agg(sum("cnt").as("cnt"))
+
+  /** Estimate each item's frequency: min over depths of its bucket count.
+    * The sketch is tiny (≤ d·w rows) — broadcast it so the probe is a
+    * shuffle-free map-side join at any item cardinality. Items absent from
+    * every bucket estimate 0 (never happens for items that were counted).
+    * Output: itemCol, n_est.
+    */
+  def cmsLookup(sketch: DataFrame, items: DataFrame, itemCol: String,
+                depth: Int, width: Int): DataFrame =
+    items
+      .select(col(itemCol), posexplode(transform(sequence(lit(0), lit(depth - 1)),
+        i => cmsBucket(i, col(itemCol), width))))
+      .toDF(itemCol, "depth", "bucket")
+      .join(broadcast(sketch), Seq("depth", "bucket"), "left")
+      .na.fill(0L, Seq("cnt"))
+      .groupBy(itemCol)
+      .agg(min("cnt").as("n_est"))
 }
