@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 import org.apache.spark.sql.expressions.Window
 
 import graft.Ordered._
-import graft.scale.{Decontam, Dsir, Embeddings, LangModel, Multimodal, NearDup, Packing, Sampling, Similarity, Sketches, SpanDedup, TextOps}
+import graft.scale.{Bpe, Decontam, Dsir, Embeddings, LangModel, Multimodal, NearDup, Packing, Sampling, Similarity, Sketches, SpanDedup, TextOps}
 
 /** Driver-verifiable queries for the training-data-pipeline operators
   * (`graft.scale`) over the `documents` table, each with a DuckDB oracle
@@ -642,6 +642,22 @@ object ScaleQueries {
         .select("token", "n_exact", "n_est")
         .orderBy(col("n_exact").desc, col("token"))
         .limit(50)
+    }),
+
+    // BPE application with the Sennrich worked-example merge list as fixed
+    // literals — the learning loop (iterative argmax) is BpeSpec-gated;
+    // application is the SQL-expressible half, and greedy-leftmost merging
+    // is reproduced in the oracle by chained replace() over a
+    // US-delimited symbol string.
+    "q_bpe_segment" -> ((s, d) => {
+      val merges = Seq("e" -> "s", "es" -> "t", "est" -> Bpe.EndOfWord,
+        "l" -> "o", "lo" -> "w")
+      Bpe.segment(Tables.documents(s, d).select("doc_id", "text"),
+        "doc_id", "text", merges)
+        .select(col("doc_id"),
+          array_join(col("subwords"), " ").as("subwords_str"),
+          col("n_subwords"))
+        .ordered("doc_id")
     })
   )
 
@@ -1456,6 +1472,33 @@ object ScaleQueries {
         |  AND c.bucket = ('0x' || substr(md5(CAST(r.i AS VARCHAR) || chr(1) || e.token), 1, 15))::BIGINT % 1024
         | GROUP BY e.token)
         |SELECT token, n_exact, n_est FROM ex JOIN lk USING (token)
-        |ORDER BY n_exact DESC, token LIMIT 50""".stripMargin
+        |ORDER BY n_exact DESC, token LIMIT 50""".stripMargin,
+
+    // Greedy-leftmost BPE merge application == non-overlapping left-to-
+    // right replace() over a chr(31)-delimited symbol string (prototyped:
+    // replacing consumes the shared delimiter, so an overlapping second
+    // occurrence can't match — exactly the fold's semantics).
+    "q_bpe_segment" ->
+      """WITH w AS (
+        | SELECT doc_id, g.i AS wpos, words[g.i] AS word
+        | FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |      unnest(generate_series(1, len(words))) AS g(i)
+        | WHERE len(words[g.i]) > 0),
+        |seg0 AS (SELECT doc_id, wpos,
+        |  chr(31) || array_to_string(string_split(word, ''), chr(31)) ||
+        |    chr(31) || '</w>' || chr(31) AS s
+        | FROM w),
+        |ap AS (SELECT doc_id, wpos,
+        | replace(replace(replace(replace(replace(s,
+        |   chr(31)||'e'||chr(31)||'s'||chr(31), chr(31)||'es'||chr(31)),
+        |   chr(31)||'es'||chr(31)||'t'||chr(31), chr(31)||'est'||chr(31)),
+        |   chr(31)||'est'||chr(31)||'</w>'||chr(31), chr(31)||'est</w>'||chr(31)),
+        |   chr(31)||'l'||chr(31)||'o'||chr(31), chr(31)||'lo'||chr(31)),
+        |   chr(31)||'lo'||chr(31)||'w'||chr(31), chr(31)||'low'||chr(31)) AS s
+        | FROM seg0),
+        |ws AS (SELECT doc_id, wpos, trim(replace(s, chr(31), ' ')) AS word_str FROM ap)
+        |SELECT doc_id, string_agg(word_str, ' ' ORDER BY wpos) AS subwords_str,
+        | CAST(sum(len(string_split(word_str, ' '))) AS INTEGER) AS n_subwords
+        |FROM ws GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

@@ -1,0 +1,128 @@
+package graft.scale
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Byte-pair-encoding vocabulary induction (Sennrich et al., "Neural
+  * Machine Translation of Rare Words with Subword Units", ACL 2016) — the
+  * training half of the tokenizer story ([[TextOps]]'s `q_bpe_tokens` is
+  * the pre-tokenization/counting half).
+  *
+  * Scale shape: BPE trains on the WORD-COUNT table, not the corpus — one
+  * corpus-sized shuffle builds (word, cnt), and every merge iteration
+  * after that runs on the distinct-word table, which is sublinear in the
+  * corpus (Heaps' law) and independent of it thereafter. Each iteration
+  * is one weighted pair-count aggregation + a 1-row argmax collect + one
+  * narrow array rewrite, localCheckpoint-fenced like the other iterative
+  * operators ([[NearDup.clusterPairsLargeGraph]]). At real vocabulary
+  * sizes (10⁵–10⁶ words) the iteration data fits one executor — the
+  * distributed loop still wins over a driver loop only by keeping the
+  * plumbing uniform; the corpus-sized win is already banked in the
+  * word-count shuffle.
+  *
+  * Determinism: the argmax tiebreak is (count DESC, left ASC, right ASC)
+  * — a total order, so the learned merge sequence is a pure function of
+  * the word-count table (spec-pinned under repartitioning).
+  */
+object Bpe {
+
+  /** End-of-word sentinel symbol (its own symbol, never merged with a
+    * marker-free prefix of the next word — the Sennrich convention that
+    * lets a subword know it ends a word).
+    */
+  val EndOfWord = "</w>"
+
+  /** (word, cnt) over whitespace tokens — the one corpus-sized pass. */
+  def wordCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(TextOps.tokens(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** Initial segmentation: characters + [[EndOfWord]]. */
+  private def charSyms(word: Column): Column =
+    concat(split(word, ""), array(lit(EndOfWord)))
+
+  /** One greedy left-to-right merge of adjacent (a, b) → a+b inside a
+    * symbol array, as a pure fold expression (codegen'd, no UDF). The
+    * merged symbol lands at the accumulator tail, so an overlapping
+    * occurrence ("aaa" under (a,a)) merges leftmost-first — the standard
+    * BPE application order.
+    */
+  def mergeOnce(syms: Column, a: String, b: String): Column = {
+    val merged = a + b
+    aggregate(
+      syms,
+      array().cast(ArrayType(StringType, containsNull = false)),
+      (acc, x) =>
+        when(size(acc) > 0 && element_at(acc, -1) === a && x === b,
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(merged))))
+          .otherwise(concat(acc, array(x))))
+  }
+
+  /** Apply a learned merge list in training order. Builds one chained
+    * fold expression per merge — right for the ≤ a-few-dozen merges a
+    * demo trains; a production encoder with a 30k-merge vocab applies
+    * greedy longest-match over the final vocab in a `mapPartitions`
+    * trie pass instead (same output by BPE's prefix-closure property).
+    */
+  def applyMerges(word: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(charSyms(word)) { case (syms, (a, b)) => mergeOnce(syms, a, b) }
+
+  /** Learn `numMerges` merges from a (word, cnt) table. Stops early when
+    * no adjacent pair occurs at least `minCount` times (weighted).
+    * Returns the merge table: (step, left, right, merged, pair_count) in
+    * training order.
+    */
+  def learnMerges(wordCounts: DataFrame, numMerges: Int,
+                  minCount: Long = 2L): DataFrame = {
+    require(numMerges >= 1 && numMerges <= 4096, s"numMerges out of range: $numMerges")
+    val spark = wordCounts.sparkSession
+    import spark.implicits._
+
+    var vocab = wordCounts
+      .select(charSyms(col("word")).as("syms"), col("cnt").cast(LongType).as("cnt"))
+      .localCheckpoint(true)
+    val learned = Vector.newBuilder[(Int, String, String, String, Long)]
+    var step = 0
+    var exhausted = false
+    while (step < numMerges && !exhausted) {
+      // weighted adjacent-pair counts over the vocab (every position,
+      // overlaps included — the standard trainer's statistic)
+      val best = vocab
+        .select(col("cnt"), explode(transform(
+          sequence(lit(1), size(col("syms")) - 1),
+          i => struct(element_at(col("syms"), i).as("l"),
+            element_at(col("syms"), i + 1).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("cnt").as("n"))
+        .orderBy(col("n").desc, col("l"), col("r"))
+        .limit(1)
+        .as[(String, String, Long)]
+        .collect()
+      best.headOption match {
+        case Some((a, b, n)) if n >= minCount =>
+          learned += ((step, a, b, a + b, n))
+          val next = vocab
+            .select(mergeOnce(col("syms"), a, b).as("syms"), col("cnt"))
+            .localCheckpoint(true) // constant-size plan across iterations
+          vocab = next
+          step += 1
+        case _ => exhausted = true
+      }
+    }
+    learned.result()
+      .toDF("step", "left", "right", "merged", "pair_count")
+  }
+
+  /** Segment every document with a learned merge list: subword tokens +
+    * count per document (narrow projection — the corpus is touched once).
+    */
+  def segment(docs: DataFrame, idCol: String, textCol: String,
+              merges: Seq[(String, String)]): DataFrame =
+    docs.select(col(idCol),
+      flatten(transform(
+        filter(TextOps.tokens(col(textCol)), w => length(w) > 0),
+        w => applyMerges(w, merges))).as("subwords"))
+      .withColumn("n_subwords", size(col("subwords")))
+}
