@@ -117,12 +117,29 @@ object Bpe {
 
   /** Segment every document with a learned merge list: subword tokens +
     * count per document (narrow projection — the corpus is touched once).
+    *
+    * Implementation is the STRING form of the merge fold, not
+    * [[applyMerges]]: the document becomes one U+001F-delimited symbol
+    * string (each word's chars + [[EndOfWord]], words separated by a
+    * doubled delimiter no merge pattern can span) and each merge is a
+    * codegen'd `replace` — non-overlapping left-to-right, the fold's
+    * exact semantics (BpeSpec pins the equivalence). A/B at sf0.1: the
+    * nested-aggregate fold ran 7.7 s (interpreted HOFs, O(|word|²) array
+    * copies); this form is pure string ops inside whole-stage codegen.
+    * Constraint: input tokens must not contain U+001F (same contract as
+    * the CMS separator).
     */
   def segment(docs: DataFrame, idCol: String, textCol: String,
-              merges: Seq[(String, String)]): DataFrame =
+              merges: Seq[(String, String)]): DataFrame = {
+    val D = "\u001F"
+    val words = filter(TextOps.tokens(col(textCol)), w => length(w) > 0)
+    val seg0 = array_join(transform(words, w =>
+      concat(lit(D), array_join(split(w, ""), D), lit(D + EndOfWord + D))), "")
+    val applied = merges.foldLeft(seg0) { case (s, (a, b)) =>
+      replace(s, lit(D + a + D + b + D), lit(D + a + b + D))
+    }
     docs.select(col(idCol),
-      flatten(transform(
-        filter(TextOps.tokens(col(textCol)), w => length(w) > 0),
-        w => applyMerges(w, merges))).as("subwords"))
+      filter(split(applied, D), x => length(x) > 0).as("subwords"))
       .withColumn("n_subwords", size(col("subwords")))
+  }
 }

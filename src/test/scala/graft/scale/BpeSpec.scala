@@ -56,6 +56,21 @@ class BpeSpec extends AnyFunSuite with Matchers {
     out shouldBe Seq("aa", "a")
   }
 
+  test("string-replace segmentation == the array-fold form on the corpus") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val merges = Seq("e" -> "s", "es" -> "t", "est" -> W, "l" -> "o", "lo" -> "w")
+    val viaString = Bpe.segment(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val viaFold = docs.select(col("doc_id"),
+      flatten(transform(
+        filter(TextOps.tokens(col("text")),
+          w => org.apache.spark.sql.functions.length(w) > 0),
+        w => Bpe.applyMerges(w, merges))).as("subwords"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    viaString shouldBe viaFold
+  }
+
   test("learned merges are a pure function of the word-count table") {
     val wc = Bpe.wordCounts(
       graft.Tables.documents(spark, "/root/testdata/sf0.001"), "text")
