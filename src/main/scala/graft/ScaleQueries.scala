@@ -644,6 +644,19 @@ object ScaleQueries {
         .limit(50)
     }),
 
+    // Deterministic sharded epoch shuffle: the same corpus under epochs 1
+    // and 2 yields two unrelated (shard, pos) permutations, each a pure
+    // function of (epoch, doc_id) — no RNG, retry- and resume-stable.
+    "q_epoch_shuffle" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id")
+      val e1 = Sampling.epochShuffle(docs, "doc_id", epoch = 1, nShards = 8)
+        .withColumn("epoch", lit(1))
+      val e2 = Sampling.epochShuffle(docs, "doc_id", epoch = 2, nShards = 8)
+        .withColumn("epoch", lit(2))
+      e1.unionByName(e2).select("doc_id", "epoch", "shard", "pos")
+        .ordered("epoch", "doc_id")
+    }),
+
     // BPE application with the Sennrich worked-example merge list as fixed
     // literals — the learning loop (iterative argmax) is BpeSpec-gated;
     // application is the SQL-expressible half, and greedy-leftmost merging
@@ -1473,6 +1486,18 @@ object ScaleQueries {
         | GROUP BY e.token)
         |SELECT token, n_exact, n_est FROM ex JOIN lk USING (token)
         |ORDER BY n_exact DESC, token LIMIT 50""".stripMargin,
+
+    // The identical (epoch, id) hash → shard → within-shard rank.
+    "q_epoch_shuffle" ->
+      """WITH e AS (
+        | SELECT doc_id, v.epoch FROM documents, (VALUES (1), (2)) v(epoch)),
+        |h AS (SELECT doc_id, epoch,
+        |  ('0x' || substr(md5(CAST(epoch AS VARCHAR) || chr(1) || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+        | FROM e)
+        |SELECT doc_id, epoch, CAST(hv % 8 AS INTEGER) AS shard,
+        | CAST(row_number() OVER (PARTITION BY epoch, hv % 8 ORDER BY hv, doc_id)
+        |   AS INTEGER) AS pos
+        |FROM h ORDER BY epoch, doc_id""".stripMargin,
 
     // Greedy-leftmost BPE merge application == non-overlapping left-to-
     // right replace() over a chr(31)-delimited symbol string (prototyped:

@@ -126,4 +126,35 @@ object Sampling {
       .withColumn("bucket_pm", hashBucket(col(idCol), 1000))
       .filter(col("bucket_pm") < col("p_permille"))
   }
+
+  /** Deterministic sharded epoch shuffle — the training-order operator: a
+    * pretraining run wants a DIFFERENT pseudorandom document permutation
+    * each epoch, reproducible under retries and resumable mid-epoch. The
+    * permutation is (shard, pos): shard = portable hash of (epoch, id)
+    * modulo `nShards` (each shard ≈ one output file a reader consumes
+    * sequentially), pos = rank of that hash within the shard. Changing
+    * `epoch` re-keys every hash, producing an unrelated permutation from
+    * the same corpus — no stored state, no RNG.
+    *
+    * Scale: ONE hash-partitioned window per shard (parallelism = nShards;
+    * no global sort). The per-shard sort is the shuffle's external sort,
+    * so shard size is bounded by disk, not memory; size nShards to the
+    * reader fleet, not the corpus.
+    *
+    * Output: input columns + shard (0-based) + pos (1-based within shard,
+    * ordered by (hash, id) — the id tiebreak makes the order total even
+    * in the measure-zero case of colliding 60-bit hashes).
+    */
+  def epochShuffle(df: DataFrame, idCol: String, epoch: Int,
+                   nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards must be positive, got $nShards")
+    val hv = Hashing.md5Long60(
+      concat_ws("\u0001", lit(epoch).cast(StringType), col(idCol).cast(StringType)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("_hv"), col(idCol))
+    df.withColumn("_hv", hv)
+      .withColumn("shard", pmod(col("_hv"), lit(nShards.toLong)).cast(IntegerType))
+      .withColumn("pos", row_number().over(w))
+      .drop("_hv")
+  }
 }
