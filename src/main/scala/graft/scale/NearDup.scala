@@ -363,11 +363,17 @@ object NearDup {
     */
   def resolveCanonical(labels: DataFrame, attrs: DataFrame, idCol: String,
                        priorityCol: String, sizeCol: String): DataFrame = {
+    // LEFT join: an id missing from `attrs` must not vanish from the
+    // output (the operator's contract is one row per labeled id) — it
+    // ranks last instead (NULL priority after every real priority, NULL
+    // size after every real size), so it can win only a cluster where no
+    // member carries attributes.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("cluster_root")
-      .orderBy(col(priorityCol).asc, col(sizeCol).desc, col(idCol).asc)
+      .orderBy(col(priorityCol).asc_nulls_last, col(sizeCol).desc_nulls_last,
+        col(idCol).asc)
     labels.select(col(idCol), col("cluster_root"))
-      .join(attrs, Seq(idCol))
+      .join(attrs, Seq(idCol), "left")
       .withColumn("keep_id", first(col(idCol)).over(w))
       .withColumn("is_kept", col(idCol) === col("keep_id"))
       .select(col(idCol), col("cluster_root"), col("keep_id"), col("is_kept"))

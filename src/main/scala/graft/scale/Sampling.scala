@@ -144,6 +144,10 @@ object Sampling {
     * Output: input columns + shard (0-based) + pos (1-based within shard,
     * ordered by (hash, id) — the id tiebreak makes the order total even
     * in the measure-zero case of colliding 60-bit hashes).
+    *
+    * NULL-id rows are dropped (package NULL policy, like [[hashSample]]):
+    * concat_ws would otherwise collapse every NULL id onto one hash and
+    * the id tiebreak would no longer be total.
     */
   def epochShuffle(df: DataFrame, idCol: String, epoch: Int,
                    nShards: Int): DataFrame = {
@@ -152,7 +156,8 @@ object Sampling {
       concat_ws("\u0001", lit(epoch).cast(StringType), col(idCol).cast(StringType)))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("shard").orderBy(col("_hv"), col(idCol))
-    df.withColumn("_hv", hv)
+    df.filter(col(idCol).isNotNull)
+      .withColumn("_hv", hv)
       .withColumn("shard", pmod(col("_hv"), lit(nShards.toLong)).cast(IntegerType))
       .withColumn("pos", row_number().over(w))
       .drop("_hv")

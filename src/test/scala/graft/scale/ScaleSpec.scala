@@ -190,6 +190,17 @@ class ScaleSpec extends AnyFunSuite with Matchers {
     out(20L) shouldBe ((20L, true))
   }
 
+  test("resolveCanonical: ids missing from attrs stay in the output, ranked last") {
+    val labels = Seq((1L, 1L), (2L, 1L), (30L, 30L)).toDF("id", "cluster_root")
+    val attrs = Seq((2L, 5, 10L)).toDF("id", "prio", "sz") // 1 and 30 missing
+    val out = NearDup.resolveCanonical(labels, attrs, "id", "prio", "sz")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    out.keySet shouldBe Set(1L, 2L, 30L)    // nothing vanishes
+    out(2L) shouldBe ((2L, true))           // attributed member beats the bare one
+    out(1L) shouldBe ((2L, false))
+    out(30L) shouldBe ((30L, true))         // attr-less singleton keeps itself
+  }
+
   test("minhash signatures are partitioning-invariant") {
     val docs = Tables.documents(spark, sf)
     val once = NearDup.minHashDedup(docs, "doc_id", "text", threshold = 0.5)
