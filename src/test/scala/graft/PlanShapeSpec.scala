@@ -159,4 +159,36 @@ class PlanShapeSpec extends AnyFunSuite with Matchers {
           l.contains("ENSURE_REQUIREMENTS")) shouldBe 0
     }
   }
+
+  test("cms: build partial-aggregates map-side; the probe side broadcasts the sketch") {
+    import org.apache.spark.sql.functions.{col, explode}
+    val toks = Tables.documents(spark, sf)
+      .select(explode(graft.scale.TextOps.tokens(col("text"))).as("token"))
+    val sketch = graft.scale.Sketches.cmsBuild(toks, "token", 4, 1024)
+    val buildPlan = finalPlan(sketch)
+    withClue(buildPlan) {
+      // partial + final HashAggregate around ONE exchange: the shuffle
+      // carries at most d·w pre-combined bucket counts, not d rows per token
+      "HashAggregate".r.findAllIn(buildPlan).size should be >= 2
+      buildPlan.linesIterator.count(_.contains("Exchange hashpartitioning")) shouldBe 1
+    }
+    val probePlan = finalPlan(graft.scale.Sketches.cmsLookup(
+      sketch, toks.distinct(), "token", 4, 1024))
+    withClue(probePlan) {
+      probePlan should include("BroadcastHashJoin") // d·w rows ride the broadcast
+      probePlan should not include "SortMergeJoin"
+    }
+  }
+
+  test("epochShuffle: one hash exchange on shard, no global sort") {
+    val df = graft.scale.Sampling.epochShuffle(
+      Tables.documents(spark, sf).select("doc_id"), "doc_id", epoch = 1, nShards = 8)
+    val plan = finalPlan(df)
+    withClue(plan) {
+      // the permutation is per-shard: a window behind ONE hash exchange;
+      // a rangepartitioning exchange would mean a global sort crept in
+      plan.linesIterator.count(_.contains("Exchange hashpartitioning(shard")) shouldBe 1
+      plan should not include "Exchange rangepartitioning"
+    }
+  }
 }
