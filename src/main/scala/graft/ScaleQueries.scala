@@ -644,6 +644,20 @@ object ScaleQueries {
         .limit(50)
     }),
 
+    // Product quantization: 64-dim float vectors → 4 codes against a
+    // seed-sampled codebook (the vec_id % 63 == 1 vectors), with the
+    // DECIMAL-exact reconstruction-error sum. Codes serialize to a string
+    // (nested arrays aren't driver-hashable).
+    "q_embed_pq" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cb = Embeddings.pqCodebookFromSeeds(
+        e.filter(col("vec_id") % 63 === 1), mSubspaces = 4, "vec_id", "embedding")
+      Embeddings.pqEncode(e, cb, mSubspaces = 4, "vec_id", "embedding")
+        .select(col("vec_id"),
+          array_join(col("codes"), " ").as("codes_str"), col("err"))
+        .ordered("vec_id")
+    }),
+
     // Deterministic sharded epoch shuffle: the same corpus under epochs 1
     // and 2 yields two unrelated (shard, pos) permutations, each a pure
     // function of (epoch, doc_id) — no RNG, retry- and resume-stable.
@@ -1486,6 +1500,31 @@ object ScaleQueries {
         | GROUP BY e.token)
         |SELECT token, n_exact, n_est FROM ex JOIN lk USING (token)
         |ORDER BY n_exact DESC, token LIMIT 50""".stripMargin,
+
+    // PQ mirrored: same subvector slices, same fold arithmetic (x-y)^2 via
+    // list ops, same (dist, code_id) argmin, DECIMAL-exact error sum.
+    "q_embed_pq" ->
+      """WITH sc AS (
+        | SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code_id, embedding
+        | FROM embeddings WHERE vec_id % 63 = 1),
+        |cb AS (SELECT r.m, code_id,
+        |  embedding[1 + 16*r.m : 16*(r.m + 1)] AS sub
+        | FROM sc, range(4) r(m)),
+        |vs AS (SELECT vec_id, r.m,
+        |  embedding[1 + 16*r.m : 16*(r.m + 1)] AS vsub
+        | FROM embeddings, range(4) r(m)),
+        |dist AS (SELECT v.vec_id, v.m, c.code_id,
+        |  round(list_sum(list_transform(range(1, len(v.vsub) + 1),
+        |    i -> (CAST(v.vsub[i] AS DOUBLE) - CAST(c.sub[i] AS DOUBLE)) *
+        |         (CAST(v.vsub[i] AS DOUBLE) - CAST(c.sub[i] AS DOUBLE)))), 6) AS d
+        | FROM vs v JOIN cb c USING (m)),
+        |best AS (SELECT vec_id, m, code_id, d,
+        |  row_number() OVER (PARTITION BY vec_id, m ORDER BY d, code_id) AS rn
+        | FROM dist)
+        |SELECT vec_id,
+        | string_agg(CAST(code_id AS VARCHAR), ' ' ORDER BY m) AS codes_str,
+        | round(CAST(sum(CAST(d AS DECIMAL(18,6))) AS DOUBLE), 6) AS err
+        |FROM best WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
     // The identical (epoch, id) hash → shard → within-shard rank.
     "q_epoch_shuffle" ->

@@ -59,4 +59,69 @@ object Embeddings {
       .withColumn(scaleOut, col(maxAbs) / lit(127.0))
       .drop(maxAbs)
   }
+
+  // --------------------------------------------------------------------
+  // Product quantization (Jégou et al., "Product Quantization for Nearest
+  // Neighbor Search", TPAMI 2011): split each vector into M subvectors,
+  // quantize each against its own K-codeword codebook → M small codes per
+  // vector (64 dims → 4 bytes at M=4/K≤256, a 64× cut vs float32), with
+  // reconstruction error = sum of per-subspace quantization errors.
+  // Scale shape: the codebook is M·K rows — broadcast; encoding is one
+  // narrow pass over the corpus (M·K distance evaluations per row, no
+  // shuffle beyond the final per-vector regroup).
+  // --------------------------------------------------------------------
+
+  /** Codebook from a deterministic seed set: seed vectors' m-th subvector
+    * becomes subspace m's codeword, with code_id = the seed's rank by id
+    * (0-based) — the sampled-codebook initialization; refine with
+    * per-subspace Lloyd steps ([[Similarity.assignBuckets]]-style) when
+    * quantization error matters more than determinism.
+    * Output: (m, code_id, sub: ARRAY<DOUBLE>). The unpartitioned rank
+    * window is safe by construction: the seed set IS the codebook
+    * (K ≤ 256 rows), never the corpus.
+    */
+  def pqCodebookFromSeeds(seeds: DataFrame, mSubspaces: Int, idCol: String,
+                          vecCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col(idCol))
+    val dims = org.apache.spark.sql.functions.size(col(vecCol))
+    seeds
+      .withColumn("code_id", row_number().over(w) - 1)
+      .select(col("code_id"), col(vecCol).cast(ArrayType(DoubleType)).as("_v"),
+        (dims / mSubspaces).cast(IntegerType).as("_sd"))
+      .select(col("code_id"), col("_v"), col("_sd"),
+        explode(sequence(lit(0), lit(mSubspaces - 1))).as("m"))
+      .select(col("m"), col("code_id"),
+        slice(col("_v"), col("m") * col("_sd") + 1, col("_sd")).as("sub"))
+  }
+
+  /** Encode every vector: per subspace the code with the minimum rounded
+    * L2² distance (ties → smallest code_id). Output: idCol, codes
+    * (ARRAY<INT> in subspace order), err (DECIMAL-exact sum of the M
+    * rounded per-subspace distances — aggregation-order independent, so
+    * engine-reproducible like the LangModel NLL sum).
+    */
+  def pqEncode(corpus: DataFrame, codebook: DataFrame, mSubspaces: Int,
+               idCol: String, vecCol: String): DataFrame = {
+    val dims = org.apache.spark.sql.functions.size(col(vecCol))
+    val subs = corpus
+      .select(col(idCol), col(vecCol).cast(ArrayType(DoubleType)).as("_v"),
+        (dims / mSubspaces).cast(IntegerType).as("_sd"))
+      .select(col(idCol), col("_v"), col("_sd"),
+        explode(sequence(lit(0), lit(mSubspaces - 1))).as("m"))
+      .select(col(idCol), col("m"),
+        slice(col("_v"), col("m") * col("_sd") + 1, col("_sd")).as("vsub"))
+    subs.join(broadcast(codebook), Seq("m"))
+      .withColumn("_dist", round(aggregate(
+        zip_with(col("vsub"), col("sub"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, v) => acc + v), 6))
+      .groupBy(col(idCol), col("m"))
+      .agg(min_by(col("code_id"), struct(col("_dist"), col("code_id"))).as("code"),
+        min(col("_dist")).as("dist"))
+      .groupBy(idCol)
+      .agg(
+        transform(array_sort(collect_list(struct(col("m"), col("code")))),
+          s => s.getField("code")).as("codes"),
+        round(sum(col("dist").cast(DecimalType(18, 6))).cast(DoubleType), 6)
+          .as("err"))
+  }
 }
