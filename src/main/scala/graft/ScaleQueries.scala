@@ -658,6 +658,19 @@ object ScaleQueries {
         .ordered("vec_id")
     }),
 
+    // PQ search (ADC): exact queries against the coded corpus — M table
+    // lookups + a DECIMAL sum per (query, vector); the corpus scan never
+    // touches float vectors.
+    "q_embed_pq_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cb = Embeddings.pqCodebookFromSeeds(
+        e.filter(col("vec_id") % 63 === 1), mSubspaces = 4, "vec_id", "embedding")
+      val codes = Embeddings.pqEncode(e, cb, mSubspaces = 4, "vec_id", "embedding")
+      Embeddings.pqTopK(codes, cb, e.filter(col("vec_id") % 97 === 5),
+        k = 10, mSubspaces = 4, "vec_id", "embedding")
+        .ordered("q_id", "rank")
+    }),
+
     // Deterministic sharded epoch shuffle: the same corpus under epochs 1
     // and 2 yields two unrelated (shard, pos) permutations, each a pure
     // function of (epoch, doc_id) — no RNG, retry- and resume-stable.
@@ -1525,6 +1538,39 @@ object ScaleQueries {
         | string_agg(CAST(code_id AS VARCHAR), ' ' ORDER BY m) AS codes_str,
         | round(CAST(sum(CAST(d AS DECIMAL(18,6))) AS DOUBLE), 6) AS err
         |FROM best WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    // ADC mirrored: the q_embed_pq encoding CTEs + per-query distance
+    // tables + the same (adist, neighbor_id) ranking.
+    "q_embed_pq_topk" ->
+      """WITH sc AS (
+        | SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code_id, embedding
+        | FROM embeddings WHERE vec_id % 63 = 1),
+        |cb AS (SELECT r.m, code_id,
+        |  embedding[1 + 16*r.m : 16*(r.m + 1)] AS sub
+        | FROM sc, range(4) r(m)),
+        |vs AS (SELECT vec_id, r.m,
+        |  embedding[1 + 16*r.m : 16*(r.m + 1)] AS vsub
+        | FROM embeddings, range(4) r(m)),
+        |dist AS (SELECT v.vec_id, v.m, c.code_id,
+        |  round(list_sum(list_transform(range(1, len(v.vsub) + 1),
+        |    i -> (CAST(v.vsub[i] AS DOUBLE) - CAST(c.sub[i] AS DOUBLE)) *
+        |         (CAST(v.vsub[i] AS DOUBLE) - CAST(c.sub[i] AS DOUBLE)))), 6) AS d
+        | FROM vs v JOIN cb c USING (m)),
+        |best AS (SELECT vec_id, m, code_id, d,
+        |  row_number() OVER (PARTITION BY vec_id, m ORDER BY d, code_id) AS rn
+        | FROM dist),
+        |codes AS (SELECT vec_id, m, code_id FROM best WHERE rn = 1),
+        |dt AS (SELECT vec_id AS q_id, m, code_id, d FROM dist
+        |       WHERE vec_id % 97 = 5),
+        |adist AS (SELECT dt.q_id, c.vec_id AS neighbor_id,
+        |  round(CAST(sum(CAST(dt.d AS DECIMAL(18,6))) AS DOUBLE), 6) AS adist
+        | FROM codes c JOIN dt ON dt.m = c.m AND dt.code_id = c.code_id
+        | GROUP BY dt.q_id, c.vec_id),
+        |r AS (SELECT q_id, neighbor_id, adist,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY adist, neighbor_id) AS rank
+        | FROM adist WHERE q_id <> neighbor_id)
+        |SELECT q_id, neighbor_id, adist, rank FROM r WHERE rank <= 10
+        |ORDER BY q_id, rank""".stripMargin,
 
     // The identical (epoch, id) hash → shard → within-shard rank.
     "q_epoch_shuffle" ->

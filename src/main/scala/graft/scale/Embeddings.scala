@@ -1,6 +1,6 @@
 package graft.scale
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -94,6 +94,26 @@ object Embeddings {
         slice(col("_v"), col("m") * col("_sd") + 1, col("_sd")).as("sub"))
   }
 
+  /** (idCol, m, vsub): every vector sliced into its M subvectors. */
+  private def subvectors(df: DataFrame, mSubspaces: Int, idCol: String,
+                         vecCol: String): DataFrame = {
+    val dims = org.apache.spark.sql.functions.size(col(vecCol))
+    df.select(col(idCol), col(vecCol).cast(ArrayType(DoubleType)).as("_v"),
+        (dims / mSubspaces).cast(IntegerType).as("_sd"))
+      .select(col(idCol), col("_v"), col("_sd"),
+        explode(sequence(lit(0), lit(mSubspaces - 1))).as("m"))
+      .select(col(idCol), col("m"),
+        slice(col("_v"), col("m") * col("_sd") + 1, col("_sd")).as("vsub"))
+  }
+
+  /** Rounded L2² between a subvector and a codeword (the fold the DuckDB
+    * oracle mirrors with list ops).
+    */
+  private def subDist(vsub: Column, sub: Column): Column =
+    round(aggregate(
+      zip_with(vsub, sub, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v), 6)
+
   /** Encode every vector: per subspace the code with the minimum rounded
     * L2² distance (ties → smallest code_id). Output: idCol, codes
     * (ARRAY<INT> in subspace order), err (DECIMAL-exact sum of the M
@@ -102,18 +122,9 @@ object Embeddings {
     */
   def pqEncode(corpus: DataFrame, codebook: DataFrame, mSubspaces: Int,
                idCol: String, vecCol: String): DataFrame = {
-    val dims = org.apache.spark.sql.functions.size(col(vecCol))
-    val subs = corpus
-      .select(col(idCol), col(vecCol).cast(ArrayType(DoubleType)).as("_v"),
-        (dims / mSubspaces).cast(IntegerType).as("_sd"))
-      .select(col(idCol), col("_v"), col("_sd"),
-        explode(sequence(lit(0), lit(mSubspaces - 1))).as("m"))
-      .select(col(idCol), col("m"),
-        slice(col("_v"), col("m") * col("_sd") + 1, col("_sd")).as("vsub"))
+    val subs = subvectors(corpus, mSubspaces, idCol, vecCol)
     subs.join(broadcast(codebook), Seq("m"))
-      .withColumn("_dist", round(aggregate(
-        zip_with(col("vsub"), col("sub"), (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, v) => acc + v), 6))
+      .withColumn("_dist", subDist(col("vsub"), col("sub")))
       .groupBy(col(idCol), col("m"))
       .agg(min_by(col("code_id"), struct(col("_dist"), col("code_id"))).as("code"),
         min(col("_dist")).as("dist"))
@@ -123,5 +134,39 @@ object Embeddings {
           s => s.getField("code")).as("codes"),
         round(sum(col("dist").cast(DecimalType(18, 6))).cast(DoubleType), 6)
           .as("err"))
+  }
+
+  /** PQ search by asymmetric distance computation (ADC): queries stay
+    * exact, the corpus is its codes. Per query a distance TABLE (M·K
+    * rounded subspace distances) is computed once against the codebook;
+    * scanning the corpus is then M table lookups + an exact DECIMAL sum
+    * per vector — no vector arithmetic touches the corpus at all, which
+    * is the point of PQ at 100 TB: the scan reads M small ints per row
+    * and the Q·M·K table rides a broadcast.
+    *
+    * Input `codes` = [[pqEncode]] output; `queries` = (idCol, vecCol)
+    * rows. Self-matches (same id) are excluded before ranking. Output:
+    * q_id, neighbor_id, adist (approximate L2², smaller = closer), rank.
+    */
+  def pqTopK(codes: DataFrame, codebook: DataFrame, queries: DataFrame,
+             k: Int, mSubspaces: Int, idCol: String, vecCol: String): DataFrame = {
+    val dtab = subvectors(queries, mSubspaces, idCol, vecCol)
+      .withColumnRenamed(idCol, "q_id")
+      .join(broadcast(codebook), Seq("m"))
+      .select(col("q_id"), col("m"), col("code_id"),
+        subDist(col("vsub"), col("sub")).as("d"))
+    val cx = codes.select(col(idCol).as("neighbor_id"),
+      posexplode(col("codes")).as(Seq("m", "code")))
+    val scored = cx
+      .join(broadcast(dtab), cx("m") === dtab("m") && cx("code") === dtab("code_id"))
+      .groupBy("q_id", "neighbor_id")
+      .agg(round(sum(col("d").cast(DecimalType(18, 6))).cast(DoubleType), 6)
+        .as("adist"))
+      .filter(col("q_id") =!= col("neighbor_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("adist").asc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "neighbor_id", "adist", "rank")
   }
 }
