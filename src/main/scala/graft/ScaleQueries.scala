@@ -658,6 +658,14 @@ object ScaleQueries {
         .ordered("vec_id")
     }),
 
+    // Hard negatives: most-similar different-label vectors per query —
+    // the contrastive-training mining pass (exact labeled baseline).
+    "q_hard_negatives" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.hardNegatives(e, e.filter(col("vec_id") % 97 === 5), k = 5)
+        .ordered("q_id", "rank")
+    }),
+
     // PQ search (ADC): exact queries against the coded corpus — M table
     // lookups + a DECIMAL sum per (query, vector); the corpus scan never
     // touches float vectors.
@@ -1538,6 +1546,20 @@ object ScaleQueries {
         | string_agg(CAST(code_id AS VARCHAR), ' ' ORDER BY m) AS codes_str,
         | round(CAST(sum(CAST(d AS DECIMAL(18,6))) AS DOUBLE), 6) AS err
         |FROM best WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    "q_hard_negatives" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+        |p AS (
+        | SELECT q.vec_id AS q_id, q.label AS q_label,
+        |  c.vec_id AS neighbor_id, c.label AS n_label,
+        |  ${cosSql("q.v", "c.v")} AS cos
+        | FROM e q JOIN e c ON q.vec_id <> c.vec_id AND q.label <> c.label
+        | WHERE q.vec_id % 97 = 5)
+        |SELECT q_id, q_label, neighbor_id, n_label, cos,
+        | CAST(rank AS INTEGER) AS rank FROM (
+        | SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank
+        | FROM p)
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
 
     // ADC mirrored: the q_embed_pq encoding CTEs + per-query distance
     // tables + the same (adist, neighbor_id) ranking.

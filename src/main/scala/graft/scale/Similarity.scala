@@ -216,4 +216,34 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("q_id", "neighbor_id", "cos", "rank")
   }
+
+  /** Hard-negative mining for contrastive training: per query, the k most
+    * SIMILAR vectors carrying a DIFFERENT label — the negatives that
+    * actually teach a metric model (random negatives are trivially far).
+    * The label-mismatch predicate rides the similarity join BEFORE
+    * ranking, so every returned row is a usable negative and rank k is
+    * dense. Exact form over the brute-force join (the labeled baseline,
+    * like [[bruteForceTopK]]); at corpus scale the same predicate rides
+    * [[ivfTopK]]'s bucket join unchanged.
+    * Output: q_id, q_label, neighbor_id, n_label (≠ q_label), cos, rank.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    labelCol: String = "label"): DataFrame = {
+    val n = queries.sparkSession.sessionState.conf.numShufflePartitions
+    val q = normed(queries, idCol, vecCol, "q").repartition(n, col("q_id"))
+      .join(queries.select(col(idCol).as("q_id"), col(labelCol).as("q_label")),
+        Seq("q_id"))
+    val c = normed(corpus, idCol, vecCol, "c")
+      .withColumnRenamed("c_id", "neighbor_id")
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(labelCol).as("n_label")),
+        Seq("neighbor_id"))
+    val scored = q.join(c,
+      col("q_id") =!= col("neighbor_id") && col("q_label") =!= col("n_label"))
+      .withColumn("cos", pairCos(col("q_vec"), col("c_vec"), col("q_norm"), col("c_norm")))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "q_label", "neighbor_id", "n_label", "cos", "rank")
+  }
 }
