@@ -658,6 +658,19 @@ object ScaleQueries {
         .ordered("vec_id")
     }),
 
+    // Unicode NFC normalization (native StaticInvoke expression, SQL name
+    // nfc_normalize): the corpus is ASCII, so a decomposed suffix
+    // (e+U+0301, o+U+0308) is grafted on — the oracle's utf8proc NFC must
+    // byte-match the JDK's on the composed result.
+    "q_nfc_normalize" -> ((s, d) => {
+      val dirty = concat(col("text"), lit(" Cafe\u0301 no\u0308el"))
+      Tables.documents(s, d).select(col("doc_id"),
+        graft.functions.TextNormalize.nfcNormalize(dirty).as("nfc_text"),
+        length(dirty).as("n_raw"),
+        length(graft.functions.TextNormalize.nfcNormalize(dirty)).as("n_nfc"))
+        .ordered("doc_id")
+    }),
+
     // Hard negatives: most-similar different-label vectors per query —
     // the contrastive-training mining pass (exact labeled baseline).
     "q_hard_negatives" -> ((s, d) => {
@@ -1546,6 +1559,15 @@ object ScaleQueries {
         | string_agg(CAST(code_id AS VARCHAR), ' ' ORDER BY m) AS codes_str,
         | round(CAST(sum(CAST(d AS DECIMAL(18,6))) AS DOUBLE), 6) AS err
         |FROM best WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    "q_nfc_normalize" ->
+      """WITH t AS (SELECT doc_id,
+        |  text || ' Cafe' || chr(769) || ' no' || chr(776) || 'el' AS dirty
+        | FROM documents)
+        |SELECT doc_id, nfc_normalize(dirty) AS nfc_text,
+        | CAST(len(dirty) AS INTEGER) AS n_raw,
+        | CAST(len(nfc_normalize(dirty)) AS INTEGER) AS n_nfc
+        |FROM t ORDER BY doc_id""".stripMargin,
 
     "q_hard_negatives" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),

@@ -18,6 +18,8 @@ object Sessions {
       .withExtensions(graft.functions.VectorFunctions.register)
       // ... and the KMV sketch aggregate: SELECT kmv(hv, 64) ... GROUP BY
       .withExtensions(graft.functions.KmvSketch.register)
+      // ... and Unicode NFC: SELECT nfc_normalize(text)
+      .withExtensions(graft.functions.TextNormalize.register)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

@@ -52,6 +52,14 @@ class SqlSurfaceSpec extends AnyFunSuite with Matchers {
     row.head.getDouble(1) should be > 0.0
   }
 
+  test("native nfc_normalize resolves from SQL text and composes marks") {
+    val row = spark.sql(
+      "SELECT nfc_normalize('Cafe\u0301') AS t, length('Cafe\u0301') AS raw").collect()
+    row.head.getString(0) shouldBe "Caf\u00e9" // composed e-acute
+    row.head.getString(0).length shouldBe 4
+    row.head.getInt(1) shouldBe 5 // the input really was decomposed
+  }
+
   test("kmv aggregate resolves from SQL text and equals the Column API") {
     Tables.events(spark, sf).createOrReplaceTempView("events_v")
     val sqlRes = spark.sql(
