@@ -658,6 +658,31 @@ object ScaleQueries {
         .ordered("vec_id")
     }),
 
+    // Round-5 pipeline composition: NFC normalize → corpus-LM CCNet gate
+    // (keep head+middle per language) → exact dedup → epoch shuffle →
+    // pack in TRAINING order. One declarative plan; the epoch window's
+    // shard partitioning is reused by the packing window (sort, no second
+    // exchange) — the plan a per-shard 100 TB preparation run wants.
+    "q_corpus_pipeline2" -> ((s, d) => {
+      val norm = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        graft.functions.TextNormalize.nfcNormalize(col("text")).as("text"))
+      val buckets = LangModel.ccnetBuckets(norm, "doc_id", "text", "lang")
+        .filter(col("bucket") <= 2) // CCNet keeps head + middle
+        .select("doc_id", "nll", "ccnet_bucket")
+      val gated = norm.join(buckets, Seq("doc_id"))
+      val uniq = TextOps.exactDedup(gated, "doc_id", "text")
+        .filter(!col("is_dup"))
+      val shuffled = Sampling.epochShuffle(uniq, "doc_id", epoch = 1, nShards = 8)
+      Packing.packChunks(
+        shuffled.withColumn("n_tokens",
+          size(TextOps.tokens(col("text"))).cast(LongType)),
+        "pos", "n_tokens", "shard", contextLen = 256)
+        .select(col("doc_id"), col("lang"), col("ccnet_bucket"), col("nll"),
+          col("shard"), col("pos"), col("n_tokens"), col("tok_start"),
+          col("first_chunk"), col("n_chunks"))
+        .ordered("doc_id")
+    }),
+
     // Unicode NFC normalization (native StaticInvoke expression, SQL name
     // nfc_normalize): the corpus is ASCII, so a decomposed suffix
     // (e+U+0301, o+U+0308) is grafted on — the oracle's utf8proc NFC must
@@ -1559,6 +1584,49 @@ object ScaleQueries {
         | string_agg(CAST(code_id AS VARCHAR), ' ' ORDER BY m) AS codes_str,
         | round(CAST(sum(CAST(d AS DECIMAL(18,6))) AS DOUBLE), 6) AS err
         |FROM best WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    // Each stage mirrored: q_nfc_normalize + q_ngram_lm/q_ccnet_buckets +
+    // q_dedup_exact + q_epoch_shuffle + q_pack_chunks, composed.
+    "q_corpus_pipeline2" ->
+      """WITH norm AS (
+        | SELECT doc_id, lang, nfc_normalize(text) AS text FROM documents),
+        |tf AS (SELECT doc_id, token FROM (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM norm)
+        | WHERE len(token) > 0),
+        |c AS (SELECT token, count(*) AS cnt FROM tf GROUP BY token),
+        |n AS (SELECT sum(cnt) AS n_total FROM c),
+        |scd AS (SELECT doc_id,
+        |  round(CAST(sum(CAST(round(-ln(CAST(cnt AS DOUBLE) / n_total), 6)
+        |    AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS nll
+        | FROM tf JOIN c USING (token) CROSS JOIN n GROUP BY doc_id),
+        |j AS (SELECT d.doc_id, d.lang, d.text, scd.nll
+        |      FROM norm d LEFT JOIN scd USING (doc_id)),
+        |b AS (SELECT *, CAST(ntile(3) OVER (PARTITION BY lang
+        |   ORDER BY nll NULLS FIRST, doc_id) AS INTEGER) AS bucket FROM j),
+        |g AS (SELECT doc_id, lang, text, nll,
+        |  CASE WHEN bucket = 1 THEN 'head' ELSE 'middle' END AS ccnet_bucket
+        | FROM b WHERE bucket <= 2),
+        |fp AS (SELECT *, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |   AS fingerprint FROM g),
+        |canon AS (SELECT fingerprint, min(doc_id) AS canonical_id
+        |          FROM fp GROUP BY fingerprint),
+        |u AS (SELECT fp.* FROM fp JOIN canon USING (fingerprint)
+        |      WHERE doc_id = canonical_id),
+        |h AS (SELECT *, ('0x' || substr(md5('1' || chr(1) ||
+        |   CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hv FROM u),
+        |e AS (SELECT *, CAST(hv % 8 AS INTEGER) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id)
+        |    AS INTEGER) AS pos FROM h),
+        |tok AS (SELECT *, CAST(len(string_split(text, ' ')) AS BIGINT)
+        |   AS n_tokens FROM e),
+        |p AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY pos
+        |   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tok_end
+        | FROM tok WHERE n_tokens > 0)
+        |SELECT doc_id, lang, ccnet_bucket, nll, shard, pos, n_tokens,
+        | tok_end - n_tokens AS tok_start,
+        | (tok_end - n_tokens) // 256 AS first_chunk,
+        | ((tok_end - 1) // 256) - ((tok_end - n_tokens) // 256) + 1 AS n_chunks
+        |FROM p ORDER BY doc_id""".stripMargin,
 
     "q_nfc_normalize" ->
       """WITH t AS (SELECT doc_id,

@@ -180,6 +180,17 @@ class PlanShapeSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("q_corpus_pipeline2: the packing window reuses the epoch window's shard exchange") {
+    val plan = finalPlan(q("q_corpus_pipeline2"))
+    withClue(plan.linesIterator.filter(_.contains("Exchange")).mkString("\n")) {
+      // epoch shuffle partitions by shard; packChunks then windows by the
+      // SAME shard key — a second hashpartitioning(shard) exchange would
+      // mean the composition re-shuffles data it already co-located
+      plan.linesIterator.count(_.contains("Exchange hashpartitioning(shard")) shouldBe 1
+      plan should not include "Exchange rangepartitioning"
+    }
+  }
+
   test("epochShuffle: one hash exchange on shard, no global sort") {
     val df = graft.scale.Sampling.epochShuffle(
       Tables.documents(spark, sf).select("doc_id"), "doc_id", epoch = 1, nShards = 8)
