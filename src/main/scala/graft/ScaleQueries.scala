@@ -658,6 +658,26 @@ object ScaleQueries {
         .ordered("vec_id")
     }),
 
+    // Tokenizer fertility per language — subwords per word under a merge
+    // list: THE multilingual-equity metric for a tokenizer (a vocab
+    // trained on English costs other languages more tokens per word).
+    // DECIMAL-exact ratio, grouped from q_bpe_segment's machinery.
+    "q_tokenizer_fertility" -> ((s, d) => {
+      val merges = Seq("e" -> "s", "es" -> "t", "est" -> Bpe.EndOfWord,
+        "l" -> "o", "lo" -> "w")
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "text")
+      val seg = Bpe.segment(docs, "doc_id", "text", merges)
+        .join(docs.select(col("doc_id"), col("lang"),
+          size(filter(TextOps.tokens(col("text")),
+            w => length(w) > 0)).as("n_words")), Seq("doc_id"))
+      seg.groupBy("lang")
+        .agg(sum(col("n_subwords").cast(LongType)).as("subwords"),
+          sum(col("n_words").cast(LongType)).as("words"),
+          round(sum(col("n_subwords").cast(LongType)).cast(DoubleType) /
+            sum(col("n_words").cast(LongType)), 6).as("fertility"))
+        .ordered("lang")
+    }),
+
     // Round-5 pipeline composition: NFC normalize → corpus-LM CCNet gate
     // (keep head+middle per language) → exact dedup → epoch shuffle →
     // pack in TRAINING order. One declarative plan; the epoch window's
@@ -1584,6 +1604,36 @@ object ScaleQueries {
         | string_agg(CAST(code_id AS VARCHAR), ' ' ORDER BY m) AS codes_str,
         | round(CAST(sum(CAST(d AS DECIMAL(18,6))) AS DOUBLE), 6) AS err
         |FROM best WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    // The q_bpe_segment word pipeline, re-aggregated per language.
+    "q_tokenizer_fertility" ->
+      """WITH w AS (
+        | SELECT doc_id, g.i AS wpos, words[g.i] AS word
+        | FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |      unnest(generate_series(1, len(words))) AS g(i)
+        | WHERE len(words[g.i]) > 0),
+        |seg0 AS (SELECT doc_id, wpos,
+        |  chr(31) || array_to_string(string_split(word, ''), chr(31)) ||
+        |    chr(31) || '</w>' || chr(31) AS s
+        | FROM w),
+        |ap AS (SELECT doc_id, wpos,
+        | replace(replace(replace(replace(replace(s,
+        |   chr(31)||'e'||chr(31)||'s'||chr(31), chr(31)||'es'||chr(31)),
+        |   chr(31)||'es'||chr(31)||'t'||chr(31), chr(31)||'est'||chr(31)),
+        |   chr(31)||'est'||chr(31)||'</w>'||chr(31), chr(31)||'est</w>'||chr(31)),
+        |   chr(31)||'l'||chr(31)||'o'||chr(31), chr(31)||'lo'||chr(31)),
+        |   chr(31)||'lo'||chr(31)||'w'||chr(31), chr(31)||'low'||chr(31)) AS s
+        | FROM seg0),
+        |per_doc AS (SELECT doc_id,
+        |  CAST(sum(len(string_split(trim(replace(s, chr(31), ' ')), ' '))) AS BIGINT) AS n_subwords,
+        |  CAST(count(*) AS BIGINT) AS n_words
+        | FROM ap GROUP BY doc_id)
+        |SELECT d.lang,
+        | CAST(sum(p.n_subwords) AS BIGINT) AS subwords,
+        | CAST(sum(p.n_words) AS BIGINT) AS words,
+        | round(CAST(sum(p.n_subwords) AS DOUBLE) / sum(p.n_words), 6) AS fertility
+        |FROM per_doc p JOIN documents d USING (doc_id)
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
 
     // Each stage mirrored: q_nfc_normalize + q_ngram_lm/q_ccnet_buckets +
     // q_dedup_exact + q_epoch_shuffle + q_pack_chunks, composed.
