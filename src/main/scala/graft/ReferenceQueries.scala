@@ -40,6 +40,23 @@ object ReferenceQueries {
         .ordered("l_returnflag", "l_linestatus")
     }),
 
+    // OLAP CUBE: all four grouping sets of (priority, status) in ONE
+    // expand + aggregate pass (no per-set re-scan); grouping_id
+    // disambiguates a real NULL-ish group from a subtotal row, and the
+    // DECIMAL-routed sum keeps the total aggregation-order independent
+    // (q_agg_pricing's convention).
+    "q_cube_pricing" -> ((s, d) => {
+      Tables.orders(s, d)
+        .cube("o_orderpriority", "o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(dec)).cast(DoubleType).as("total_price"),
+          grouping_id().cast(IntegerType).as("gid"))
+        .select(coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
+          col("n_orders"), col("total_price"), col("gid"))
+        .ordered("o_orderpriority", "o_orderstatus")
+    }),
+
     // J3/A2 flagship: denormalized orders (poc.md:14-27). Join key == group
     // key → single shuffle, exchange reuse between join and agg. The nested
     // lines array is emitted as canonical JSON text so the driver's scalar
@@ -627,6 +644,15 @@ object ReferenceQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_cube_pricing" ->
+      """SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+        | coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+        | count(*) AS n_orders,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        | CAST(GROUPING(o_orderpriority, o_orderstatus) AS INTEGER) AS gid
+        |FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+        |ORDER BY 1, 2""".stripMargin,
+
     "q_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -1613,19 +1613,20 @@ object ScaleQueries {
         |      unnest(generate_series(1, len(words))) AS g(i)
         | WHERE len(words[g.i]) > 0),
         |seg0 AS (SELECT doc_id, wpos,
-        |  chr(31) || array_to_string(string_split(word, ''), chr(31)) ||
-        |    chr(31) || '</w>' || chr(31) AS s
+        |  chr(31) || chr(31) ||
+        |    array_to_string(string_split(word, ''), chr(31) || chr(31)) ||
+        |    chr(31) || chr(31) || '</w>' || chr(31) || chr(31) AS s
         | FROM w),
         |ap AS (SELECT doc_id, wpos,
         | replace(replace(replace(replace(replace(s,
-        |   chr(31)||'e'||chr(31)||'s'||chr(31), chr(31)||'es'||chr(31)),
-        |   chr(31)||'es'||chr(31)||'t'||chr(31), chr(31)||'est'||chr(31)),
-        |   chr(31)||'est'||chr(31)||'</w>'||chr(31), chr(31)||'est</w>'||chr(31)),
-        |   chr(31)||'l'||chr(31)||'o'||chr(31), chr(31)||'lo'||chr(31)),
-        |   chr(31)||'lo'||chr(31)||'w'||chr(31), chr(31)||'low'||chr(31)) AS s
+        |   chr(31)||'e'||chr(31)||chr(31)||'s'||chr(31), chr(31)||'es'||chr(31)),
+        |   chr(31)||'es'||chr(31)||chr(31)||'t'||chr(31), chr(31)||'est'||chr(31)),
+        |   chr(31)||'est'||chr(31)||chr(31)||'</w>'||chr(31), chr(31)||'est</w>'||chr(31)),
+        |   chr(31)||'l'||chr(31)||chr(31)||'o'||chr(31), chr(31)||'lo'||chr(31)),
+        |   chr(31)||'lo'||chr(31)||chr(31)||'w'||chr(31), chr(31)||'low'||chr(31)) AS s
         | FROM seg0),
         |per_doc AS (SELECT doc_id,
-        |  CAST(sum(len(string_split(trim(replace(s, chr(31), ' ')), ' '))) AS BIGINT) AS n_subwords,
+        |  CAST(sum(len(string_split(trim(regexp_replace(replace(s, chr(31), ' '), ' +', ' ', 'g')), ' '))) AS BIGINT) AS n_subwords,
         |  CAST(count(*) AS BIGINT) AS n_words
         | FROM ap GROUP BY doc_id)
         |SELECT d.lang,
@@ -1757,18 +1758,20 @@ object ScaleQueries {
         |      unnest(generate_series(1, len(words))) AS g(i)
         | WHERE len(words[g.i]) > 0),
         |seg0 AS (SELECT doc_id, wpos,
-        |  chr(31) || array_to_string(string_split(word, ''), chr(31)) ||
-        |    chr(31) || '</w>' || chr(31) AS s
+        |  chr(31) || chr(31) ||
+        |    array_to_string(string_split(word, ''), chr(31) || chr(31)) ||
+        |    chr(31) || chr(31) || '</w>' || chr(31) || chr(31) AS s
         | FROM w),
         |ap AS (SELECT doc_id, wpos,
         | replace(replace(replace(replace(replace(s,
-        |   chr(31)||'e'||chr(31)||'s'||chr(31), chr(31)||'es'||chr(31)),
-        |   chr(31)||'es'||chr(31)||'t'||chr(31), chr(31)||'est'||chr(31)),
-        |   chr(31)||'est'||chr(31)||'</w>'||chr(31), chr(31)||'est</w>'||chr(31)),
-        |   chr(31)||'l'||chr(31)||'o'||chr(31), chr(31)||'lo'||chr(31)),
-        |   chr(31)||'lo'||chr(31)||'w'||chr(31), chr(31)||'low'||chr(31)) AS s
+        |   chr(31)||'e'||chr(31)||chr(31)||'s'||chr(31), chr(31)||'es'||chr(31)),
+        |   chr(31)||'es'||chr(31)||chr(31)||'t'||chr(31), chr(31)||'est'||chr(31)),
+        |   chr(31)||'est'||chr(31)||chr(31)||'</w>'||chr(31), chr(31)||'est</w>'||chr(31)),
+        |   chr(31)||'l'||chr(31)||chr(31)||'o'||chr(31), chr(31)||'lo'||chr(31)),
+        |   chr(31)||'lo'||chr(31)||chr(31)||'w'||chr(31), chr(31)||'low'||chr(31)) AS s
         | FROM seg0),
-        |ws AS (SELECT doc_id, wpos, trim(replace(s, chr(31), ' ')) AS word_str FROM ap)
+        |ws AS (SELECT doc_id, wpos,
+        |  trim(regexp_replace(replace(s, chr(31), ' '), ' +', ' ', 'g')) AS word_str FROM ap)
         |SELECT doc_id, string_agg(word_str, ' ' ORDER BY wpos) AS subwords_str,
         | CAST(sum(len(string_split(word_str, ' '))) AS INTEGER) AS n_subwords
         |FROM ws GROUP BY doc_id ORDER BY doc_id""".stripMargin

@@ -120,23 +120,35 @@ object Bpe {
     *
     * Implementation is the STRING form of the merge fold, not
     * [[applyMerges]]: the document becomes one U+001F-delimited symbol
-    * string (each word's chars + [[EndOfWord]], words separated by a
-    * doubled delimiter no merge pattern can span) and each merge is a
-    * codegen'd `replace` — non-overlapping left-to-right, the fold's
-    * exact semantics (BpeSpec pins the equivalence). A/B at sf0.1: the
-    * nested-aggregate fold ran 7.7 s (interpreted HOFs, O(|word|²) array
-    * copies); this form is pure string ops inside whole-stage codegen.
-    * Constraint: input tokens must not contain U+001F (same contract as
-    * the CMS separator).
+    * string — DOUBLED delimiters at every symbol boundary (see the
+    * in-body comment for why single delimiters are subtly wrong), words
+    * separated by four delimiters no merge pattern can span — and each
+    * merge is a codegen'd `replace`, value-equal to the fold (BpeSpec
+    * hand cases + the ScalePropertiesSpec random-words property). A/B at
+    * sf0.1: the nested-aggregate fold ran 7.7 s (interpreted HOFs,
+    * O(|word|²) array copies); this form is pure string ops inside
+    * whole-stage codegen. Constraint: input tokens must not contain
+    * U+001F (same contract as the CMS separator).
     */
   def segment(docs: DataFrame, idCol: String, textCol: String,
               merges: Seq[(String, String)]): DataFrame = {
     val D = "\u001F"
+    val DD = D + D
+    // Symbol boundaries are DOUBLED delimiters, and each merge pattern
+    // takes exactly one delimiter from each side (D a DD b D -> D ab D):
+    // a match leaves one delimiter behind at both edges, so a back-to-
+    // back second occurrence ("abab", "aaaa") still has its leading
+    // delimiter and merges in the same pass -- exactly the fold's greedy
+    // leftmost-restart semantics. A SINGLE-delimiter scheme is subtly
+    // wrong: the match consumes the shared delimiter and the scan (which
+    // never rescans replaced output) misses the adjacent occurrence --
+    // caught by the ScalePropertiesSpec equivalence property ("abab"
+    // under (a,b) gave [ab, a, b] instead of the fold's [ab, ab]).
     val words = filter(TextOps.tokens(col(textCol)), w => length(w) > 0)
     val seg0 = array_join(transform(words, w =>
-      concat(lit(D), array_join(split(w, ""), D), lit(D + EndOfWord + D))), "")
+      concat(lit(DD), array_join(split(w, ""), DD), lit(DD + EndOfWord + DD))), "")
     val applied = merges.foldLeft(seg0) { case (s, (a, b)) =>
-      replace(s, lit(D + a + D + b + D), lit(D + a + b + D))
+      replace(s, lit(D + a + DD + b + D), lit(D + a + b + D))
     }
     docs.select(col(idCol),
       filter(split(applied, D), x => length(x) > 0).as("subwords"))

@@ -56,6 +56,27 @@ class BpeSpec extends AnyFunSuite with Matchers {
     out shouldBe Seq("aa", "a")
   }
 
+  test("string form handles back-to-back pair occurrences like the fold") {
+    // the single-delimiter replace scheme got these wrong (consumed shared
+    // delimiter -> missed adjacent occurrence); pin them explicitly
+    val docs = Seq((1L, "abab"), (2L, "aaaa"), (3L, "aaaaa"), (4L, "ababab aabb"))
+      .toDF("doc_id", "text")
+    val merges = Seq("a" -> "b", "a" -> "a")
+    val viaString = Bpe.segment(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    viaString(1L) shouldBe Seq("ab", "ab", W)
+    viaString(2L) shouldBe Seq("aa", "aa", W)
+    viaString(3L) shouldBe Seq("aa", "aa", "a", W)
+    // "aabb": (a,b) fires first on positions 2-3 -> a, ab, b; (a,a) then
+    // finds no adjacent pair
+    viaString(4L) shouldBe Seq("ab", "ab", "ab", W, "a", "ab", "b", W)
+    val viaFold = docs.select(col("doc_id"),
+      flatten(transform(TextOps.tokens(col("text")),
+        w => Bpe.applyMerges(w, merges))).as("subwords"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    viaString shouldBe viaFold
+  }
+
   test("string-replace segmentation == the array-fold form on the corpus") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
       .select("doc_id", "text")
