@@ -64,6 +64,29 @@ class ScalePropertiesSpec extends AnyFunSuite with Matchers {
     }, samples = 8)
   }
 
+  test("nextFitPack: assignment equals the sequential model, incl. oversized docs") {
+    val gen: Gen[List[(Long, String, Long)]] = Gen.listOfN(30, for {
+      id <- Gen.choose(0L, 999L)
+      grp <- Gen.oneOf("a", "b", "c")
+      n <- Gen.choose(1L, 80L) // capacity 64 → some docs are oversized
+    } yield (id, grp, n)).map(_.distinctBy(_._1))
+    check(Prop.forAllNoShrink(gen) { rows =>
+      val out = Packing.nextFitPack(rows.toDF("doc_id", "source", "n_tokens"),
+        "doc_id", "n_tokens", "source", capacity = 64L)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(3), r.getLong(4))))
+        .toMap
+      val model = rows.groupBy(_._2).flatMap { case (g, ms) =>
+        var bin = 0L; var fill = 0L
+        ms.sortBy(_._1).map { case (id, _, n) =>
+          if (fill > 0 && fill + n > 64L) { bin += 1; fill = n } else fill += n
+          (g, id) -> ((bin, fill))
+        }
+      }
+      out == model
+    })
+  }
+
   test("resolveCanonical: winner == scala argmin by (prio, -sz, id); all ids kept") {
     val gen: Gen[List[(Long, Long, Int, Long)]] = Gen.listOfN(20, for {
       id <- Gen.choose(0L, 99L)
