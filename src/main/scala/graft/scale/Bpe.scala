@@ -73,23 +73,65 @@ object Bpe {
     * no adjacent pair occurs at least `minCount` times (weighted).
     * Returns the merge table: (step, left, right, merged, pair_count) in
     * training order.
+    *
+    * BATCHED trainer: each Spark job learns up to `maxBatch` merges, so a
+    * 30k-merge vocabulary needs ~thousands of jobs instead of 30k — the
+    * round-5 scale caveat. The batch is chosen so the learned sequence is
+    * PROVABLY IDENTICAL to the one-merge-per-job sequential trainer (the
+    * BpeBatchSpec property), not merely close:
+    *
+    * accept a maximal PREFIX p1..pm of the (count DESC, l ASC, r ASC)
+    * pair ranking such that
+    *   (1) batch pairs are pairwise symbol-disjoint,
+    *   (2) each merged string l+r is FRESH — not in the running symbol
+    *       inventory (initial characters + </w> + all previously merged
+    *       symbols, tracked driver-side) — and batch-distinct,
+    *   (3) count(pm) is STRICTLY greater than the first excluded pair's
+    *       count (ties at the boundary fall back to the next iteration).
+    *
+    * Why this equals sequential: applying p_i cannot change p_j's count
+    * for j>i — neither symbol of p_j is consumed (1), and no created
+    * occurrence of the merged symbol can spell a batch pair (2). Every
+    * OTHER pair stays strictly below the batch: old excluded pairs only
+    * lose occurrences and already sat at count <= the boundary (3); a
+    * NEW pair (x, a·b) or (a·b, y) occurs at most count(x,a) resp.
+    * count(b,y) times, and those pairs share a symbol with p_i, hence
+    * were excluded, hence sat strictly below every batch count (3). So
+    * the sequential argmax after k batch applications is exactly
+    * p_{k+1}, by induction. A batch always admits >= 1 pair (a single
+    * pair satisfies all three vacuously except (3), and a boundary TIE
+    * with the runner-up is resolved by the lexicographic tiebreak, which
+    * ranking position 1 wins by construction).
     */
   def learnMerges(wordCounts: DataFrame, numMerges: Int,
-                  minCount: Long = 2L): DataFrame = {
+                  minCount: Long = 2L, maxBatch: Int = 16): DataFrame = {
     require(numMerges >= 1 && numMerges <= 4096, s"numMerges out of range: $numMerges")
+    require(maxBatch >= 1 && maxBatch <= 256, s"maxBatch out of range: $maxBatch")
     val spark = wordCounts.sparkSession
     import spark.implicits._
 
     var vocab = wordCounts
       .select(charSyms(col("word")).as("syms"), col("cnt").cast(LongType).as("cnt"))
       .localCheckpoint(true)
+    var prev: DataFrame = null
+    // running symbol inventory for freshness check (2): one vocab-sized
+    // distinct-chars job up front, then pure driver-side bookkeeping.
+    var inventory = wordCounts
+      .select(explode(split(col("word"), "")).as("s")).distinct()
+      .as[String].collect().toSet + EndOfWord
     val learned = Vector.newBuilder[(Int, String, String, String, Long)]
     var step = 0
     var exhausted = false
     while (step < numMerges && !exhausted) {
       // weighted adjacent-pair counts over the vocab (every position,
-      // overlaps included — the standard trainer's statistic)
-      val best = vocab
+      // overlaps included — the standard trainer's statistic); top
+      // maxBatch+1 rows: the +1 row is the strict-drop boundary (3).
+      // Fully-merged single-symbol words contribute no pairs and must be
+      // excluded BEFORE the explode: sequence(1, 0) is DESCENDING in
+      // Spark, so a 1-element array would probe element_at(syms, 2).
+      val want = math.min(maxBatch, numMerges - step)
+      val top = vocab
+        .filter(size(col("syms")) >= 2)
         .select(col("cnt"), explode(transform(
           sequence(lit(1), size(col("syms")) - 1),
           i => struct(element_at(col("syms"), i).as("l"),
@@ -97,20 +139,63 @@ object Bpe {
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum("cnt").as("n"))
         .orderBy(col("n").desc, col("l"), col("r"))
-        .limit(1)
+        .limit(want + 1)
         .as[(String, String, Long)]
         .collect()
-      best.headOption match {
-        case Some((a, b, n)) if n >= minCount =>
+
+      if (top.isEmpty || top.head._3 < minCount) exhausted = true
+      else {
+        // index 0 is the sequential argmax — accepted unconditionally (a
+        // singleton batch IS the sequential step). Freshness of index 0
+        // still gates EXTENDING the batch: a non-fresh p1 can re-feed
+        // excluded pairs, so the batch stays singleton in that case.
+        // From index 1 on, stop at the first pair violating (1) or (2).
+        val batch = Vector.newBuilder[(String, String, Long)]
+        val used = scala.collection.mutable.Set.empty[String]
+        val mergedSeen = scala.collection.mutable.Set.empty[String]
+        var i = 0
+        var stopped = false
+        while (i < math.min(want, top.length) && !stopped) {
+          val (a, b, n) = top(i)
+          val fresh = !inventory.contains(a + b) && !mergedSeen.contains(a + b)
+          val disjoint = !used.contains(a) && !used.contains(b)
+          if (i == 0 || (n >= minCount && fresh && disjoint)) {
+            batch += ((a, b, n)); used += a; used += b; mergedSeen += a + b
+            i += 1
+            if (i == 1 && !fresh) stopped = true
+          } else stopped = true
+        }
+        var accepted = batch.result()
+        // boundary rule (3): last accepted must strictly beat the first
+        // excluded pair's count; shrink until it does. Position 1 never
+        // shrinks away — a boundary tie there is won by the tiebreak.
+        if (i < top.length) {
+          val nextN = top(i)._3
+          while (accepted.length > 1 && accepted.last._3 <= nextN)
+            accepted = accepted.init
+        }
+        accepted.foreach { case (a, b, n) =>
           learned += ((step, a, b, a + b, n))
-          val next = vocab
-            .select(mergeOnce(col("syms"), a, b).as("syms"), col("cnt"))
-            .localCheckpoint(true) // constant-size plan across iterations
-          vocab = next
+          inventory += a + b
           step += 1
-        case _ => exhausted = true
+        }
+        val next = vocab
+          .select(accepted.foldLeft(col("syms")) { case (s, (a, b, _)) =>
+            mergeOnce(s, a, b)
+          }.as("syms"), col("cnt"))
+          .localCheckpoint(true) // constant-size plan across iterations
+        if (prev != null) prev.unpersist() // drop the superseded checkpoint
+        prev = vocab
+        vocab = next
+        // if the first pair NOT taken (post-shrink the accepted set is a
+        // prefix of `top`) is already below minCount, everything left is
+        // too: old pairs sit at/below that boundary, new pairs are
+        // bounded by excluded old pairs containing a batch symbol — done.
+        if (accepted.length < top.length && top(accepted.length)._3 < minCount)
+          exhausted = true
       }
     }
+    if (prev != null) prev.unpersist()
     learned.result()
       .toDF("step", "left", "right", "merged", "pair_count")
   }

@@ -85,21 +85,42 @@ object Embeddings {
     val w = org.apache.spark.sql.expressions.Window.orderBy(col(idCol))
     val dims = org.apache.spark.sql.functions.size(col(vecCol))
     seeds
-      .withColumn("code_id", row_number().over(w) - 1)
+      .withColumn("code_id",
+        checkedCodeId(row_number().over(w) - 1))
       .select(col("code_id"), col(vecCol).cast(ArrayType(DoubleType)).as("_v"),
-        (dims / mSubspaces).cast(IntegerType).as("_sd"))
+        checkedSubdim(dims, mSubspaces).as("_sd"))
       .select(col("code_id"), col("_v"), col("_sd"),
         explode(sequence(lit(0), lit(mSubspaces - 1))).as("m"))
       .select(col("m"), col("code_id"),
         slice(col("_v"), col("m") * col("_sd") + 1, col("_sd")).as("sub"))
   }
 
+  /** Subvector width with the divisibility guard: a vector length that is
+    * not a multiple of M would silently drop the trailing `dims mod M`
+    * dimensions from encoding and ADC search, so it raises instead.
+    * Checked per row because the column can mix lengths.
+    */
+  private def checkedSubdim(dims: Column, mSubspaces: Int): Column =
+    when(dims % mSubspaces === 0, (dims / mSubspaces).cast(IntegerType))
+      .otherwise(raise_error(concat(
+        lit("pq: vector length "), dims.cast(StringType),
+        lit(s" is not divisible by mSubspaces=$mSubspaces"))))
+
+  /** PQ codes are byte-sized by contract (the 64× storage story): more
+    * than 256 seed rows would overflow the documented K<=256 codebook, so
+    * the rank expression raises past it.
+    */
+  private def checkedCodeId(codeId: Column): Column =
+    when(codeId < 256, codeId)
+      .otherwise(raise_error(
+        lit("pq: more than 256 seed rows; codebook is capped at K=256")))
+
   /** (idCol, m, vsub): every vector sliced into its M subvectors. */
   private def subvectors(df: DataFrame, mSubspaces: Int, idCol: String,
                          vecCol: String): DataFrame = {
     val dims = org.apache.spark.sql.functions.size(col(vecCol))
     df.select(col(idCol), col(vecCol).cast(ArrayType(DoubleType)).as("_v"),
-        (dims / mSubspaces).cast(IntegerType).as("_sd"))
+        checkedSubdim(dims, mSubspaces).as("_sd"))
       .select(col(idCol), col("_v"), col("_sd"),
         explode(sequence(lit(0), lit(mSubspaces - 1))).as("m"))
       .select(col(idCol), col("m"),

@@ -10,12 +10,15 @@ import org.apache.spark.sql.functions._
   * what LLM pipelines keep).
   *
   * Scale shape: one shuffle to build the unigram table (map-side combined
-  * count), broadcast it back onto the exploded tokens (the vocabulary is
-  * sublinear in the corpus; at sizes where it outgrows the broadcast
-  * threshold Spark falls back to a shuffled join on `token` — salt via
-  * [[Skew.saltedJoin]] if the Zipf head ever skews it), one shuffle to
-  * re-aggregate per document. No driver-side state: the "model" is a
-  * DataFrame.
+  * count), join it back onto the exploded tokens, one shuffle to
+  * re-aggregate per document. The vocab join carries NO broadcast hint on
+  * purpose: an unconditional hint would force Spark to collect the whole
+  * vocabulary to the driver even when it outgrows memory, so we let AQE
+  * pick — small vocab becomes a runtime broadcast join, a 100 TB-corpus
+  * vocab degrades gracefully to a shuffled join on `token` (salt via
+  * [[Skew.saltedJoin]] if the Zipf head ever skews it). Only the 1-row
+  * corpus-total aggregate keeps an explicit broadcast. No driver-side
+  * state: the "model" is a DataFrame.
   *
   * Determinism contract (what makes this DuckDB-oracle-able): each token's
   * NLL is rounded to 6 decimals and cast to DECIMAL(18,6) BEFORE the
@@ -38,7 +41,7 @@ object LangModel {
     val counts = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
     val total = counts.agg(sum("cnt").as("n_total"))
     val perTok = toks
-      .join(broadcast(counts), Seq("token"))
+      .join(counts, Seq("token"))
       .crossJoin(broadcast(total))
       .withColumn("_nll", round(-log(col("cnt").cast("double") / col("n_total")), 6)
         .cast("decimal(18,6)"))

@@ -104,11 +104,15 @@ object Sketches {
     * The sketch is tiny (≤ d·w rows) — broadcast it so the probe is a
     * shuffle-free map-side join at any item cardinality. Items absent from
     * every bucket estimate 0 (never happens for items that were counted).
-    * Output: itemCol, n_est.
+    * NULL items are dropped to mirror [[cmsBuild]]'s NULL policy — without
+    * the filter, `concat_ws` silently drops the null and the bare depth
+    * string would hash to an arbitrary bucket whose count would be
+    * reported as the "frequency" of NULL. Output: itemCol, n_est.
     */
   def cmsLookup(sketch: DataFrame, items: DataFrame, itemCol: String,
                 depth: Int, width: Int): DataFrame =
     items
+      .filter(col(itemCol).isNotNull)
       .select(col(itemCol), posexplode(transform(sequence(lit(0), lit(depth - 1)),
         i => cmsBucket(i, col(itemCol), width))))
       .toDF(itemCol, "depth", "bucket")
