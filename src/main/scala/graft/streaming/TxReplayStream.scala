@@ -25,8 +25,8 @@ import graft.tx.TxReplay
   * INCREMENTAL STATE (write amplification): event state is hash-bucketed by
   * key — `pmod(hash(key), numBuckets)` — and a micro-batch rewrites ONLY the
   * buckets it touches: buckets holding this batch's new events, plus buckets
-  * holding events of transactions that emit this batch (whose history the
-  * compaction shrinks — the exact set the reference's per-key `cleanupState`
+  * holding the keys of documents emitted this batch (whose history the
+  * compaction shrinks — the set the reference's per-key `cleanupState`
   * visits on watermark advance). Untouched buckets keep their existing
   * files, so bytes written per batch scale with the batch's DELTA, not the
   * buffer — the parquet analogue of ListState's O(delta) updates
@@ -36,7 +36,11 @@ import graft.tx.TxReplay
   * with a fixed seed, stable across sessions and cluster layouts. Replay
   * still READS the full compacted buffer each batch — that is the
   * micro-batch replay design itself, a parallel column-pruned scan — only
-  * the write side is delta-sized.
+  * the write side is delta-sized. Completeness never reads the buffer: a
+  * small `counts` state table ((tx_id, n_left, n_right), one row per live
+  * tx, settled rows dropped) is merged with each batch's delta counts — the
+  * analogue of the reference's running per-tx counters
+  * (`WatermarkInjector.java:74-144`, O(delta) per event, never a rescan).
   *
   * RESTART/RECOVERY: scalar progress (state version, watermark, last
   * committed batch id, bucket count) plus the per-bucket live-version table
@@ -92,6 +96,14 @@ import graft.tx.TxReplay
   */
 class TxReplayStream(spark: SparkSession, stateRoot: String, numBuckets: Int = 16) {
   require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+
+  // GRAFT_TXSTREAM_PROFILE=1 prints per-phase wall times per batch
+  private val profile = sys.env.get("GRAFT_TXSTREAM_PROFILE").exists(_ == "1")
+  private def phased[T](label: String)(f: => T): T =
+    if (!profile) f else {
+      val t0 = System.nanoTime(); val r = f
+      println(f"TXPHASE $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
 
   private val manifestPath = Paths.get(stateRoot, "MANIFEST")
 
@@ -177,7 +189,14 @@ class TxReplayStream(spark: SparkSession, stateRoot: String, numBuckets: Int = 1
     if (dirty.isEmpty) return vers
     val stage = Paths.get(s"$stateRoot/$name/.stage-v$next")
     deleteRecursively(stage)
+    // repartition on the bucket id first: each bucket lands in exactly one
+    // task → ONE file per bucket dir. Without it every shuffle task writes
+    // its own sliver of every bucket (32 tasks × |dirty| dirs ≈ hundreds of
+    // KB-sized files per batch), and each later batch's state read pays the
+    // per-file scan overhead — measured as the dominant compaction variance
+    // at sf0.1 (SCALING.md r6).
     keep.withColumn("_b", bucketOf(col("key")))
+      .repartition(math.max(dirty.size, 1), col("_b"))
       .write.partitionBy("_b").mode(SaveMode.Overwrite).parquet(stage.toString)
     val out = vers.clone()
     dirty.foreach { b =>
@@ -232,6 +251,7 @@ class TxReplayStream(spark: SparkSession, stateRoot: String, numBuckets: Int = 1
     pruneBuckets("right", rv)
     pruneScalar("ends")
     pruneScalar("emitted")
+    pruneScalar("counts")
   }
 
   /** Process one micro-batch of new events; returns the emitted documents
@@ -239,28 +259,66 @@ class TxReplayStream(spark: SparkSession, stateRoot: String, numBuckets: Int = 1
     * the result stays valid after state pruning. Call from `foreachBatch` —
     * or directly for deterministic batch-at-a-time testing (batchId then
     * defaults to the next sequential id).
+    *
+    * PER-BATCH COST SHAPE (round-6 rework): the only full-buffer work left
+    * is the replay itself — which IS the micro-batch replay design. The
+    * other per-batch jobs are delta- or dimension-sized:
+    *  - completeness comes from the incremental `counts` state table
+    *    ((tx_id, n_left, n_right), merged with the batch's delta counts —
+    *    the reference's running per-tx counters,
+    *    `WatermarkInjector.java:74-144`), not a re-aggregation of the
+    *    buffered events;
+    *  - dirty buckets come from the batch's new-event keys plus the keys of
+    *    the documents just emitted (read back from the durable emitted
+    *    output's key column), not from a full-buffer join against the
+    *    reachable-tx set;
+    *  - compaction reads ONLY the dirty buckets' state dirs (file-level
+    *    pruning by construction), not a filter over the full union.
+    * Keys that belong to an emitting tx but emit no document themselves
+    * (right-only keys, empty-pair probes) are no longer compacted that
+    * batch — their compaction defers to the next batch that dirties their
+    * bucket, which is semantically free: replay's as-of max_by tolerates
+    * superseded versions, and completeness no longer reads the buffer at
+    * all. The buffers stay cache()d even though the replay is now their
+    * only full-buffer consumer: the replay plan alone reads the union ~4×
+    * (probes, header, lines), and every uncached read re-runs the upstream
+    * micro-batch source too — measured same-boot at sf0.1/5 batches, the
+    * uncached variant ran 3.1× SLOWER (687.6 s vs 218.9 s; SCALING.md r6).
     */
   def processBatch(newLeft: DataFrame, newRight: DataFrame,
                    newEnds: DataFrame, batchId: Long = -1L): DataFrame = {
-    // The unioned buffer feeds every job in this batch — watermark,
-    // replay+emit, the dirty-bucket scan, both compaction writes — so cache
-    // it once instead of re-reading the state parquet per job. These are
-    // LEAF caches (AQE still replans the joins above them), sized by the
-    // compacted buffer, and released in the finally.
     val left = unionWith(readBuckets("left", leftVer), newLeft).cache()
     val right = unionWith(readBuckets("right", rightVer), newRight).cache()
     val ends = unionWith(readScalar("ends"), newEnds).cache()
 
-    // reachable txs over the buffer, with settled (already-emitted and
+    // Incremental per-tx counts: previous counts state ⊎ this batch's delta.
+    // A state root written before the counts table existed (version >= 0,
+    // no counts dir) falls back to one full-buffer aggregation to seed it.
+    val deltaCounts = newLeft.groupBy("tx_id").agg(count(lit(1)).as("n_left"))
+      .join(newRight.groupBy("tx_id").agg(count(lit(1)).as("n_right")),
+        Seq("tx_id"), "full")
+      .na.fill(0L, Seq("n_left", "n_right"))
+    val counts = (readScalar("counts") match {
+      case Some(prev) => prev.unionByName(deltaCounts)
+        .groupBy("tx_id")
+        .agg(sum("n_left").as("n_left"), sum("n_right").as("n_right"))
+      case None if version >= 0 => // migration: seed from the buffer once
+        left.groupBy("tx_id").agg(count(lit(1)).as("n_left"))
+          .join(right.groupBy("tx_id").agg(count(lit(1)).as("n_right")),
+            Seq("tx_id"), "full")
+          .na.fill(0L, Seq("n_left", "n_right"))
+      case None => deltaCounts
+    }).cache()
+
+    // reachable txs from the counts state, with settled (already-emitted and
     // compacted) txs floored out — their shrunken buffers must not read as
     // "incomplete" and stall the watermark. cache(): consumed by the
-    // watermark aggregate, the replay (passed in, so completeness is not
-    // computed twice), and the dirty-bucket scan below.
-    val reach = TxReplay.txCompleteness(left, right, ends, watermark)
+    // watermark aggregate and the replay probes.
+    val reach = TxReplay.txCompletenessFromCounts(counts, ends, watermark)
       .filter(col("reachable")).select("tx_id", "commit_lsn")
       .cache()
     try {
-      val newWm = reach.agg(max("commit_lsn")).collect()(0) match {
+      val newWm = phased("watermark")(reach.agg(max("commit_lsn")).collect()(0)) match {
         case r if r.isNullAt(0) => watermark
         case r => math.max(r.getLong(0), watermark)
       }
@@ -268,29 +326,40 @@ class TxReplayStream(spark: SparkSession, stateRoot: String, numBuckets: Int = 1
       // one doc per (key, tx) not yet emitted in an earlier batch
       val emitted = TxReplay.replay(left, right, ends, watermark, Some(reach))
 
-      // Dirty buckets = buckets of this batch's new events + buckets of every
-      // event belonging to a tx that emits this batch (their history shrinks
-      // under compaction — the set the reference's cleanupState visits).
-      // ≤ 2·numBuckets ints collected in ONE job: driver orchestration
-      // state, like the watermark.
-      val reachTx = reach.select("tx_id")
-      def tagged(fresh: DataFrame, all: DataFrame, side: Int): DataFrame =
-        fresh.select(bucketOf(col("key")).as("_b"))
-          .union(all.join(broadcast(reachTx), Seq("tx_id"))
-            .select(bucketOf(col("key")).as("_b")))
-          .select(col("_b"), lit(side).as("_side"))
-      val dirty = tagged(newLeft, left, 0).union(tagged(newRight, right, 1))
-        .distinct().collect()
-      val dirtyLeft = dirty.collect { case r if r.getInt(1) == 0 => r.getInt(0) }.toSet
-      val dirtyRight = dirty.collect { case r if r.getInt(1) == 1 => r.getInt(0) }.toSet
+      val next = version + 1
+      val thisBatch = if (batchId >= 0) batchId else committedBatch + 1
+      // durability order: emitted docs + bucket state + ends first, manifest
+      // (atomic move) last — a crash in between leaves the manifest at the
+      // old version naming only old, fully-written dirs, and any half-written
+      // v(next) output is overwritten on redelivery.
+      phased("replay+emit")(
+        emitted.write.mode(SaveMode.Overwrite).parquet(scalarDir("emitted", next)))
 
-      // compaction (cleanupState), over the dirty-bucket slices only: enrich
-      // to learn each event's commit LSN; unfinished events (no END yet) stay
-      // raw in the buffer. Untouched buckets keep their existing files —
-      // their events' compaction is deferred to the batch whose tx emission
-      // touches them, which changes nothing semantically: replay's as-of
-      // max_by tolerates superseded versions, and settled txs are floored out
-      // of completeness by the watermark.
+      // Dirty buckets = buckets of this batch's new events (delta-sized
+      // scans) + buckets of the keys that just emitted (their history
+      // shrinks under compaction — the set the reference's cleanupState
+      // visits), read from the just-written durable output's key column.
+      // ≤ 3·numBuckets ints collected in ONE job.
+      val emittedKeys = spark.read.parquet(scalarDir("emitted", next))
+        .select(bucketOf(col("key")).as("_b"), lit(2).as("_side"))
+      val dirtyDf = newLeft.select(bucketOf(col("key")).as("_b"), lit(0).as("_side"))
+        .union(newRight.select(bucketOf(col("key")).as("_b"), lit(1).as("_side")))
+        .union(emittedKeys)
+        .distinct()
+      val dirtyRows = phased("dirty-scan")(dirtyDf.collect())
+      val emittedB = dirtyRows.collect { case r if r.getInt(1) == 2 => r.getInt(0) }.toSet
+      val dirtyLeft = dirtyRows.collect { case r if r.getInt(1) == 0 => r.getInt(0) }.toSet ++ emittedB
+      val dirtyRight = dirtyRows.collect { case r if r.getInt(1) == 1 => r.getInt(0) }.toSet ++ emittedB
+
+      // compaction (cleanupState), over the dirty buckets only — reading
+      // exactly those buckets' state dirs plus the batch's own events (every
+      // new event's bucket is dirty by construction): enrich to learn each
+      // event's commit LSN; unfinished events (no END yet) stay raw in the
+      // buffer. Untouched buckets keep their existing files — their events'
+      // compaction is deferred to the batch that next dirties their bucket,
+      // which changes nothing semantically: replay's as-of max_by tolerates
+      // superseded versions, and settled txs are floored out of completeness
+      // by the watermark.
       val endsKeyed = ends.select("tx_id", "commit_lsn")
       def split(ev: DataFrame, latestKeys: Seq[String]): DataFrame = {
         val enriched = ev.join(broadcast(endsKeyed), Seq("tx_id"))
@@ -304,18 +373,21 @@ class TxReplayStream(spark: SparkSession, stateRoot: String, numBuckets: Int = 1
         val future = enriched.filter(col("commit_lsn") > newWm).select(ev.columns.map(col).toIndexedSeq: _*)
         latestPast.unionByName(future).unionByName(unfinished)
       }
-      val keepLeft = split(left.filter(inBuckets(dirtyLeft)), Seq("key"))
-      val keepRight = split(right.filter(inBuckets(dirtyRight)), Seq("key", "line_id"))
+      def dirtySlice(name: String, vers: Array[Long], dirtySet: Set[Int],
+                     fresh: DataFrame): DataFrame = {
+        val pruned = vers.zipWithIndex.map { case (v, b) =>
+          if (dirtySet.contains(b)) v else -1L
+        }
+        unionWith(readBuckets(name, pruned), fresh)
+      }
+      val keepLeft = split(dirtySlice("left", leftVer, dirtyLeft, newLeft), Seq("key"))
+      val keepRight = split(dirtySlice("right", rightVer, dirtyRight, newRight),
+        Seq("key", "line_id"))
 
-      val next = version + 1
-      val thisBatch = if (batchId >= 0) batchId else committedBatch + 1
-      // durability order: emitted docs + bucket state + ends first, manifest
-      // (atomic move) last — a crash in between leaves the manifest at the
-      // old version naming only old, fully-written dirs, and any half-written
-      // v(next) output is overwritten on redelivery.
-      emitted.write.mode(SaveMode.Overwrite).parquet(scalarDir("emitted", next))
-      val newLeftVer = writeBuckets("left", keepLeft, dirtyLeft, leftVer, next)
-      val newRightVer = writeBuckets("right", keepRight, dirtyRight, rightVer, next)
+      val newLeftVer = phased("compact-left")(
+        writeBuckets("left", keepLeft, dirtyLeft, leftVer, next))
+      val newRightVer = phased("compact-right")(
+        writeBuckets("right", keepRight, dirtyRight, rightVer, next))
 
       // Retain END rows referenced by ANY kept event — read the tx_id column
       // back from the NEW state table (the just-written dirty buckets plus
@@ -332,7 +404,15 @@ class TxReplayStream(spark: SparkSession, stateRoot: String, numBuckets: Int = 1
         .getOrElse(ends.filter(lit(false)))
         .unionByName(ends.filter(col("commit_lsn") > newWm))
         .dropDuplicates("tx_id")
-      keepEnds.write.mode(SaveMode.Overwrite).parquet(scalarDir("ends", next))
+      phased("keep-ends")(
+        keepEnds.write.mode(SaveMode.Overwrite).parquet(scalarDir("ends", next)))
+      // Persist the per-tx counts for the next batch's completeness, minus
+      // settled txs (their counts can never be consulted again: the floor
+      // excludes them from both the stall rule and reachability).
+      phased("keep-counts")(
+        counts.join(ends.filter(col("commit_lsn") <= newWm).select("tx_id"),
+            Seq("tx_id"), "left_anti")
+          .write.mode(SaveMode.Overwrite).parquet(scalarDir("counts", next)))
       commitManifest(next, newWm, thisBatch, newLeftVer, newRightVer)
       version = next
       watermark = newWm
@@ -343,6 +423,7 @@ class TxReplayStream(spark: SparkSession, stateRoot: String, numBuckets: Int = 1
       spark.read.parquet(scalarDir("emitted", next))
     } finally {
       reach.unpersist()
+      counts.unpersist()
       left.unpersist()
       right.unpersist()
       ends.unpersist()

@@ -78,11 +78,25 @@ object TxReplay {
     */
   def txCompleteness(left: DataFrame, right: DataFrame, txEnds: DataFrame,
                      floorLsn: Long = Long.MinValue): DataFrame = {
-    val nl = left.groupBy("tx_id").agg(count(lit(1)).as("n_left"))
-    val nr = right.groupBy("tx_id").agg(count(lit(1)).as("n_right"))
+    val counts = left.groupBy("tx_id").agg(count(lit(1)).as("n_left"))
+      .join(right.groupBy("tx_id").agg(count(lit(1)).as("n_right")), Seq("tx_id"), "full")
+      .na.fill(0L, Seq("n_left", "n_right"))
+    txCompletenessFromCounts(counts, txEnds, floorLsn)
+  }
+
+  /** [[txCompleteness]] when the caller already holds the per-tx event
+    * counts — the incremental-streaming path: [[graft.streaming.TxReplayStream]]
+    * maintains (tx_id, n_left, n_right) as a small state table updated from
+    * each micro-batch's DELTA, so per-batch completeness costs a join of two
+    * tx-dimension tables instead of a full re-aggregation of the buffered
+    * event state (the reference's `WatermarkInjector` likewise keeps running
+    * per-tx counters, `WatermarkInjector.java:74-144`, updated per event —
+    * O(delta), never a rescan).
+    */
+  def txCompletenessFromCounts(counts: DataFrame, txEnds: DataFrame,
+                               floorLsn: Long = Long.MinValue): DataFrame = {
     val flagged = txEnds
-      .join(nl, Seq("tx_id"), "left")
-      .join(nr, Seq("tx_id"), "left")
+      .join(counts, Seq("tx_id"), "left")
       .withColumn("n_left", coalesce(col("n_left"), lit(0L)))
       .withColumn("n_right", coalesce(col("n_right"), lit(0L)))
       .withColumn("complete",
