@@ -2,6 +2,10 @@ package graft.streaming
 
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
+import scala.concurrent.{Await, Future}
+import scala.concurrent.ExecutionContext.Implicits.global
+import scala.concurrent.duration.Duration
+
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -22,28 +26,43 @@ import graft.tx.TxReplay
   * (key, line) (right) among emitted transactions, plus all future and
   * still-unfinished (no END yet) events.
   *
-  * INCREMENTAL STATE (write amplification): event state is hash-bucketed by
-  * key — `pmod(hash(key), numBuckets)` — and a micro-batch rewrites ONLY the
-  * buckets it touches: buckets holding this batch's new events, plus buckets
-  * holding the keys of documents emitted this batch (whose history the
-  * compaction shrinks — the set the reference's per-key `cleanupState`
-  * visits on watermark advance). Untouched buckets keep their existing
-  * files, so bytes written per batch scale with the batch's DELTA, not the
-  * buffer — the parquet analogue of ListState's O(delta) updates
-  * (`TxAware…Operator.java:432-444`), where the previous design rewrote the
-  * entire compacted state every batch. The bucket function must be stable
-  * across restarts (state outlives the JVM): Spark's `hash()` is murmur3
-  * with a fixed seed, stable across sessions and cluster layouts. Replay
-  * still READS the full compacted buffer each batch — that is the
-  * micro-batch replay design itself, a parallel column-pruned scan — only
-  * the write side is delta-sized. Completeness never reads the buffer: a
-  * small `counts` state table ((tx_id, n_left, n_right), one row per live
-  * tx, settled rows dropped) is merged with each batch's delta counts — the
-  * analogue of the reference's running per-tx counters
+  * INCREMENTAL STATE — LOG-STRUCTURED SEGMENTS (round-6 design): event state
+  * is hash-bucketed by key — `pmod(hash(key), numBuckets)` — and each bucket
+  * holds an ordered LIST of immutable parquet segments. A micro-batch
+  * APPENDS one delta-sized segment per side (only this batch's new events);
+  * a bucket is COMPACTED — all its segments plus the batch's fresh events
+  * rewritten as one segment through the reference's `cleanupState` rule —
+  * only when its segment count reaches `compactSegments`. So per-batch write
+  * cost is O(delta) every batch, and the full compaction cost is amortized
+  * 1/compactSegments per bucket — the parquet analogue of an LSM / state
+  * store, and of ListState's O(delta) updates
+  * (`TxAware…Operator.java:432-444`). Deferred compaction is semantically
+  * free: replay's as-of `max_by` tolerates superseded versions, settled txs
+  * are floored out of completeness by the watermark, and the END-retention
+  * rule below keeps the enrichment rows deferred buckets still need. The
+  * bucket function must be stable across restarts (state outlives the JVM):
+  * Spark's `hash()` is murmur3 with a fixed seed, stable across sessions
+  * and cluster layouts.
+  *
+  * Replay still READS the full segment set each batch — that is the
+  * micro-batch replay design itself — but as a parallel column-pruned SCAN
+  * only: the replay runs with `broadcastProbes` (probes are trigger-bounded
+  * delta), so the buffer is never shuffled and every exchange in the
+  * per-batch plan is delta-sized. Completeness never reads the buffer
+  * either: a small `counts` state table ((tx_id, n_left, n_right), one row
+  * per live tx, settled rows dropped) is merged with each batch's delta
+  * counts — the analogue of the reference's running per-tx counters
   * (`WatermarkInjector.java:74-144`, O(delta) per event, never a rescan).
+  * END retention: on append-only batches the whole (small) END table
+  * carries over unchanged — no scan; on batches that compacted something,
+  * ENDs referenced by any kept event (a file-pruned single-column scan of
+  * the new segment set) plus all not-yet-settled ENDs are retained, so the
+  * scan amortizes with compaction. Independent per-batch writes (left/right
+  * append segments, counts) run CONCURRENTLY with the replay — Spark
+  * schedules their small jobs onto idle cores.
   *
   * RESTART/RECOVERY: scalar progress (state version, watermark, last
-  * committed batch id, bucket count) plus the per-bucket live-version table
+  * committed batch id, bucket count) plus the per-bucket live-segment table
   * is persisted in `stateRoot/MANIFEST`, written via tmp-file + atomic
   * rename AFTER the batch's state and emitted docs are durable — the
   * parquet-state analogue of the reference's checkpointed operator state. A
@@ -51,17 +70,17 @@ import graft.tx.TxReplay
   * [[TxReplayStream.attach]] skips micro-batches at-or-below the committed
   * batch id and REDELIVERS the committed batch's persisted output
   * (Structured Streaming re-runs the last batch whose sink didn't commit),
-  * so a restart neither loses nor double-emits documents. Superseded bucket
-  * versions are pruned once the manifest points past them; a crash mid-batch
-  * leaves the old manifest naming only fully-written old dirs, and the
-  * half-written next version is overwritten on redelivery.
+  * so a restart neither loses nor double-emits documents. Segment dirs not
+  * named by the committed manifest are pruned; a crash mid-batch leaves the
+  * old manifest naming only fully-written old dirs, and the half-written
+  * next version is overwritten on redelivery.
   *
   * Scale: state lives in parquet partitions, all operations are the same
   * keyed shuffles as the batch replay; the driver holds only the watermark
-  * scalar, batch counter, and the numBuckets-sized version table
+  * scalar, batch counter, and the numBuckets-sized segment table
   * (orchestration state, like any streaming engine's). Per-batch replay
-  * cost is bounded by the compacted buffer, per-batch WRITE cost by the
-  * batch's delta.
+  * cost is bounded by the compacted buffer scan, per-batch WRITE cost by
+  * the batch's delta.
   *
   * WHY MICRO-BATCH REPLAY AND NOT A `transformWithState` OPERATOR (the
   * "streaming-native" design (b) floated in SURVEY §7.3): the contiguous
@@ -94,8 +113,10 @@ import graft.tx.TxReplay
   * state compaction would have discarded the history its as-of resolution
   * needs). DATA events may arrive in any order and any batch.
   */
-class TxReplayStream(spark: SparkSession, stateRoot: String, numBuckets: Int = 16) {
+class TxReplayStream(spark: SparkSession, stateRoot: String,
+                     numBuckets: Int = 16, compactSegments: Int = 4) {
   require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+  require(compactSegments > 0, s"compactSegments must be positive, got $compactSegments")
 
   // GRAFT_TXSTREAM_PROFILE=1 prints per-phase wall times per batch
   private val profile = sys.env.get("GRAFT_TXSTREAM_PROFILE").exists(_ == "1")
@@ -113,13 +134,15 @@ class TxReplayStream(spark: SparkSession, stateRoot: String, numBuckets: Int = 1
   // Adopted from the manifest on resume — the on-disk layout wins over the
   // constructor argument (re-bucketing existing state would orphan files).
   @volatile private var buckets: Int = numBuckets
-  // live state version per bucket, -1 = bucket holds no data
-  private var leftVer: Array[Long] = Array.fill(numBuckets)(-1L)
-  private var rightVer: Array[Long] = Array.fill(numBuckets)(-1L)
+  // live segment versions per bucket, oldest first; empty = no data
+  private var leftSegs: Array[List[Long]] = Array.fill(numBuckets)(Nil)
+  private var rightSegs: Array[List[Long]] = Array.fill(numBuckets)(Nil)
 
   // Recover progress from the manifest (crash/restart path): the manifest is
   // only ever moved into place after its version's state dirs are fully
-  // written, so whatever it names is safe to resume from.
+  // written, so whatever it names is safe to resume from. Bucket entries are
+  // comma-joined segment lists ("-1" = empty); a pre-segment manifest's
+  // single-version entries parse as one-element lists.
   if (Files.exists(manifestPath)) {
     val lines = Files.readAllLines(manifestPath)
     require(lines.size >= 3, s"corrupt state manifest at $manifestPath")
@@ -128,9 +151,11 @@ class TxReplayStream(spark: SparkSession, stateRoot: String, numBuckets: Int = 1
     watermark = w.toLong
     committedBatch = b.toLong
     buckets = nb.toInt
-    leftVer = lines.get(1).trim.split(" ").map(_.toLong)
-    rightVer = lines.get(2).trim.split(" ").map(_.toLong)
-    require(leftVer.length == buckets && rightVer.length == buckets,
+    def parseSegs(line: String): Array[List[Long]] =
+      line.trim.split(" ").map(_.split(",").map(_.toLong).filter(_ >= 0).toList)
+    leftSegs = parseSegs(lines.get(1))
+    rightSegs = parseSegs(lines.get(2))
+    require(leftSegs.length == buckets && rightSegs.length == buckets,
       s"manifest bucket table does not match its bucket count $buckets")
   }
 
@@ -146,8 +171,8 @@ class TxReplayStream(spark: SparkSession, stateRoot: String, numBuckets: Int = 1
   private def inBuckets(dirty: Set[Int]): Column =
     if (dirty.isEmpty) lit(false) else bucketOf(col("key")).isInCollection(dirty)
 
-  private def readBuckets(name: String, vers: Array[Long]): Option[DataFrame] = {
-    val paths = vers.zipWithIndex.collect { case (v, b) if v >= 0 => bucketDir(name, b, v) }
+  private def readSegs(name: String, segs: Array[List[Long]]): Option[DataFrame] = {
+    val paths = segs.zipWithIndex.flatMap { case (vs, b) => vs.map(bucketDir(name, b, _)) }
     if (paths.isEmpty) None else Some(spark.read.parquet(paths.toIndexedSeq: _*))
   }
 
@@ -160,11 +185,12 @@ class TxReplayStream(spark: SparkSession, stateRoot: String, numBuckets: Int = 1
     state.map(_.unionByName(fresh)).getOrElse(fresh)
 
   private def commitManifest(v: Long, w: Long, b: Long,
-                             lv: Array[Long], rv: Array[Long]): Unit = {
+                             ls: Array[List[Long]], rs: Array[List[Long]]): Unit = {
     val tmp = Paths.get(stateRoot, ".MANIFEST.tmp")
     Files.createDirectories(Paths.get(stateRoot))
-    Files.writeString(tmp,
-      s"$v $w $b $buckets\n${lv.mkString(" ")}\n${rv.mkString(" ")}")
+    def fmt(segs: Array[List[Long]]): String =
+      segs.map(l => if (l.isEmpty) "-1" else l.mkString(",")).mkString(" ")
+    Files.writeString(tmp, s"$v $w $b $buckets\n${fmt(ls)}\n${fmt(rs)}")
     Files.move(tmp, manifestPath,
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
@@ -177,78 +203,71 @@ class TxReplayStream(spark: SparkSession, stateRoot: String, numBuckets: Int = 1
       finally walk.close()
     }
 
-  /** Write the compacted keep-state of the dirty buckets: ONE partitioned
-    * write job into a staging dir, then a per-bucket atomic-ish move into
-    * `name/b<i>/v<next>` (a rename on every real filesystem — no second
-    * data pass). A dirty bucket that compacted to zero rows produces no
-    * staged dir and its version drops to -1 (empty). Returns the updated
-    * per-bucket version table; untouched buckets keep their entries.
+  /** Write `df`'s rows for `targets` buckets as one segment dir per bucket
+    * at version `next`: ONE partitioned write job into a staging dir, then a
+    * per-bucket atomic-ish move into `name/b<i>/v<next>` (a rename on every
+    * real filesystem — no second data pass). The repartition on the bucket
+    * id lands each bucket in exactly one task → ONE file per bucket dir;
+    * without it every shuffle task writes its own sliver of every bucket
+    * and later batches pay per-file scan overhead. Returns the buckets that
+    * produced a segment (a target whose rows compacted/filtered to zero
+    * produces none).
     */
-  private def writeBuckets(name: String, keep: DataFrame, dirty: Set[Int],
-                           vers: Array[Long], next: Long): Array[Long] = {
-    if (dirty.isEmpty) return vers
-    val stage = Paths.get(s"$stateRoot/$name/.stage-v$next")
+  private def writeSegments(name: String, df: DataFrame, targets: Set[Int],
+                            next: Long, tag: String): Set[Int] = {
+    if (targets.isEmpty) return Set.empty
+    val stage = Paths.get(s"$stateRoot/$name/.stage-$tag-v$next")
     deleteRecursively(stage)
-    // repartition on the bucket id first: each bucket lands in exactly one
-    // task → ONE file per bucket dir. Without it every shuffle task writes
-    // its own sliver of every bucket (32 tasks × |dirty| dirs ≈ hundreds of
-    // KB-sized files per batch), and each later batch's state read pays the
-    // per-file scan overhead — measured as the dominant compaction variance
-    // at sf0.1 (SCALING.md r6).
-    keep.withColumn("_b", bucketOf(col("key")))
-      .repartition(math.max(dirty.size, 1), col("_b"))
+    df.withColumn("_b", bucketOf(col("key")))
+      .repartition(math.max(targets.size, 1), col("_b"))
       .write.partitionBy("_b").mode(SaveMode.Overwrite).parquet(stage.toString)
-    val out = vers.clone()
-    dirty.foreach { b =>
-      val staged = stage.resolve(s"_b=$b")
+    val staged = targets.filter(b => Files.exists(stage.resolve(s"_b=$b")))
+    staged.foreach { b =>
       val target = Paths.get(bucketDir(name, b, next))
       deleteRecursively(target) // leftovers from a crashed attempt at `next`
-      if (Files.exists(staged)) {
-        Files.createDirectories(target.getParent)
-        Files.move(staged, target)
-        out(b) = next
-      } else out(b) = -1L
+      Files.createDirectories(target.getParent)
+      Files.move(stage.resolve(s"_b=$b"), target)
     }
     deleteRecursively(stage)
-    out
+    staged
   }
 
-  /** Drop state files unreachable from the committed manifest: bucket
-    * versions other than each bucket's live one, leftover staging dirs, and
-    * scalar (ends/emitted) versions below the current.
+  /** Drop state files unreachable from the committed manifest: segment dirs
+    * not in their bucket's live list, leftover staging dirs, and scalar
+    * (ends/emitted/counts) versions below the current.
     */
-  private def prune(lv: Array[Long], rv: Array[Long], keep: Long): Unit = {
-    def pruneBuckets(name: String, vers: Array[Long]): Unit = {
+  private def prune(ls: Array[List[Long]], rs: Array[List[Long]], keep: Long): Unit = {
+    def pruneBuckets(name: String, segs: Array[List[Long]]): Unit = {
       val base = Paths.get(stateRoot, name)
       if (!Files.exists(base)) return
-      val ls = Files.list(base)
-      try ls.forEach { p =>
+      val ls0 = Files.list(base)
+      try ls0.forEach { p =>
         val n = p.getFileName.toString
         if (n.startsWith(".stage")) deleteRecursively(p)
         else if (n.startsWith("b")) n.drop(1).toIntOption.foreach { b =>
-          val live = if (b < vers.length) vers(b) else -1L
+          val live = if (b < segs.length) segs(b).toSet else Set.empty[Long]
           val vls = Files.list(p)
           try vls.forEach { vp =>
             val vn = vp.getFileName.toString
             // toLongOption: a stray non-state entry must not kill the query
             if (vn.startsWith("v"))
-              vn.drop(1).toLongOption.filter(_ != live).foreach(_ => deleteRecursively(vp))
+              vn.drop(1).toLongOption.filterNot(live.contains).foreach(_ => deleteRecursively(vp))
           } finally vls.close()
         }
-      } finally ls.close()
+      } finally ls0.close()
     }
     def pruneScalar(name: String): Unit = {
       val base = Paths.get(stateRoot, name)
       if (!Files.exists(base)) return
-      val ls = Files.list(base)
-      try ls.forEach { p =>
+      val ls0 = Files.list(base)
+      try ls0.forEach { p =>
         val n = p.getFileName.toString
         if (n.startsWith("v"))
           n.drop(1).toLongOption.filter(_ < keep).foreach(_ => deleteRecursively(p))
-      } finally ls.close()
+      } finally ls0.close()
     }
-    pruneBuckets("left", lv)
-    pruneBuckets("right", rv)
+    pruneBuckets("left", ls)
+    pruneBuckets("right", rs)
     pruneScalar("ends")
     pruneScalar("emitted")
     pruneScalar("counts")
@@ -260,106 +279,116 @@ class TxReplayStream(spark: SparkSession, stateRoot: String, numBuckets: Int = 1
     * or directly for deterministic batch-at-a-time testing (batchId then
     * defaults to the next sequential id).
     *
-    * PER-BATCH COST SHAPE (round-6 rework): the only full-buffer work left
-    * is the replay itself — which IS the micro-batch replay design. The
-    * other per-batch jobs are delta- or dimension-sized:
-    *  - completeness comes from the incremental `counts` state table
-    *    ((tx_id, n_left, n_right), merged with the batch's delta counts —
-    *    the reference's running per-tx counters,
-    *    `WatermarkInjector.java:74-144`), not a re-aggregation of the
-    *    buffered events;
-    *  - dirty buckets come from the batch's new-event keys plus the keys of
-    *    the documents just emitted (read back from the durable emitted
-    *    output's key column), not from a full-buffer join against the
-    *    reachable-tx set;
-    *  - compaction reads ONLY the dirty buckets' state dirs (file-level
-    *    pruning by construction), not a filter over the full union.
-    * Keys that belong to an emitting tx but emit no document themselves
-    * (right-only keys, empty-pair probes) are no longer compacted that
-    * batch — their compaction defers to the next batch that dirties their
-    * bucket, which is semantically free: replay's as-of max_by tolerates
-    * superseded versions, and completeness no longer reads the buffer at
-    * all. The buffers stay cache()d even though the replay is now their
-    * only full-buffer consumer: the replay plan alone reads the union ~4×
-    * (probes, header, lines), and every uncached read re-runs the upstream
-    * micro-batch source too — measured same-boot at sf0.1/5 batches, the
-    * uncached variant ran 3.1× SLOWER (687.6 s vs 218.9 s; SCALING.md r6).
+    * PER-BATCH COST SHAPE (round-6 LSM rework): the only full-buffer work
+    * left is the replay's SCAN — which is the micro-batch replay design.
+    * Everything else is delta- or dimension-sized:
+    *  - completeness comes from the incremental `counts` state table, not a
+    *    re-aggregation of the buffered events;
+    *  - state writes are append segments holding only this batch's events;
+    *    a bucket pays a full compaction only every `compactSegments`-th
+    *    batch that touches it;
+    *  - the replay runs with `broadcastProbes`: the buffered state is never
+    *    shuffled, every exchange is delta-sized;
+    *  - END retention is a no-scan carry-over on append-only batches;
+    *  - independent writes (append segments, counts) run concurrently with
+    *    the replay.
     */
-  def processBatch(newLeft: DataFrame, newRight: DataFrame,
+  def processBatch(newLeft0: DataFrame, newRight0: DataFrame,
                    newEnds: DataFrame, batchId: Long = -1L): DataFrame = {
-    val left = unionWith(readBuckets("left", leftVer), newLeft).cache()
-    val right = unionWith(readBuckets("right", rightVer), newRight).cache()
-    val ends = unionWith(readScalar("ends"), newEnds).cache()
+    // cache the DELTAS: each is consumed ~4× per batch (counts, dirty scan,
+    // append segment, replay union), and in `attach` streaming use every
+    // uncached read re-runs the upstream micro-batch source. The full state
+    // union is NOT cached — its only consumer is the replay (two scans per
+    // side), and a parquet re-scan of the segment files beat paying an
+    // InMemoryRelation materialization pass each batch (part of the
+    // 37.4 s → 32.6 s same-boot step in SCALING.md's r6 table).
+    val newLeft = newLeft0.cache()
+    val newRight = newRight0.cache()
+    val left = unionWith(readSegs("left", leftSegs), newLeft)
+    val right = unionWith(readSegs("right", rightSegs), newRight)
+    val ends = unionWith(readScalar("ends"), newEnds).dropDuplicates("tx_id").cache()
 
-    // Incremental per-tx counts: previous counts state ⊎ this batch's delta.
-    // A state root written before the counts table existed (version >= 0,
-    // no counts dir) falls back to one full-buffer aggregation to seed it.
-    val deltaCounts = newLeft.groupBy("tx_id").agg(count(lit(1)).as("n_left"))
-      .join(newRight.groupBy("tx_id").agg(count(lit(1)).as("n_right")),
-        Seq("tx_id"), "full")
-      .na.fill(0L, Seq("n_left", "n_right"))
-    val counts = (readScalar("counts") match {
-      case Some(prev) => prev.unionByName(deltaCounts)
-        .groupBy("tx_id")
-        .agg(sum("n_left").as("n_left"), sum("n_right").as("n_right"))
+    // Dirty buckets = buckets of this batch's new events only (one
+    // delta-sized job, ≤ 2·numBuckets ints), kicked off concurrently with
+    // the completeness chain below — neither needs the other. Emitting
+    // keys' buckets are NOT compacted on emission any more — their settled
+    // history is reclaimed by that bucket's next size-triggered compaction,
+    // which is semantically free (see class doc).
+    val dirtyF = Future(phased("dirty-scan")(
+      newLeft.select(bucketOf(col("key")).as("_b"), lit(0).as("_side"))
+        .union(newRight.select(bucketOf(col("key")).as("_b"), lit(1).as("_side")))
+        .distinct().collect()))
+
+    // Incremental per-tx counts: previous counts state ⊎ this batch's delta,
+    // folded in ONE partial-aggregated exchange (per-event unit rows merge
+    // map-side with the carried counts — no per-side pre-aggregation or
+    // join). A state root written before the counts table existed
+    // (version >= 0, no counts dir) falls back to one full-buffer
+    // aggregation to seed it.
+    val unitCounts = newLeft.select(col("tx_id"), lit(1L).as("n_left"), lit(0L).as("n_right"))
+      .unionByName(newRight.select(col("tx_id"), lit(0L).as("n_left"), lit(1L).as("n_right")))
+    val countRows = readScalar("counts") match {
+      case Some(prev) => prev.unionByName(unitCounts)
       case None if version >= 0 => // migration: seed from the buffer once
-        left.groupBy("tx_id").agg(count(lit(1)).as("n_left"))
-          .join(right.groupBy("tx_id").agg(count(lit(1)).as("n_right")),
-            Seq("tx_id"), "full")
-          .na.fill(0L, Seq("n_left", "n_right"))
-      case None => deltaCounts
-    }).cache()
-
-    // reachable txs from the counts state, with settled (already-emitted and
-    // compacted) txs floored out — their shrunken buffers must not read as
-    // "incomplete" and stall the watermark. cache(): consumed by the
-    // watermark aggregate and the replay probes.
-    val reach = TxReplay.txCompletenessFromCounts(counts, ends, watermark)
-      .filter(col("reachable")).select("tx_id", "commit_lsn")
+        left.select(col("tx_id"), lit(1L).as("n_left"), lit(0L).as("n_right"))
+          .unionByName(right.select(col("tx_id"), lit(0L).as("n_left"), lit(1L).as("n_right")))
+      case None => unitCounts
+    }
+    val counts = countRows
+      .groupBy("tx_id")
+      .agg(sum("n_left").as("n_left"), sum("n_right").as("n_right"))
       .cache()
-    try {
-      val newWm = phased("watermark")(reach.agg(max("commit_lsn")).collect()(0)) match {
-        case r if r.isNullAt(0) => watermark
-        case r => math.max(r.getLong(0), watermark)
-      }
 
-      // one doc per (key, tx) not yet emitted in an earlier batch
-      val emitted = TxReplay.replay(left, right, ends, watermark, Some(reach))
+    try {
+      // reachable txs from the counts state, with settled (already-emitted
+      // and compacted) txs floored out — their shrunken buffers must not
+      // read as "incomplete" and stall the watermark. COLLECTED: the replay
+      // broadcasts this set into its probe joins anyway (a broadcast IS a
+      // driver collect), so materializing it driver-side adds no scale
+      // constraint — and the watermark falls out for free instead of
+      // costing a separate aggregation job.
+      val reachRows = phased("watermark")(
+        TxReplay.txCompletenessFromCounts(counts, ends, watermark)
+          .filter(col("reachable")).select("tx_id", "commit_lsn")
+          .collect())
+      val newWm =
+        if (reachRows.isEmpty) watermark
+        else math.max(reachRows.iterator.map(_.getLong(1)).max, watermark)
+      val reachSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("tx_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("commit_lsn", org.apache.spark.sql.types.LongType)))
+      val reach = spark.createDataFrame(
+        java.util.Arrays.asList(reachRows: _*), reachSchema)
 
       val next = version + 1
       val thisBatch = if (batchId >= 0) batchId else committedBatch + 1
-      // durability order: emitted docs + bucket state + ends first, manifest
-      // (atomic move) last — a crash in between leaves the manifest at the
-      // old version naming only old, fully-written dirs, and any half-written
-      // v(next) output is overwritten on redelivery.
-      phased("replay+emit")(
-        emitted.write.mode(SaveMode.Overwrite).parquet(scalarDir("emitted", next)))
 
-      // Dirty buckets = buckets of this batch's new events (delta-sized
-      // scans) + buckets of the keys that just emitted (their history
-      // shrinks under compaction — the set the reference's cleanupState
-      // visits), read from the just-written durable output's key column.
-      // ≤ 3·numBuckets ints collected in ONE job.
-      val emittedKeys = spark.read.parquet(scalarDir("emitted", next))
-        .select(bucketOf(col("key")).as("_b"), lit(2).as("_side"))
-      val dirtyDf = newLeft.select(bucketOf(col("key")).as("_b"), lit(0).as("_side"))
-        .union(newRight.select(bucketOf(col("key")).as("_b"), lit(1).as("_side")))
-        .union(emittedKeys)
-        .distinct()
-      val dirtyRows = phased("dirty-scan")(dirtyDf.collect())
-      val emittedB = dirtyRows.collect { case r if r.getInt(1) == 2 => r.getInt(0) }.toSet
-      val dirtyLeft = dirtyRows.collect { case r if r.getInt(1) == 0 => r.getInt(0) }.toSet ++ emittedB
-      val dirtyRight = dirtyRows.collect { case r if r.getInt(1) == 1 => r.getInt(0) }.toSet ++ emittedB
+      val dirtyRows = Await.result(dirtyF, Duration.Inf)
+      val dirtyLeft = dirtyRows.collect { case r if r.getInt(1) == 0 => r.getInt(0) }.toSet
+      val dirtyRight = dirtyRows.collect { case r if r.getInt(1) == 1 => r.getInt(0) }.toSet
+      val compactLeft = dirtyLeft.filter(b => leftSegs(b).size >= compactSegments)
+      val compactRight = dirtyRight.filter(b => rightSegs(b).size >= compactSegments)
 
-      // compaction (cleanupState), over the dirty buckets only — reading
-      // exactly those buckets' state dirs plus the batch's own events (every
-      // new event's bucket is dirty by construction): enrich to learn each
-      // event's commit LSN; unfinished events (no END yet) stay raw in the
-      // buffer. Untouched buckets keep their existing files — their events'
-      // compaction is deferred to the batch that next dirties their bucket,
-      // which changes nothing semantically: replay's as-of max_by tolerates
-      // superseded versions, and settled txs are floored out of completeness
-      // by the watermark.
+      // Independent delta-sized writes run concurrently with the replay:
+      // Spark schedules their jobs onto cores the replay stages leave idle.
+      val appendLeftF = Future(phased("append-left")(
+        writeSegments("left", newLeft.filter(!inBuckets(compactLeft)),
+          dirtyLeft -- compactLeft, next, "app")))
+      val appendRightF = Future(phased("append-right")(
+        writeSegments("right", newRight.filter(!inBuckets(compactRight)),
+          dirtyRight -- compactRight, next, "app")))
+      // Persist the per-tx counts for the next batch's completeness, minus
+      // settled txs (their counts can never be consulted again: the floor
+      // excludes them from both the stall rule and reachability).
+      val countsF = Future(phased("keep-counts")(
+        counts.join(ends.filter(col("commit_lsn") <= newWm).select("tx_id"),
+            Seq("tx_id"), "left_anti")
+          .write.mode(SaveMode.Overwrite).parquet(scalarDir("counts", next))))
+
+      // compaction (cleanupState) for the size-triggered buckets only —
+      // reading exactly those buckets' segments plus the batch's fresh
+      // events for them: enrich to learn each event's commit LSN; unfinished
+      // events (no END yet) stay raw in the buffer.
       val endsKeyed = ends.select("tx_id", "commit_lsn")
       def split(ev: DataFrame, latestKeys: Seq[String]): DataFrame = {
         val enriched = ev.join(broadcast(endsKeyed), Seq("tx_id"))
@@ -373,59 +402,92 @@ class TxReplayStream(spark: SparkSession, stateRoot: String, numBuckets: Int = 1
         val future = enriched.filter(col("commit_lsn") > newWm).select(ev.columns.map(col).toIndexedSeq: _*)
         latestPast.unionByName(future).unionByName(unfinished)
       }
-      def dirtySlice(name: String, vers: Array[Long], dirtySet: Set[Int],
-                     fresh: DataFrame): DataFrame = {
-        val pruned = vers.zipWithIndex.map { case (v, b) =>
-          if (dirtySet.contains(b)) v else -1L
+      def compactInput(name: String, segs: Array[List[Long]], compact: Set[Int],
+                       fresh: DataFrame): DataFrame = {
+        val pruned = segs.zipWithIndex.map { case (vs, b) =>
+          if (compact.contains(b)) vs else Nil
         }
-        unionWith(readBuckets(name, pruned), fresh)
+        unionWith(readSegs(name, pruned), fresh.filter(inBuckets(compact)))
       }
-      val keepLeft = split(dirtySlice("left", leftVer, dirtyLeft, newLeft), Seq("key"))
-      val keepRight = split(dirtySlice("right", rightVer, dirtyRight, newRight),
-        Seq("key", "line_id"))
+      val compactLeftF = Future(phased("compact-left")(
+        writeSegments("left",
+          split(compactInput("left", leftSegs, compactLeft, newLeft), Seq("key")),
+          compactLeft, next, "cmp")))
+      val compactRightF = Future(phased("compact-right")(
+        writeSegments("right",
+          split(compactInput("right", rightSegs, compactRight, newRight),
+            Seq("key", "line_id")),
+          compactRight, next, "cmp")))
 
-      val newLeftVer = phased("compact-left")(
-        writeBuckets("left", keepLeft, dirtyLeft, leftVer, next))
-      val newRightVer = phased("compact-right")(
-        writeBuckets("right", keepRight, dirtyRight, rightVer, next))
+      // one doc per (key, tx) not yet emitted in an earlier batch; durability
+      // order: emitted docs + bucket state + ends first, manifest (atomic
+      // move) last — a crash in between leaves the manifest at the old
+      // version naming only old, fully-written dirs, and any half-written
+      // v(next) output is overwritten on redelivery.
+      // Nothing reachable (stalled or idle batch) → nothing can emit: skip
+      // the replay's jobs entirely and persist an empty output (the schema
+      // comes from plan ANALYSIS only — no execution).
+      val replayPlan = TxReplay.replay(left, right, ends, watermark, Some(reach),
+        broadcastProbes = true)
+      val emitted =
+        if (reachRows.isEmpty)
+          spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+            replayPlan.schema)
+        else replayPlan
+      phased("replay+emit")(
+        emitted.write.mode(SaveMode.Overwrite).parquet(scalarDir("emitted", next)))
 
-      // Retain END rows referenced by ANY kept event — read the tx_id column
-      // back from the NEW state table (the just-written dirty buckets plus
-      // the untouched buckets' live files, a file-pruned single-column scan)
-      // rather than recomputing both compaction plans. Untouched buckets'
-      // deferred compaction needs its ENDs to learn commit LSNs; dropping
-      // one would reclassify its events as unfinished and stall the
-      // watermark. Plus ENDs not yet emitted.
-      val referenced = (readBuckets("left", newLeftVer) ++ readBuckets("right", newRightVer))
-        .map(_.select("tx_id"))
-        .reduceOption(_ union _)
-      val keepEnds = referenced
-        .map(ref => ends.join(ref.distinct(), Seq("tx_id"), "left_semi"))
-        .getOrElse(ends.filter(lit(false)))
-        .unionByName(ends.filter(col("commit_lsn") > newWm))
-        .dropDuplicates("tx_id")
+      val appLeft = Await.result(appendLeftF, Duration.Inf)
+      val appRight = Await.result(appendRightF, Duration.Inf)
+      val cmpLeft = Await.result(compactLeftF, Duration.Inf)
+      val cmpRight = Await.result(compactRightF, Duration.Inf)
+      Await.result(countsF, Duration.Inf)
+      def updated(segs: Array[List[Long]], appended: Set[Int], targets: Set[Int],
+                  compacted: Set[Int]): Array[List[Long]] =
+        segs.zipWithIndex.map { case (vs, b) =>
+          if (targets.contains(b)) { if (compacted.contains(b)) List(next) else Nil }
+          else if (appended.contains(b)) vs :+ next
+          else vs
+        }
+      val newLeftSegs = updated(leftSegs, appLeft, compactLeft, cmpLeft)
+      val newRightSegs = updated(rightSegs, appRight, compactRight, cmpRight)
+
+      // END retention. Append-only batch: every previously retained END is
+      // still referenced (no event left the buffer), so the END table
+      // carries over as-is — zero scans. Compacting batch: retain ENDs
+      // referenced by ANY kept event — the tx_id column of the NEW segment
+      // set (the just-written segments plus untouched buckets' live files, a
+      // file-pruned single-column scan) — plus all ENDs not yet settled.
+      // Deferred buckets need their settled ENDs to learn commit LSNs at
+      // their eventual compaction; dropping one would reclassify its events
+      // as unfinished and stall the watermark.
+      val keepEnds =
+        if (compactLeft.isEmpty && compactRight.isEmpty) ends
+        else {
+          val referenced = (readSegs("left", newLeftSegs) ++ readSegs("right", newRightSegs))
+            .map(_.select("tx_id"))
+            .reduceOption(_ union _)
+          referenced
+            .map(ref => ends.join(ref.distinct(), Seq("tx_id"), "left_semi"))
+            .getOrElse(ends.filter(lit(false)))
+            .unionByName(ends.filter(col("commit_lsn") > newWm))
+            .dropDuplicates("tx_id")
+        }
       phased("keep-ends")(
         keepEnds.write.mode(SaveMode.Overwrite).parquet(scalarDir("ends", next)))
-      // Persist the per-tx counts for the next batch's completeness, minus
-      // settled txs (their counts can never be consulted again: the floor
-      // excludes them from both the stall rule and reachability).
-      phased("keep-counts")(
-        counts.join(ends.filter(col("commit_lsn") <= newWm).select("tx_id"),
-            Seq("tx_id"), "left_anti")
-          .write.mode(SaveMode.Overwrite).parquet(scalarDir("counts", next)))
-      commitManifest(next, newWm, thisBatch, newLeftVer, newRightVer)
+
+      commitManifest(next, newWm, thisBatch, newLeftSegs, newRightSegs)
       version = next
       watermark = newWm
       committedBatch = thisBatch
-      leftVer = newLeftVer
-      rightVer = newRightVer
-      prune(newLeftVer, newRightVer, next)
+      leftSegs = newLeftSegs
+      rightSegs = newRightSegs
+      prune(newLeftSegs, newRightSegs, next)
       spark.read.parquet(scalarDir("emitted", next))
     } finally {
-      reach.unpersist()
       counts.unpersist()
-      left.unpersist()
-      right.unpersist()
+      newLeft.unpersist()
+      newRight.unpersist()
       ends.unpersist()
     }
   }
@@ -438,6 +500,14 @@ class TxReplayStream(spark: SparkSession, stateRoot: String, numBuckets: Int = 1
 
   /** Number of state buckets in effect (manifest's on resume). */
   def bucketCount: Int = buckets
+
+  /** Live segment versions per bucket for `side` ("left"/"right") — test
+    * visibility into the LSM layout (oldest first; empty = no data).
+    */
+  def liveSegments(side: String): Map[Int, Seq[Long]] = {
+    val segs = if (side == "left") leftSegs else rightSegs
+    segs.zipWithIndex.map { case (vs, b) => b -> (vs: Seq[Long]) }.toMap
+  }
 
   /** The committed output of the newest processed batch — what a restarted
     * query must redeliver when Structured Streaming re-runs a batch the

@@ -165,10 +165,22 @@ object TxReplay {
     (l, r, probes)
   }
 
+  /** @param broadcastProbes broadcast the probe set into both as-of joins.
+    *   The probes are delta-sized in micro-batch use (one row per (key,
+    *   commit_lsn) emitting THIS batch — trigger-interval bounded), while
+    *   `left`/`right` are the full buffered state: broadcasting the probes
+    *   turns both as-of joins into map-side broadcast joins, so the buffer
+    *   is only ever SCANNED, never shuffled — every exchange in the replay
+    *   plan becomes delta-sized. Default false: a bounded one-shot replay's
+    *   probe set is output-sized (can be the whole table), where the hint
+    *   would force an unbounded broadcast.
+    */
   def replay(left: DataFrame, right: DataFrame, txEnds: DataFrame,
              floorLsn: Long = Long.MinValue,
-             reachable: Option[DataFrame] = None): DataFrame = {
-    val (l, r, probes) = staged(left, right, txEnds, floorLsn, reachable)
+             reachable: Option[DataFrame] = None,
+             broadcastProbes: Boolean = false): DataFrame = {
+    val (l, r, probes0) = staged(left, right, txEnds, floorLsn, reachable)
+    val probes = if (broadcastProbes) broadcast(probes0) else probes0
 
     // Header as-of: latest left per key with commit_lsn <= L, ordered by
     // (commit_lsn, lsn) — the in-tx tiebreak matches the buffer scan order

@@ -14,6 +14,11 @@ import org.apache.spark.sql.functions._
 object TxStreamThroughput {
   def main(args: Array[String]): Unit = {
     val spark = graft.Sessions.build("tx-throughput")
+    // experiment knobs for per-batch fixed-cost A/Bs (SCALING.md r6)
+    sys.env.get("GRAFT_AQE").foreach(v =>
+      spark.conf.set("spark.sql.adaptive.enabled", v == "1"))
+    sys.env.get("GRAFT_SHUFFLE").foreach(v =>
+      spark.conf.set("spark.sql.shuffle.partitions", v.toInt))
     val sf = args.headOption.getOrElse("/root/testdata/sf0.1")
     val nBatches = args.drop(1).headOption.map(_.toInt).getOrElse(5)
 
