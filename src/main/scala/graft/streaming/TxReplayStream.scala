@@ -82,27 +82,27 @@ import graft.tx.TxReplay
   * cost is bounded by the compacted buffer scan, per-batch WRITE cost by
   * the batch's delta.
   *
-  * WHY MICRO-BATCH REPLAY AND NOT A `transformWithState` OPERATOR (the
-  * "streaming-native" design (b) floated in SURVEY §7.3): the contiguous
-  * commit-LSN watermark is a GLOBAL property — tx L may only emit when every
-  * tx with a smaller commit LSN is complete, and completeness itself compares
-  * global per-(tx, table) event counts against the END event's announcement.
-  * A keyed `StatefulProcessor` sees one key's slice of the world: a processor
-  * keyed by order id cannot know whether some other key's straggler keeps an
-  * earlier tx incomplete, and a processor keyed by tx id cannot see across
-  * transactions to apply the contiguity stall. The reference solves this with
-  * machinery Spark deliberately lacks — a custom watermark TYPE carrying the
-  * commit LSN, injected by an operator that is effectively parallelism-1 per
-  * table (`WatermarkInjector`; the whole PoC pipeline runs at parallelism 1,
-  * poc.md:264-266) and broadcast in-band to all partitions. Spark's
-  * equivalent of "centralized sequencing + broadcast" is the micro-batch
-  * boundary itself: within a batch, completeness and the stall point are
-  * plain global aggregates over the buffered state, and the per-LSN ordered
-  * flush is a deterministic bounded replay — full data parallelism inside
-  * the batch, with the same per-key and cross-key ordering guarantees the
-  * reference gets from its single-parallelism watermark plumbing. The
-  * per-key halves that ARE expressible as keyed processors (commit-LSN
-  * fixing, keep-latest, TOAST latching) live in [[Stateful]].
+  * RELATION TO THE `transformWithState` DESIGN ([[TxReplayNative]], design
+  * (b) of SURVEY §7.3 — now also implemented): the contiguous commit-LSN
+  * watermark is a GLOBAL property — tx L may only emit when every tx with a
+  * smaller commit LSN is complete — and a keyed `StatefulProcessor` sees
+  * one key's slice of the world. The reference solves this with machinery
+  * Spark deliberately lacks — a custom watermark TYPE broadcast in-band,
+  * injected at parallelism 1 (`WatermarkInjector`; poc.md:264-266). This
+  * engine's answer is the micro-batch boundary itself: within a batch,
+  * completeness and the stall point are plain aggregates over buffered
+  * state, and the per-LSN ordered flush is a deterministic bounded replay.
+  * [[TxReplayNative]]'s answer is the reference's own: an explicit
+  * parallelism-1 metadata sequencer stage between fully key-parallel
+  * stateful operators, with per-key ListState buffers in the RocksDB state
+  * store and per-event-shaped incremental work. Trade-off: this engine
+  * re-plans and re-scans the buffer each batch but owns its state layout
+  * (bucketed parquet, LSM segments); the native engine does delta-only
+  * work per batch but pays the state-store encoder boundary per row and
+  * routes tx metadata through one sequencer key. Both produce the same
+  * emission sequence (TxReplayNativeSpec). The per-key halves that are
+  * expressible as standalone keyed processors (commit-LSN fixing,
+  * keep-latest, TOAST latching) live in [[Stateful]].
   *
   * TRANSPORT ASSUMPTION (same as the reference): transaction END events
   * arrive in commit-LSN order — Debezium's transaction topic is a single
