@@ -737,6 +737,20 @@ object ScaleQueries {
         .ordered("q_id", "rank")
     }),
 
+    // IVF + PQ (IVFADC): queries probe their 2 nearest centroids' bucket
+    // lists, candidates within are scored by ADC table lookups over the
+    // PQ codes — the bucket dial prunes the search space, the code dial
+    // prunes the bytes; no corpus float vector is read during the scan.
+    "q_embed_ivfpq" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cb = Embeddings.pqCodebookFromSeeds(
+        e.filter(col("vec_id") % 63 === 1), mSubspaces = 4, "vec_id", "embedding")
+      Embeddings.ivfPqTopK(e, e.filter(col("vec_id") % 10 === 3), cb,
+        e.filter(col("vec_id") % 97 === 5), k = 10, nprobe = 2, mSubspaces = 4,
+        "vec_id", "embedding")
+        .ordered("q_id", "rank")
+    }),
+
     // Deterministic sharded epoch shuffle: the same corpus under epochs 1
     // and 2 yields two unrelated (shard, pos) permutations, each a pure
     // function of (epoch, doc_id) — no RNG, retry- and resume-stable.
@@ -1732,6 +1746,56 @@ object ScaleQueries {
         |r AS (SELECT q_id, neighbor_id, adist,
         |  row_number() OVER (PARTITION BY q_id ORDER BY adist, neighbor_id) AS rank
         | FROM adist WHERE q_id <> neighbor_id)
+        |SELECT q_id, neighbor_id, adist, rank FROM r WHERE rank <= 10
+        |ORDER BY q_id, rank""".stripMargin,
+
+    // IVF assignment/probes (from q_embed_ivf_nprobe) + PQ codes/distance
+    // tables (from q_embed_pq_topk), candidates restricted to probed
+    // buckets before the ADC sum.
+    "q_embed_ivfpq" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |cent AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % 10 = 3),
+        |cscored AS (
+        | SELECT e.vec_id, c.centroid_id, ${cosSql("e.v", "c.cv")} AS ccos
+        | FROM e CROSS JOIN cent c),
+        |cranked AS (
+        | SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) AS rn
+        | FROM cscored),
+        |assign AS (SELECT vec_id, centroid_id AS bucket FROM cranked WHERE rn = 1),
+        |probes AS (SELECT vec_id AS q_id, centroid_id AS bucket
+        | FROM cranked WHERE vec_id % 97 = 5 AND rn <= 2),
+        |sc AS (
+        | SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code_id, embedding
+        | FROM embeddings WHERE vec_id % 63 = 1),
+        |cb AS (SELECT r.m, code_id,
+        |  embedding[1 + 16*r.m : 16*(r.m + 1)] AS sub
+        | FROM sc, range(4) r(m)),
+        |vs AS (SELECT vec_id, r.m,
+        |  embedding[1 + 16*r.m : 16*(r.m + 1)] AS vsub
+        | FROM embeddings, range(4) r(m)),
+        |dist AS (SELECT v.vec_id, v.m, c.code_id,
+        |  round(list_sum(list_transform(range(1, len(v.vsub) + 1),
+        |    i -> (CAST(v.vsub[i] AS DOUBLE) - CAST(c.sub[i] AS DOUBLE)) *
+        |         (CAST(v.vsub[i] AS DOUBLE) - CAST(c.sub[i] AS DOUBLE)))), 6) AS d
+        | FROM vs v JOIN cb c USING (m)),
+        |best AS (SELECT vec_id, m, code_id, d,
+        |  row_number() OVER (PARTITION BY vec_id, m ORDER BY d, code_id) AS rn
+        | FROM dist),
+        |codes AS (SELECT vec_id, m, code_id FROM best WHERE rn = 1),
+        |dt AS (SELECT vec_id AS q_id, m, code_id, d FROM dist
+        |       WHERE vec_id % 97 = 5),
+        |cand AS (SELECT p.q_id, a.vec_id AS neighbor_id
+        | FROM probes p JOIN assign a ON a.bucket = p.bucket
+        | WHERE p.q_id <> a.vec_id),
+        |adist AS (SELECT cand.q_id, cand.neighbor_id,
+        |  round(CAST(sum(CAST(dt.d AS DECIMAL(18,6))) AS DOUBLE), 6) AS adist
+        | FROM cand
+        | JOIN codes c ON c.vec_id = cand.neighbor_id
+        | JOIN dt ON dt.q_id = cand.q_id AND dt.m = c.m AND dt.code_id = c.code_id
+        | GROUP BY cand.q_id, cand.neighbor_id),
+        |r AS (SELECT q_id, neighbor_id, adist,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY adist, neighbor_id) AS rank
+        | FROM adist)
         |SELECT q_id, neighbor_id, adist, rank FROM r WHERE rank <= 10
         |ORDER BY q_id, rank""".stripMargin,
 

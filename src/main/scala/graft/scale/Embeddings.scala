@@ -190,4 +190,69 @@ object Embeddings {
       .filter(col("rank") <= k)
       .select("q_id", "neighbor_id", "adist", "rank")
   }
+
+  /** IVF + PQ — the composition a 100 TB ANN index actually runs (the
+    * "IVFADC" layout of Jégou et al. §IV): the IVF stage prunes the SEARCH
+    * SPACE (each query visits only its `nprobe` nearest centroids' bucket
+    * lists), and PQ prunes the BYTES (within a visited bucket, candidates
+    * are scored by ADC table lookups over M small codes — no float vector
+    * is ever read for the corpus). Both dials compose: cost per query ≈
+    * (nprobe/|centroids|) · |C| rows × M lookups.
+    *
+    * Queries are taken EXACT from the corpus by id ([[Similarity.ivfTopK]]'s
+    * convention); distance tables (Q·M·K rows) and the centroid set ride
+    * broadcasts; the bucket probe is an equi-join on bucket id. Output:
+    * q_id, neighbor_id, adist (approximate L2², smaller = closer), rank.
+    */
+  def ivfPqTopK(corpus: DataFrame, centroids: DataFrame, codebook: DataFrame,
+                queryIds: DataFrame, k: Int, nprobe: Int, mSubspaces: Int,
+                idCol: String, vecCol: String): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    // cache(): feeds the probe side and the bucket lists
+    val assigned = Similarity.assignBuckets(corpus, centroids, idCol, vecCol).cache()
+
+    // query → nprobe nearest centroids (rounded cosine, id tie-break)
+    val qvecs = assigned.join(queryIds.select(col(idCol).as("vec_id")), Seq("vec_id"))
+      .select(col("vec_id").as("q_id"), col("vec").as("q_vec"), col("norm").as("q_norm"))
+    val cent = centroids.select(col(idCol).as("centroid_id"),
+      col(vecCol).cast(ArrayType(DoubleType)).as("cent_vec"))
+      .withColumn("cent_norm", sqrt(vecDot(col("cent_vec"), col("cent_vec"))))
+    val pw = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("ccos").desc, col("centroid_id"))
+    val probes = qvecs.join(broadcast(cent))
+      .withColumn("ccos", round(vecDot(col("q_vec"), col("cent_vec")) /
+        (col("q_norm") * col("cent_norm")), 6))
+      .withColumn("crank", row_number().over(pw))
+      .filter(col("crank") <= nprobe)
+      .select(col("q_id"), col("centroid_id").as("bucket"))
+
+    // ADC: per-query distance table (exact query subvectors vs codebook)
+    val queries = corpus.join(queryIds.select(col(idCol)), Seq(idCol))
+    val dtab = subvectors(queries, mSubspaces, idCol, vecCol)
+      .withColumnRenamed(idCol, "q_id")
+      .join(broadcast(codebook), Seq("m"))
+      .select(col("q_id"), col("m"), col("code_id"),
+        subDist(col("vsub"), col("sub")).as("d"))
+
+    // bucket lists carry CODES, not vectors
+    val codes = pqEncode(corpus, codebook, mSubspaces, idCol, vecCol)
+    val bucketCodes = codes
+      .join(assigned.select(col("vec_id").as(idCol), col("bucket")), Seq(idCol))
+      .select(col(idCol).as("neighbor_id"), col("bucket"), col("codes"))
+
+    val scored = probes.join(bucketCodes, Seq("bucket"))
+      .filter(col("q_id") =!= col("neighbor_id"))
+      .select(col("q_id"), col("neighbor_id"),
+        posexplode(col("codes")).as(Seq("m", "code")))
+      .join(broadcast(dtab.withColumnRenamed("code_id", "code")),
+        Seq("q_id", "m", "code"))
+      .groupBy("q_id", "neighbor_id")
+      .agg(round(sum(col("d").cast(DecimalType(18, 6))).cast(DoubleType), 6)
+        .as("adist"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("adist").asc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "neighbor_id", "adist", "rank")
+  }
 }

@@ -217,6 +217,70 @@ object Similarity {
       .select("q_id", "neighbor_id", "cos", "rank")
   }
 
+  /** Full Lloyd's loop for the IVF index build ([[assignBuckets]] is one
+    * step of it): alternate nearest-centroid assignment (rounded cosine,
+    * id tie-breaks — deterministic) and per-bucket elementwise means until
+    * no centroid moves more than `tol` in L2, or `maxIters`. Means are
+    * rounded to 6 dp so the fixpoint itself is engine-reproducible, and a
+    * bucket that loses all members keeps its previous centroid (the
+    * standard empty-cluster rule that preserves K).
+    *
+    * Scale shape per iteration: one broadcast-assignment pass over the
+    * corpus (narrow), one (bucket, dim)-keyed mean shuffle bounded by
+    * K·dims groups, and a K-row movement aggregate — no all-pairs, no
+    * driver-side data. Each round ends in an eager `localCheckpoint` (the
+    * iterative-lineage fence, as in NearDup.clusterPairs) with the
+    * superseded round unpersisted.
+    *
+    * Returns (centroid_id, embedding ARRAY<DOUBLE>, iters, moved) — the
+    * trained centroids plus the stopping diagnostics on every row.
+    */
+  def kmeansIterate(corpus: DataFrame, initial: DataFrame, maxIters: Int = 20,
+                    tol: Double = 1e-4, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
+    // `ckpt` is always THE checkpointed artifact of the newest round — the
+    // handle unpersisted once the following round's checkpoint has
+    // materialized (the lifecycle the round-5 advisory asked of the BPE
+    // trainer); `cents` is a narrow projection over it.
+    var ckpt = initial
+      .select(col(idCol).cast(LongType).as("centroid_id"),
+        asDouble(col(vecCol)).as("cvec"))
+      .localCheckpoint(true)
+    var cents = ckpt
+    var iters = 0
+    var moved = Double.MaxValue
+    while (iters < maxIters && moved > tol) {
+      val assigned = assignBuckets(corpus,
+        cents.select(col("centroid_id").as(idCol), col("cvec").as(vecCol)),
+        idCol, vecCol)
+      val means = assigned
+        .select(col("bucket").as("centroid_id"),
+          posexplode(col("vec")).as(Seq("dim", "x")))
+        .groupBy("centroid_id", "dim")
+        .agg(round(avg("x"), 6).as("mx"))
+        .groupBy("centroid_id")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("mx")))),
+          s => s.getField("mx")).as("mvec"))
+      val next = cents
+        .join(means, Seq("centroid_id"), "left")
+        .select(col("centroid_id"),
+          coalesce(col("mvec"), col("cvec")).as("cvec"),
+          col("cvec").as("_old"))
+        .localCheckpoint(true) // eager: materialized before the old round frees
+      val diff = zip_with(col("cvec"), col("_old"), (a, b) => a - b)
+      moved = next.agg(max(sqrt(dot(diff, diff)))).collect()(0).getDouble(0)
+      ckpt.unpersist()
+      ckpt = next
+      cents = next.select("centroid_id", "cvec")
+      iters += 1
+    }
+    cents
+      .withColumn("iters", lit(iters))
+      .withColumn("moved", lit(moved))
+      .withColumnRenamed("cvec", vecCol)
+  }
+
   /** Hard-negative mining for contrastive training: per query, the k most
     * SIMILAR vectors carrying a DIFFERENT label — the negatives that
     * actually teach a metric model (random negatives are trivially far).

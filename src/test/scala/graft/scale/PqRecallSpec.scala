@@ -1,0 +1,102 @@
+package graft.scale
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.{Tables, TestSpark}
+
+/** Recall harness for the PQ family — the IvfRecallSpec treatment applied
+  * to ADC search: recall@k of [[Embeddings.pqTopK]] against
+  * [[Similarity.bruteForceTopK]] ground truth on the deterministic sf0.001
+  * embeddings, across M (subspace count) settings, plus the IVF+PQ
+  * composition ([[Embeddings.ivfPqTopK]]). Distance geometry differs (ADC
+  * approximates L2² while ground truth ranks by cosine), but the corpus
+  * embeddings have similar norms, so top-k sets overlap heavily when
+  * quantization is faithful — which is exactly what recall measures.
+  */
+class PqRecallSpec extends AnyFunSuite with Matchers {
+
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+  private val K = 10
+
+  // The fixture embeddings are unit-norm (ADC's L2² ranking ≡ the cosine
+  // ground truth's: on the unit sphere L2² = 2 − 2·cos), so recall here
+  // measures QUANTIZATION error alone. The codebook must be dense enough
+  // to measure anything: the corpus is 500 structureless random unit
+  // vectors — PQ's worst case — and the driver queries' sparse %63 seed
+  // rule leaves only K=8 codewords at this sf (recall ≈ 0.1 at M=8, pure
+  // noise). K≈167 (%3) gives the harness a faithful-quantization regime.
+  private lazy val e = Tables.embeddings(spark, sf)
+  private lazy val queryIds = e.filter(col("vec_id") % 97 === 5)
+  private lazy val seeds = e.filter(col("vec_id") % 3 === 1)
+  private lazy val centroids = e.filter(col("vec_id") % 10 === 3)
+
+  private def recallAtK(ann: DataFrame, exact: DataFrame): Double = {
+    val hits = exact.select("q_id", "neighbor_id")
+      .join(ann.select("q_id", "neighbor_id"), Seq("q_id", "neighbor_id"), "left_semi")
+      .groupBy("q_id").agg(count(lit(1)).as("n_hit"))
+    val perQuery = exact.select("q_id").distinct()
+      .join(hits, Seq("q_id"), "left")
+      .select(coalesce(col("n_hit"), lit(0L)).cast("double") / K)
+    perQuery.agg(avg(perQuery.columns.head)).collect()(0).getDouble(0)
+  }
+
+  private def pqRecall(m: Int, seedSet: DataFrame, exact: DataFrame): Double = {
+    val cb = Embeddings.pqCodebookFromSeeds(seedSet, m, "vec_id", "embedding")
+    val codes = Embeddings.pqEncode(e, cb, m, "vec_id", "embedding")
+    recallAtK(Embeddings.pqTopK(codes, cb, queryIds, K, m, "vec_id", "embedding"),
+      exact)
+  }
+
+  // On this corpus absolute recall is low BY CONSTRUCTION (random vectors:
+  // the cosine gap between rank 10 and rank 50 is tiny next to sampled-
+  // codebook quantization noise), and recall need NOT be monotone in M —
+  // sampled codebooks are not nested across M. The harness pins what IS
+  // structural: codebook density helps, every config beats the random-
+  // candidate baseline by a wide margin, and measured floors guard the
+  // shipped settings. Measured here (M=2/4/8 at K≈167): 0.25 / 0.17 / 0.30;
+  // random baseline = K/(|C|−1) ≈ 0.02.
+  test("pqTopK recall@10: density helps, every M clears the baseline floor") {
+    val exact = Similarity.bruteForceTopK(e, queryIds, K).cache()
+    val r2 = pqRecall(2, seeds, exact)
+    val r4 = pqRecall(4, seeds, exact)
+    val r8 = pqRecall(8, seeds, exact)
+    info(f"PQ recall@10 (K≈167): M=2 $r2%.4f, M=4 $r4%.4f, M=8 $r8%.4f")
+    Seq(r2, r4, r8).foreach(_ should be >= 0.1) // ≥5× the 0.02 random baseline
+
+    // a denser codebook strictly improves quantization at fixed M: the
+    // driver queries' sparse %63 rule leaves only K=8 here — measured 0.05
+    val rSparse = pqRecall(4, e.filter(col("vec_id") % 63 === 1), exact)
+    info(f"PQ recall@10 M=4: K=8 $rSparse%.4f vs K≈167 $r4%.4f")
+    r4 should be >= rSparse + 0.05
+    exact.unpersist()
+  }
+
+  test("ivfPqTopK: all-buckets probe IS the full ADC scan; shipped setting clears its floor") {
+    val exact = Similarity.bruteForceTopK(e, queryIds, K).cache()
+    val m = 4
+    val cb = Embeddings.pqCodebookFromSeeds(seeds, m, "vec_id", "embedding")
+    def ann(nprobe: Int): DataFrame =
+      Embeddings.ivfPqTopK(e, centroids, cb, queryIds, K, nprobe, m,
+        "vec_id", "embedding")
+    val r1 = recallAtK(ann(1), exact)
+    val r2 = recallAtK(ann(2), exact)
+    info(f"IVF+PQ recall@10 (M=4): nprobe=1 $r1%.4f, nprobe=2 $r2%.4f")
+    r2 should be >= 0.3 // measured 0.35 — the shipped nprobe=2 floor
+    r1 should be >= 0.2 // measured 0.2833
+
+    // exactness anchor: probing EVERY bucket visits the whole corpus, so
+    // the composition must reproduce the full ADC scan ROW FOR ROW
+    val nCent = centroids.count().toInt
+    val full = Embeddings.pqTopK(
+      Embeddings.pqEncode(e, cb, m, "vec_id", "embedding"), cb, queryIds, K, m,
+      "vec_id", "embedding")
+    val all = ann(nCent)
+    all.exceptAll(full).isEmpty shouldBe true
+    full.exceptAll(all).isEmpty shouldBe true
+    exact.unpersist()
+  }
+}
