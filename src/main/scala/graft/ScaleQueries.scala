@@ -375,6 +375,21 @@ object ScaleQueries {
         .ordered("doc_id")
     }),
 
+    // Real PCM WAV decode through the same partition-batched seam as the
+    // BMP decode: synthetic RIFF payloads whose samples are closed-form in
+    // (doc_id, i), so the oracle recomputes amplitude statistics without
+    // parsing RIFF — green means the byte-level codec is right.
+    "q_multimodal_audio" -> ((s, d) => {
+      import s.implicits._
+      val ids = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      val frames = ids.map(id => (id, 0, Multimodal.syntheticWav(id)))
+      Multimodal.decodeAudio(frames).toDF()
+        .select(col("doc_id"), col("sample_rate"), col("channels"), col("n_samples"),
+          round(col("mean_abs"), 6).as("mean_abs"),
+          round(col("rms"), 6).as("rms"))
+        .ordered("doc_id")
+    }),
+
     // Multimodal: documents.text as a stand-in binary payload — typed
     // metadata (length/sha256/magic) + frame sampling, all over BINARY.
     "q_multimodal_meta" -> ((s, d) => {
@@ -1181,6 +1196,23 @@ object ScaleQueries {
         | round(CAST(sum(g) AS DOUBLE) / (max(w) * max(h)), 6) AS mean_g,
         | round(CAST(sum(b) AS DOUBLE) / (max(w) * max(h)), 6) AS mean_b
         |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // The closed-form sample stream recomputed without RIFF parsing.
+    "q_multimodal_audio" ->
+      """WITH d AS (SELECT doc_id,
+        |  8000 + (doc_id % 4) * 4000 AS sample_rate,
+        |  1 + doc_id % 2 AS channels,
+        |  (16 + doc_id % 17) * (1 + doc_id % 2) AS n
+        | FROM documents),
+        |s AS (SELECT doc_id, sample_rate, channels, n,
+        |  ((unnest(generate_series(0, CAST(n - 1 AS INTEGER))) * 37 + doc_id * 101) % 2048) - 1024 AS v
+        | FROM d)
+        |SELECT doc_id, CAST(max(sample_rate) AS INT) AS sample_rate,
+        | CAST(max(channels) AS INT) AS channels,
+        | CAST(max(n) AS BIGINT) AS n_samples,
+        | round(CAST(sum(abs(v)) AS DOUBLE) / max(n), 6) AS mean_abs,
+        | round(sqrt(CAST(sum(CAST(v AS BIGINT) * v) AS DOUBLE) / max(n)), 6) AS rms
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_embed_ivf" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),

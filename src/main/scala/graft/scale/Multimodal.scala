@@ -196,4 +196,116 @@ object Multimodal {
       ((x * 3 + y * 5 + 2 * docId) % 256).toInt,
       ((x + y + 3 * docId) % 256).toInt))
   }
+
+  // ---- real audio decode: WAV (PCM s16le) ----
+  // The second fully fixed-layout media format — RIFF chunks + raw
+  // little-endian samples, decodable with offset arithmetic alone — proving
+  // the [[decodeFrames]] seam generalizes beyond images: same partition-
+  // batched shape, a different real codec plugged in.
+
+  /** Decoded audio features: format fields + amplitude statistics over all
+    * interleaved samples (`n_samples` counts samples across channels).
+    */
+  case class AudioFeature(doc_id: Long, frame_no: Int, sample_rate: Int,
+                          channels: Int, n_samples: Long,
+                          mean_abs: Double, rms: Double)
+
+  /** Serialize a PCM s16le WAV (RIFF/WAVE, 16-byte fmt chunk, data chunk).
+    * `samples` are interleaved across channels.
+    */
+  def encodeWavPcm16(sampleRate: Int, channels: Int,
+                     samples: Array[Short]): Array[Byte] = {
+    require(sampleRate > 0 && channels > 0, s"bad format $sampleRate/$channels")
+    val dataSize = samples.length * 2
+    val out = new Array[Byte](44 + dataSize)
+    def putU16(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def putU32(off: Int, v: Long): Unit = (0 until 4).foreach { i =>
+      out(off + i) = ((v >> (8 * i)) & 0xff).toByte
+    }
+    def putTag(off: Int, tag: String): Unit =
+      tag.zipWithIndex.foreach { case (c, i) => out(off + i) = c.toByte }
+    putTag(0, "RIFF"); putU32(4, 36L + dataSize); putTag(8, "WAVE")
+    putTag(12, "fmt "); putU32(16, 16)
+    putU16(20, 1) // PCM
+    putU16(22, channels); putU32(24, sampleRate)
+    putU32(28, sampleRate.toLong * channels * 2) // byte rate
+    putU16(32, channels * 2); putU16(34, 16)     // block align, bits
+    putTag(36, "data"); putU32(40, dataSize)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      out(44 + i * 2) = (s & 0xff).toByte
+      out(44 + i * 2 + 1) = ((s >> 8) & 0xff).toByte
+    }
+    out
+  }
+
+  /** Decode a PCM s16le WAV to format fields + amplitude statistics — a
+    * RIFF chunk walk (fmt/data chunks in any order, unknown chunks
+    * skipped per the spec) and a little-endian sample scan. Throws on
+    * non-PCM / non-16-bit payloads: at scale, route undecodable payloads
+    * through a quarantine branch like [[graft.cdc.Envelope.decodeQuarantine]].
+    */
+  def decodeWavPcm16(id: Long, frameNo: Int, bytes: Array[Byte]): AudioFeature = {
+    require(bytes.length >= 44 &&
+      bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+      bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E',
+      s"not a RIFF/WAVE payload (${bytes.length} bytes)")
+    var off = 12
+    var sampleRate = -1; var channels = -1
+    var dataOff = -1; var dataLen = -1
+    while (off + 8 <= bytes.length && (sampleRate < 0 || dataOff < 0)) {
+      val tag = new String(bytes.slice(off, off + 4), "US-ASCII")
+      val len = u32(bytes, off + 4).toInt
+      tag match {
+        case "fmt " =>
+          require(u16(bytes, off + 8) == 1, s"not PCM: fmt=${u16(bytes, off + 8)}")
+          channels = u16(bytes, off + 10)
+          sampleRate = u32(bytes, off + 12).toInt
+          require(u16(bytes, off + 22) == 16,
+            s"not 16-bit: bits=${u16(bytes, off + 22)}")
+        case "data" => dataOff = off + 8; dataLen = len
+        case _ => // unknown chunk: skip (LIST, fact, ...)
+      }
+      off += 8 + len + (len & 1) // chunks are word-aligned
+    }
+    require(sampleRate > 0 && channels > 0, "missing fmt chunk")
+    require(dataOff >= 0 && bytes.length >= dataOff + dataLen, "missing/truncated data chunk")
+    val n = dataLen / 2
+    var sumAbs = 0L; var sumSq = 0L
+    var i = 0
+    while (i < n) {
+      val s = ((bytes(dataOff + i * 2) & 0xff) |
+        (bytes(dataOff + i * 2 + 1) << 8)).toShort.toInt
+      sumAbs += math.abs(s); sumSq += s.toLong * s
+      i += 1
+    }
+    val d = math.max(n, 1)
+    AudioFeature(id, frameNo, sampleRate, channels, n,
+      sumAbs.toDouble / d, math.sqrt(sumSq.toDouble / d))
+  }
+
+  /** Per-partition batch audio decode — [[decodeFrames]]'s shape with the
+    * REAL (PCM WAV) codec plugged into the seam.
+    */
+  def decodeAudio(frames: Dataset[(Long, Int, Array[Byte])],
+                  decoder: (Long, Int, Array[Byte]) => AudioFeature = decodeWavPcm16)
+                 : Dataset[AudioFeature] = {
+    implicit val enc: Encoder[AudioFeature] = Encoders.product[AudioFeature]
+    frames.mapPartitions { it => it.map { case (id, no, bytes) => decoder(id, no, bytes) } }
+  }
+
+  /** Deterministic synthetic WAV for `doc_id`: format fields and every
+    * sample are closed-form functions of (doc_id, i), so the oracle
+    * recomputes the decoded statistics WITHOUT parsing RIFF
+    * (q_multimodal_audio — the audio analogue of [[syntheticBmp]]).
+    */
+  def syntheticWav(docId: Long): Array[Byte] = {
+    val sampleRate = (8000 + (docId % 4) * 4000).toInt
+    val channels = (1 + docId % 2).toInt
+    val n = ((16 + docId % 17) * channels).toInt
+    val samples = Array.tabulate(n)(i =>
+      (((i * 37 + docId * 101) % 2048) - 1024).toShort)
+    encodeWavPcm16(sampleRate, channels, samples)
+  }
 }

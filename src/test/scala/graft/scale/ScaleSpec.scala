@@ -58,6 +58,45 @@ class ScaleSpec extends AnyFunSuite with Matchers {
       Multimodal.decodeBmp(0L, 0, Array[Byte](1, 2, 3))
   }
 
+  test("WAV codec: encode → decode round-trips format and exact amplitude stats") {
+    // stereo, 3 frames: samples {100,-100, 200,-200, 300,-300}
+    val bytes = Multimodal.encodeWavPcm16(16000, 2,
+      Array[Short](100, -100, 200, -200, 300, -300))
+    val f = Multimodal.decodeWavPcm16(9L, 0, bytes)
+    f.doc_id shouldBe 9L
+    f.sample_rate shouldBe 16000
+    f.channels shouldBe 2
+    f.n_samples shouldBe 6L
+    f.mean_abs shouldBe 200.0 +- 1e-12
+    f.rms shouldBe math.sqrt((2.0 * (100 * 100 + 200 * 200 + 300 * 300)) / 6) +- 1e-12
+
+    // chunk walk: an unknown chunk between fmt and data is skipped per RIFF
+    val withJunk = {
+      val base = Multimodal.encodeWavPcm16(8000, 1, Array[Short](5, -5))
+      val junk = Array[Byte]('L', 'I', 'S', 'T', 3, 0, 0, 0, 1, 2, 3, 0) // padded
+      // splice between the fmt chunk (ends at 36) and the data chunk
+      val out = base.slice(0, 36) ++ junk ++ base.slice(36, base.length)
+      // fix the RIFF size field
+      val total = out.length - 8
+      (0 until 4).foreach(i => out(4 + i) = ((total >> (8 * i)) & 0xff).toByte)
+      out
+    }
+    val g = Multimodal.decodeWavPcm16(1L, 0, withJunk)
+    g.n_samples shouldBe 2L
+    g.mean_abs shouldBe 5.0 +- 1e-12
+
+    // the distributed seam with the real codec
+    val frames = Seq((1L, 0), (2L, 0), (10L, 1)).toDS()
+      .map { case (id, no) => (id, no, Multimodal.syntheticWav(id)) }
+    val out = Multimodal.decodeAudio(frames).collect().sortBy(_.doc_id)
+    out.map(f => (f.doc_id, f.sample_rate, f.channels, f.n_samples)).toSeq shouldBe
+      Seq((1L, 12000, 2, 34L), (2L, 16000, 1, 18L), (10L, 16000, 1, 26L))
+
+    // malformed payloads fail loudly
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.decodeWavPcm16(0L, 0, Array[Byte](1, 2, 3))
+  }
+
   test("IVF top-k recalls most brute-force neighbors on its own bucket") {
     val e = Tables.embeddings(spark, sf)
     val queries = e.filter(col("label") === 0)
