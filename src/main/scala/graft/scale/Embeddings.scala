@@ -115,6 +115,63 @@ object Embeddings {
       .otherwise(raise_error(
         lit("pq: more than 256 seed rows; codebook is capped at K=256")))
 
+  /** Train the per-subspace codebooks with Lloyd's — the real IVFADC build
+    * step (Jégou et al. §III train k-means PER SUBSPACE; sampled codebooks
+    * are only the initialization). All M subspaces train in ONE loop: the
+    * state is the (m, code_id, sub) table itself, assignment is one
+    * broadcast join of every subvector against its subspace's codewords,
+    * and new codewords are per-(m, code_id, dim) means — so an iteration
+    * costs one narrow corpus pass plus an M·K·subdim-bounded shuffle
+    * regardless of M. Deterministic like [[Similarity.kmeansIterate]]
+    * (rounded means, id tie-breaks, empty codes keep their codeword), with
+    * the same eager-checkpoint-per-round lineage fence and unpersist
+    * lifecycle. Output schema = [[pqCodebookFromSeeds]] (drop-in for
+    * [[pqEncode]]/[[pqTopK]]/[[ivfPqTopK]]).
+    */
+  def pqCodebookTrained(corpus: DataFrame, seeds: DataFrame, mSubspaces: Int,
+                        maxIters: Int = 10, tol: Double = 1e-4,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
+    var ckpt = pqCodebookFromSeeds(seeds, mSubspaces, idCol, vecCol)
+      .localCheckpoint(true)
+    var cb = ckpt
+    // the corpus subvector table feeds every iteration: cache it once
+    val subs = subvectors(corpus, mSubspaces, idCol, vecCol).cache()
+    var iters = 0
+    var moved = Double.MaxValue
+    while (iters < maxIters && moved > tol) {
+      val assigned = subs.join(broadcast(cb), Seq("m"))
+        .withColumn("_d", subDist(col("vsub"), col("sub")))
+        .groupBy(col(idCol), col("m"))
+        .agg(min_by(col("code_id"), struct(col("_d"), col("code_id"))).as("code"),
+          first(col("vsub")).as("vsub"))
+      val means = assigned
+        .select(col("m"), col("code").as("code_id"),
+          posexplode(col("vsub")).as(Seq("dim", "x")))
+        .groupBy("m", "code_id", "dim")
+        .agg(round(avg("x"), 6).as("mx"))
+        .groupBy("m", "code_id")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("mx")))),
+          s => s.getField("mx")).as("msub"))
+      val next = cb
+        .join(means, Seq("m", "code_id"), "left")
+        .select(col("m"), col("code_id"),
+          coalesce(col("msub"), col("sub")).as("sub"),
+          col("sub").as("_old"))
+        .localCheckpoint(true)
+      val diff = zip_with(col("sub"), col("_old"), (a, b) => a - b)
+      moved = next
+        .agg(max(sqrt(vecDot(diff, diff)))).collect()(0).getDouble(0)
+      ckpt.unpersist()
+      ckpt = next
+      cb = next.select("m", "code_id", "sub")
+      iters += 1
+    }
+    subs.unpersist()
+    cb
+  }
+
   /** (idCol, m, vsub): every vector sliced into its M subvectors. */
   private def subvectors(df: DataFrame, mSubspaces: Int, idCol: String,
                          vecCol: String): DataFrame = {

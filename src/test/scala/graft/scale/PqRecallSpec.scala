@@ -75,6 +75,35 @@ class PqRecallSpec extends AnyFunSuite with Matchers {
     exact.unpersist()
   }
 
+  test("trained codebooks cut quantization error and do not lose recall") {
+    val exact = Similarity.bruteForceTopK(e, queryIds, K).cache()
+    val m = 4
+    val seeded = Embeddings.pqCodebookFromSeeds(seeds, m, "vec_id", "embedding")
+    val trained = Embeddings.pqCodebookTrained(e, seeds, m, maxIters = 8).cache()
+
+    // same shape (drop-in), deterministic retrain
+    trained.count() shouldBe seeded.count()
+    val again = Embeddings.pqCodebookTrained(e, seeds, m, maxIters = 8)
+    trained.exceptAll(again).isEmpty shouldBe true
+
+    // Lloyd's objective: total quantization error strictly drops
+    def err(cb: org.apache.spark.sql.DataFrame): Double =
+      Embeddings.pqEncode(e, cb, m, "vec_id", "embedding")
+        .agg(sum("err")).collect()(0).getDouble(0)
+    val e0 = err(seeded); val e1 = err(trained)
+    info(f"PQ total quantization error (M=4): seeded $e0%.1f → trained $e1%.1f")
+    e1 should be < e0
+
+    def recall(cb: org.apache.spark.sql.DataFrame): Double =
+      recallAtK(Embeddings.pqTopK(
+        Embeddings.pqEncode(e, cb, m, "vec_id", "embedding"), cb, queryIds, K, m,
+        "vec_id", "embedding"), exact)
+    val r0 = recall(seeded); val r1 = recall(trained)
+    info(f"PQ recall@10 (M=4): seeded $r0%.4f → trained $r1%.4f")
+    r1 should be >= r0 - 0.02 // training must not lose recall beyond tie noise
+    exact.unpersist(); trained.unpersist()
+  }
+
   test("ivfPqTopK: all-buckets probe IS the full ADC scan; shipped setting clears its floor") {
     val exact = Similarity.bruteForceTopK(e, queryIds, K).cache()
     val m = 4
