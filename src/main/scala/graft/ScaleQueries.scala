@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 import org.apache.spark.sql.expressions.Window
 
 import graft.Ordered._
-import graft.scale.{Bpe, Decontam, Dsir, Embeddings, LangModel, Multimodal, NearDup, Packing, Sampling, Similarity, Sketches, SpanDedup, TextOps}
+import graft.scale.{Bpe, Classifier, Decontam, Dsir, Embeddings, LangModel, Multimodal, NearDup, Packing, Sampling, Similarity, Sketches, SpanDedup, TextOps}
 
 /** Driver-verifiable queries for the training-data-pipeline operators
   * (`graft.scale`) over the `documents` table, each with a DuckDB oracle
@@ -764,6 +764,31 @@ object ScaleQueries {
         e.filter(col("vec_id") % 97 === 5), k = 10, nprobe = 2, mSubspaces = 4,
         "vec_id", "embedding")
         .ordered("q_id", "rank")
+    }),
+
+    // Model-based quality gate: fasttext-style linear classifier inference
+    // — hashed unigram+bigram features × a broadcast weight vector. The
+    // weight for feature f is the closed form ((f·31+7) mod 1001 − 500)/1000
+    // so the oracle reconstructs the identical model; contributions are
+    // integer-exact in milli-units (no libm in either engine).
+    "q_classifier_score" -> ((s, d) => {
+      val nF = 4096
+      val weights = s.range(nF).select(col("id").as("feature"),
+        ((((col("id") * 31 + 7) % 1001) - 500).cast(DoubleType) / 1000.0)
+          .as("weight"))
+      Classifier.linearScore(Tables.documents(s, d), weights,
+        "doc_id", "text", nF)
+        .ordered("doc_id")
+    }),
+
+    // Per-domain cap: keep at most 50 docs per source, longest first —
+    // the anti-domination retention rule, with audit columns.
+    "q_domain_cap" -> ((s, d) => {
+      Sampling.domainCap(
+        Tables.documents(s, d).select("doc_id", "source", "n_chars"),
+        "doc_id", "source", cap = 50, rankBy = Seq(col("n_chars").desc))
+        .select(col("doc_id"), col("source"), col("domain_rank"), col("kept"))
+        .ordered("doc_id")
     }),
 
     // Deterministic sharded epoch shuffle: the same corpus under epochs 1
@@ -1830,6 +1855,40 @@ object ScaleQueries {
         | FROM adist)
         |SELECT q_id, neighbor_id, adist, rank FROM r WHERE rank <= 10
         |ORDER BY q_id, rank""".stripMargin,
+
+    // The identical hashed features against the closed-form weight table;
+    // milli-unit integer sums, divided at the end.
+    "q_classifier_score" ->
+      """WITH toks AS (
+        | SELECT doc_id,
+        |  list_filter(string_split(lower(text), ' '), w -> len(w) > 0) AS t
+        | FROM documents),
+        |uni AS (SELECT doc_id, unnest(t) AS g FROM toks),
+        |bi AS (SELECT doc_id, t[s.i] || ' ' || t[s.i + 1] AS g
+        | FROM toks, unnest(generate_series(1, len(t) - 1)) AS s(i)
+        | WHERE len(t) >= 2),
+        |f AS (SELECT doc_id,
+        |  ('0x' || substr(md5(g), 1, 15))::BIGINT % 4096 AS feature,
+        |  count(*) AS cnt
+        | FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+        | GROUP BY doc_id, feature),
+        |sc AS (SELECT doc_id,
+        |  sum(cnt * ((feature * 31 + 7) % 1001 - 500)) AS milli
+        | FROM f GROUP BY doc_id)
+        |SELECT d.doc_id,
+        | round(CAST(coalesce(sc.milli, 0) AS DOUBLE) / 1000, 6) AS score,
+        | CAST(coalesce(sc.milli, 0) > 0 AS BOOLEAN) AS keep
+        |FROM documents d LEFT JOIN sc USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // Longest-first rank per source with the id tiebreak; kept = rank<=50.
+    "q_domain_cap" ->
+      """SELECT doc_id, source,
+        | CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id)
+        |   AS INTEGER) AS domain_rank,
+        | row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) <= 50
+        |   AS kept
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // The identical (epoch, id) hash → shard → within-shard rank.
     "q_epoch_shuffle" ->

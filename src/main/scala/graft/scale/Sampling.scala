@@ -162,4 +162,27 @@ object Sampling {
       .withColumn("pos", row_number().over(w))
       .drop("_hv")
   }
+
+  /** Per-domain document cap — the anti-domination rule web-scale corpora
+    * apply so no single source (domain/site/dump) floods the mixture: rank
+    * each domain's docs by the caller's preference order (id appended as
+    * the deterministic final tiebreak) and keep the first `cap`. Returns
+    * every input row with (domain_rank, kept) so the caller can audit what
+    * the cap removed, not just the survivors.
+    *
+    * One shuffle: a window keyed by the domain. Heavy-hitter domains make
+    * that window's partition large, but row_number is a streaming frame
+    * (no buffering) — the same skew profile as any per-key top-N;
+    * salt-and-merge ([[graft.ops.Skew]]) applies if one domain is a
+    * double-digit fraction of the corpus.
+    */
+  def domainCap(df: DataFrame, idCol: String, domainCol: String, cap: Int,
+                rankBy: Seq[Column] = Seq.empty): DataFrame = {
+    require(cap >= 1, s"cap must be positive, got $cap")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(domainCol))
+      .orderBy(rankBy :+ col(idCol).asc: _*)
+    df.withColumn("domain_rank", row_number().over(w))
+      .withColumn("kept", col("domain_rank") <= cap)
+  }
 }

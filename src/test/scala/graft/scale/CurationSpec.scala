@@ -16,6 +16,51 @@ class CurationSpec extends AnyFunSuite with Matchers {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("classifier: hashed linear scoring — known model, empty text, gate sign") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "good good text"),   // unigrams: good x2, text; bigrams: "good good", "good text"
+      (2L, ""),                 // no features: scores exactly the bias
+      (3L, "bad")               // one unigram
+    ).toDF("doc_id", "text")
+    // model that only knows two features: the hash buckets of "good" and "bad"
+    val nF = 1 << 20
+    val bucket = (g: String) => spark.range(1)
+      .select(pmod(Hashing.md5Long60(lit(g)), lit(nF.toLong))).head().getLong(0)
+    val weights = Seq(
+      (bucket("good"), 0.5),
+      (bucket("bad"), -0.25)
+    ).toDF("feature", "weight")
+
+    val out = Classifier.linearScore(docs, weights, "doc_id", "text", nF, bias = 0.1)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+    out(1L) shouldBe ((1.1, true))   // 2 x 0.5 + 0.1
+    out(2L) shouldBe ((0.1, true))   // bias only — doc must not vanish
+    out(3L) shouldBe ((-0.15, false))
+
+    // feature table: counts are per (doc, feature); bigrams hash distinctly
+    val f = Classifier.hashedFeatures(docs, "doc_id", "text", nF)
+    f.filter(col("doc_id") === 1L && col("feature") === bucket("good"))
+      .head().getLong(2) shouldBe 2L
+    f.filter(col("doc_id") === 2L).count() shouldBe 0L
+  }
+
+  test("domainCap: per-domain rank, audit columns, deterministic tiebreak") {
+    val docs = Seq(
+      (1L, "a", 100L), (2L, "a", 300L), (3L, "a", 300L), (4L, "a", 50L),
+      (5L, "b", 10L)
+    ).toDF("doc_id", "source", "n_chars")
+    val out = Sampling.domainCap(docs, "doc_id", "source", cap = 2,
+        rankBy = Seq(org.apache.spark.sql.functions.col("n_chars").desc))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(3), r.getBoolean(4)))).toMap
+    // domain a: 300-ties broken by doc_id (2 before 3), then 100, then 50
+    out(2L) shouldBe ((1, true))
+    out(3L) shouldBe ((2, true))
+    out(1L) shouldBe ((3, false))
+    out(4L) shouldBe ((4, false))
+    out(5L) shouldBe ((1, true)) // singleton domain unaffected
+  }
+
   test("decontaminate: overlap counts, clean docs, and sub-n docs") {
     val train = Seq(
       (1L, "a b c d e f g"),        // shares the eval doc's grams
