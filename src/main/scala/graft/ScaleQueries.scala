@@ -791,6 +791,31 @@ object ScaleQueries {
         .ordered("doc_id")
     }),
 
+    // Round-6 composition: model gate → exact dedup → per-domain cap
+    // (most-trusted-by-score retention) → epoch shuffle, one declarative
+    // plan — the curation chain a production corpus build runs nightly.
+    "q_corpus_pipeline3" -> ((s, d) => {
+      val nF = 4096
+      val weights = s.range(nF).select(col("id").as("feature"),
+        ((((col("id") * 31 + 7) % 1001) - 500).cast(DoubleType) / 1000.0)
+          .as("weight"))
+      val docs = Tables.documents(s, d).select("doc_id", "source", "text")
+      val scored = Classifier.linearScore(docs, weights, "doc_id", "text", nF)
+        .filter(col("keep"))
+        .select("doc_id", "score")
+      val gated = docs.join(scored, Seq("doc_id"))
+      val uniq = TextOps.exactDedup(gated, "doc_id", "text")
+        .filter(!col("is_dup"))
+        .select("doc_id", "source", "score")
+      val capped = Sampling.domainCap(uniq, "doc_id", "source", cap = 40,
+        rankBy = Seq(col("score").desc))
+        .filter(col("kept"))
+      Sampling.epochShuffle(capped, "doc_id", epoch = 1, nShards = 8)
+        .select(col("doc_id"), col("source"), col("score"), col("domain_rank"),
+          col("shard"), col("pos"))
+        .ordered("doc_id")
+    }),
+
     // Deterministic sharded epoch shuffle: the same corpus under epochs 1
     // and 2 yields two unrelated (shard, pos) permutations, each a pure
     // function of (epoch, doc_id) — no RNG, retry- and resume-stable.
@@ -1889,6 +1914,49 @@ object ScaleQueries {
         | row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) <= 50
         |   AS kept
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Gate (milli > 0) → md5-fingerprint dedup → score-ranked domain cap
+    // → (epoch=1, id)-hash shard/pos, all in one statement.
+    "q_corpus_pipeline3" ->
+      """WITH toks AS (
+        | SELECT doc_id,
+        |  list_filter(string_split(lower(text), ' '), w -> len(w) > 0) AS t
+        | FROM documents),
+        |uni AS (SELECT doc_id, unnest(t) AS g FROM toks),
+        |bi AS (SELECT doc_id, t[s.i] || ' ' || t[s.i + 1] AS g
+        | FROM toks, unnest(generate_series(1, len(t) - 1)) AS s(i)
+        | WHERE len(t) >= 2),
+        |f AS (SELECT doc_id,
+        |  ('0x' || substr(md5(g), 1, 15))::BIGINT % 4096 AS feature,
+        |  count(*) AS cnt
+        | FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+        | GROUP BY doc_id, feature),
+        |scmilli AS (SELECT doc_id,
+        |  sum(cnt * ((feature * 31 + 7) % 1001 - 500)) AS milli
+        | FROM f GROUP BY doc_id),
+        |scored AS (
+        | SELECT d.doc_id, d.source, d.text,
+        |  round(CAST(milli AS DOUBLE) / 1000, 6) AS score
+        | FROM documents d JOIN scmilli USING (doc_id) WHERE milli > 0),
+        |fp AS (SELECT doc_id, source, score,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+        | FROM scored),
+        |canon AS (SELECT fingerprint, min(doc_id) AS canonical_id
+        | FROM fp GROUP BY fingerprint),
+        |uniq AS (SELECT doc_id, source, score
+        | FROM fp JOIN canon USING (fingerprint) WHERE doc_id = canonical_id),
+        |capped AS (SELECT * FROM (
+        |  SELECT doc_id, source, score,
+        |   CAST(row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id)
+        |     AS INTEGER) AS domain_rank
+        |  FROM uniq) WHERE domain_rank <= 40),
+        |h AS (SELECT *,
+        |  ('0x' || substr(md5('1' || chr(1) || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+        | FROM capped)
+        |SELECT doc_id, source, score, domain_rank,
+        | CAST(hv % 8 AS INTEGER) AS shard,
+        | CAST(row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) AS INTEGER) AS pos
+        |FROM h ORDER BY doc_id""".stripMargin,
 
     // The identical (epoch, id) hash → shard → within-shard rank.
     "q_epoch_shuffle" ->

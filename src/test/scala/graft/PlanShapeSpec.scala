@@ -89,6 +89,22 @@ class PlanShapeSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("q_corpus_pipeline3: model gate -> dedup -> domain cap -> shuffle, broadcast joins only") {
+    // classifier featurize (doc,feature) + score (doc) aggs, dedup
+    // fingerprint agg, cap window (source), order window (shard) — six
+    // keyed exchanges plus one ReusedExchange; every doc-spine join rides
+    // a broadcast (the model and canon tables are dimension-sized), and no
+    // sort-merge join may appear at fixture scale.
+    val plan = finalPlan(q("q_corpus_pipeline3"))
+    val dataShuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    withClue(plan.linesIterator.filter(l =>
+      l.contains("Exchange") || l.contains("Join")).mkString("\n")) {
+      dataShuffles shouldBe 7 // 6 live + 1 ReusedExchange reference
+      plan should include("ReusedExchange")
+      plan should not include "SortMergeJoin"
+    }
+  }
+
   test("q_asof_enrich: the as-of lookup is one keyed shuffle + window, no join node") {
     // the whole point of the union+window formulation: a range join would
     // plan a join with O(probes × versions) output per key
