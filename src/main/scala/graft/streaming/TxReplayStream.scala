@@ -537,9 +537,15 @@ object TxReplayStream {
     * (foreachBatch only replays the newest uncommitted batch) and are
     * ignored.
     */
-  def attach(unioned: DataFrame, stateRoot: String, checkpoint: String)
+  /** @param numBuckets state buckets (a resumed manifest's layout wins)
+    * @param compactSegments per-bucket segment count that triggers
+    *   compaction — the write-amplification / read-fanout dial
+    */
+  def attach(unioned: DataFrame, stateRoot: String, checkpoint: String,
+             numBuckets: Int = 16, compactSegments: Int = 4)
             (onEmit: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
-    val engine = new TxReplayStream(unioned.sparkSession, stateRoot)
+    val engine = new TxReplayStream(unioned.sparkSession, stateRoot,
+      numBuckets, compactSegments)
     unioned.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
