@@ -843,6 +843,40 @@ object ScaleQueries {
           array_join(col("subwords"), " ").as("subwords_str"),
           col("n_subwords"))
         .ordered("doc_id")
+    }),
+
+    // Incremental (delta-vs-corpus) near-dedup against a persisted MinHash
+    // index — the daily-ingest shape: the corpus (doc_id % 3 ≠ 0) is
+    // indexed once, the delta (doc_id % 3 = 0, plus exact copies of every
+    // 7th doc under +10000) probes it without a corpus rescan. Copies have
+    // J = 1 (LSH recall exactly 1) and the generator's planted dups sit at
+    // J ≥ 0.8 (miss P < 1e-10 at threshold 0.7 — see q_dedup_minhash), so
+    // the exact-oracle compare is deterministic.
+    "q_dedup_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+      val delta = docs.filter(col("doc_id") % 3 === 0)
+        .unionByName(docs.filter(col("doc_id") % 7 === 1)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      val index = NearDup.buildMinHashIndex(corpus, "doc_id", "text")
+      NearDup.incrementalMinHashDedup(index, delta, "doc_id", "text", threshold = 0.7)
+        .ordered("id")
+    }),
+
+    // SemDeDup (cluster-then-prune semantic dedup): nearest-centroid
+    // assignment + within-cluster cosine pruning, smallest id survives.
+    // Direction-identical scaled copies (injected, cos = 1.0) are the
+    // duplicates; the corpus's own max pairwise cosine is 0.51, far from
+    // the 0.99 gate, so the verdict is deterministic.
+    "q_semdedup" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("embedding"))
+      val scaled = e.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 10000).as("vec_id"),
+          transform(col("embedding"), x => x * lit(1.5)).as("embedding"))
+      Similarity.semDedup(e.unionByName(scaled),
+        e.filter(col("vec_id") % 10 === 3), threshold = 0.99)
+        .ordered("vec_id")
     })
   )
 
@@ -1997,6 +2031,71 @@ object ScaleQueries {
         |  trim(regexp_replace(replace(s, chr(31), ' '), ' +', ' ', 'g')) AS word_str FROM ap)
         |SELECT doc_id, string_agg(word_str, ' ' ORDER BY wpos) AS subwords_str,
         | CAST(sum(len(string_split(word_str, ' '))) AS INTEGER) AS n_subwords
-        |FROM ws GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM ws GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Exact all-pairs mirror of the incremental probe: a delta doc matches
+    // ANY corpus doc, but only SMALLER-ID delta docs; dup_of = min match.
+    "q_dedup_incremental" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+        |delta AS (
+        | SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+        | UNION ALL
+        | SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 7 = 1),
+        |sh_c AS (
+        | SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks)-2),
+        |     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+        | FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus)),
+        |sh_d AS (
+        | SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks)-2),
+        |     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+        | FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM delta)),
+        |pairs AS (
+        | SELECT d.doc_id AS id, o.doc_id AS other_id,
+        |  CAST(len(list_intersect(d.shingles, o.shingles)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(d.shingles, o.shingles))) AS jac
+        | FROM sh_d d CROSS JOIN sh_c o
+        | UNION ALL
+        | SELECT d.doc_id AS id, o.doc_id AS other_id,
+        |  CAST(len(list_intersect(d.shingles, o.shingles)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(d.shingles, o.shingles))) AS jac
+        | FROM sh_d d JOIN sh_d o ON o.doc_id < d.doc_id),
+        |best AS (
+        | SELECT id, min(other_id) AS dup_of, arg_min(jac, other_id) AS jac
+        | FROM pairs WHERE jac >= 0.7 GROUP BY id)
+        |SELECT delta.doc_id AS id, best.dup_of, best.jac,
+        | best.dup_of IS NULL AS is_new
+        |FROM delta LEFT JOIN best ON best.id = delta.doc_id
+        |ORDER BY id""".stripMargin,
+
+    // Nearest-centroid assignment (rounded cosine, ties → smallest
+    // centroid), then within-bucket smaller-id pruning at cos >= 0.99.
+    "q_semdedup" ->
+      s"""WITH e AS (
+        | SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        | UNION ALL
+        | SELECT vec_id + 10000 AS vec_id,
+        |  list_transform(embedding::DOUBLE[], x -> x * 1.5) AS v
+        | FROM embeddings WHERE vec_id % 10 = 0),
+        |cent AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
+        | FROM embeddings WHERE vec_id % 10 = 3),
+        |scored AS (
+        | SELECT e.vec_id, e.v, c.centroid_id,
+        |  ${cosSql("e.v", "c.cv")} AS ccos
+        | FROM e CROSS JOIN cent c),
+        |assign AS (
+        | SELECT vec_id, v, centroid_id AS bucket FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) AS rn
+        |  FROM scored) WHERE rn = 1),
+        |p AS (
+        | SELECT a.vec_id, b.vec_id AS b_id,
+        |  ${cosSql("a.v", "b.v")} AS pcos
+        | FROM assign a JOIN assign b ON a.bucket = b.bucket AND b.vec_id < a.vec_id),
+        |best AS (
+        | SELECT vec_id, min(b_id) AS dup_of, arg_min(pcos, b_id) AS cos
+        | FROM p WHERE pcos >= 0.99 GROUP BY vec_id)
+        |SELECT a.vec_id, a.bucket, best.dup_of IS NOT NULL AS is_dup,
+        | best.dup_of, best.cos
+        |FROM assign a LEFT JOIN best USING (vec_id)
+        |ORDER BY vec_id""".stripMargin
   )
 }

@@ -423,4 +423,118 @@ object NearDup {
 
     verifyPairs(candidates, docs, threshold)
   }
+
+  /** Version stamp of persisted MinHash index artifacts. The hash family is
+    * an implementation detail (murmur3 was v1; XXH64+splitmix signatures +
+    * murmur3 band keys are v2) — comparing band keys built by different
+    * versions silently destroys LSH recall, so [[incrementalMinHashDedup]]
+    * refuses (raise_error, first batch) any index row whose stamp differs
+    * instead of returning confidently wrong verdicts. Bump this whenever
+    * [[graft.functions.MinHashSig]], the band hash, or the shingle scheme
+    * changes; existing indexes must then be rebuilt.
+    */
+  val SignatureVersion = 2
+
+  /** Persisted LSH index of a corpus, for incremental (delta-vs-corpus)
+    * near-dedup: one row per document — (id, band_keys: array<int>,
+    * hsh: array<long>, sig_v). `band_keys` are the LSH bucket keys
+    * (candidate generation), `hsh` the xxhash64-compressed shingle set
+    * (exact-Jaccard verification — same compression as the batch path,
+    * collision odds ~1e-15 per pair). Write it out bucketed/partitioned by
+    * `id` next to the corpus; at 100 TB the index is ~1% of corpus bytes
+    * (32 ints + ~|shingles| longs per doc, no text).
+    */
+  def buildMinHashIndex(df: DataFrame, idCol: String, textCol: String,
+                        bands: Int = 32, rowsPerBand: Int = 3,
+                        shingleK: Int = 3): DataFrame = {
+    val sig = graft.functions.TextHashFunctions.minHashSig(col("sh"), bands * rowsPerBand)
+    // sig is staged via withColumn: CollapseProject keeps a non-cheap alias
+    // referenced bands×rowsPerBand times as its own projection, so the
+    // signature is computed once per row (same discipline as minHashDedup).
+    withShingles(df, idCol, textCol, shingleK)
+      .withColumn("sig", sig)
+      .select(col("id"),
+        array((0 until bands).map { b =>
+          hash((0 until rowsPerBand).map(r => col("sig")(b * rowsPerBand + r)): _*)
+        }: _*).as("band_keys"),
+        array_distinct(transform(col("sh"), s => xxhash64(s))).as("hsh"),
+        lit(SignatureVersion).as("sig_v"))
+  }
+
+  /** Incremental near-dedup: verdict for every delta document against an
+    * already-indexed corpus ([[buildMinHashIndex]]) WITHOUT rescanning the
+    * corpus — the daily-ingest shape at 100 TB (index the corpus once,
+    * probe it with each arriving delta, append the survivors' index rows).
+    *
+    * A delta document is a duplicate iff a corpus document OR an earlier
+    * (smaller-id) delta document matches at exact Jaccard ≥ `threshold`
+    * among LSH candidates (recall as in [[minHashDedup]]). Ids must be
+    * globally unique across corpus and delta.
+    *
+    * Scale shape: the delta's exploded band keys are BROADCAST into the
+    * index probe, so the corpus-sized index is scanned once and never
+    * shuffled; verification joins the (small) candidate set back to index
+    * rows by id with the candidate side broadcast — again no corpus
+    * shuffle. Only delta-sized state moves. The delta-internal self-join
+    * is the batch path in miniature.
+    *
+    * Output: one row per delta document — (id, dup_of, jac, is_new) with
+    * `dup_of` = smallest matching id (NULL when new). Update the index
+    * with `index.unionByName(buildMinHashIndex(survivors))` afterwards.
+    */
+  def incrementalMinHashDedup(index: DataFrame, delta: DataFrame,
+                              idCol: String, textCol: String,
+                              threshold: Double = 0.7, bands: Int = 32,
+                              rowsPerBand: Int = 3, shingleK: Int = 3): DataFrame = {
+    // cache(): the delta index feeds candidate generation AND both verify
+    // joins — the fence keeps the signature math single-evaluation.
+    val dIdx = buildMinHashIndex(delta, idCol, textCol, bands, rowsPerBand, shingleK)
+      .cache()
+
+    // Version guard rides the band projection (a pruned-away check column
+    // would be optimized out): any mismatched row fails the whole job.
+    val guardedBands = when(col("sig_v") === lit(SignatureVersion), col("band_keys"))
+      .otherwise(raise_error(concat(
+        lit("MinHash index has signature version "), col("sig_v").cast(StringType),
+        lit(s", this library writes v$SignatureVersion — rebuild the index"))))
+    val cBands = index.select(col("id").as("c_id"),
+      posexplode(guardedBands).as(Seq("band", "band_key")))
+    val dBands = dIdx.select(col("id").as("d_id"),
+      posexplode(col("band_keys")).as(Seq("band", "band_key")))
+
+    // Corpus candidates: broadcast the delta bands — the index side streams.
+    val corpusCand = cBands.join(broadcast(dBands), Seq("band", "band_key"))
+      .select("d_id", "c_id").distinct()
+    // Verify: candidate ids (small) broadcast into the index by id — the
+    // only corpus touch besides the band scan; delta sets ride broadcast.
+    val corpusVerified = index
+      .select(col("id").as("c_id"), col("hsh").as("c_hsh"))
+      .join(broadcast(corpusCand), Seq("c_id"))
+      .join(broadcast(dIdx.select(col("id").as("d_id"), col("hsh").as("d_hsh"))), Seq("d_id"))
+      .withColumn("jac", jaccard(col("d_hsh"), col("c_hsh")))
+      .filter(col("jac") >= threshold)
+      .select(col("d_id"), col("c_id").as("other_id"), col("jac"))
+
+    // Delta-internal: earlier (smaller-id) delta doc wins, later one is dup.
+    val dd = dBands.select(col("band"), col("band_key"), col("d_id").as("a_id"))
+      .join(dBands.select(col("band"), col("band_key"), col("d_id").as("b_id")),
+        Seq("band", "band_key"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val deltaVerified = dd
+      .join(dIdx.select(col("id").as("a_id"), col("hsh").as("a_hsh")), Seq("a_id"))
+      .join(dIdx.select(col("id").as("b_id"), col("hsh").as("b_hsh")), Seq("b_id"))
+      .withColumn("jac", jaccard(col("a_hsh"), col("b_hsh")))
+      .filter(col("jac") >= threshold)
+      .select(col("b_id").as("d_id"), col("a_id").as("other_id"), col("jac"))
+
+    val best = corpusVerified.unionByName(deltaVerified)
+      .groupBy(col("d_id").as("id"))
+      .agg(min(col("other_id")).as("dup_of"),
+        min_by(col("jac"), col("other_id")).as("jac"))
+    delta.select(col(idCol).as("id"))
+      .join(best, Seq("id"), "left")
+      .withColumn("is_new", col("dup_of").isNull)
+      .select("id", "dup_of", "jac", "is_new")
+  }
 }

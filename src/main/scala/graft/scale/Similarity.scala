@@ -310,4 +310,47 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("q_id", "q_label", "neighbor_id", "n_label", "cos", "rank")
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic deduplication
+    * by k-means clustering + within-cluster cosine pruning. Every vector is
+    * assigned to its nearest centroid ([[assignBuckets]] — one broadcast
+    * pass); within each cluster a vector is a duplicate iff some
+    * SMALLER-ID cluster member sits at cosine ≥ `threshold`. The keep-rule
+    * (smallest id survives) is the paper's "keep one representative per
+    * semantic group" made deterministic and engine-reproducible.
+    *
+    * Scale shape: the pair work is quadratic only WITHIN a cluster — the
+    * centroid count is the selectivity dial (the paper runs ~100k clusters
+    * at LAION scale; size K so the expected bucket is 100s-1000s of
+    * vectors, and train it with [[kmeansIterate]]). One shuffle on the
+    * bucket key for the self-join; centroids ride broadcast. Never
+    * all-pairs: a 100 TB corpus meets itself only inside buckets.
+    *
+    * Output: one row per input vector — (vec_id, bucket, is_dup,
+    * dup_of, cos): `dup_of` = the smallest qualifying smaller-id member
+    * (NULL when the vector survives), `cos` = its rounded cosine.
+    */
+  def semDedup(corpus: DataFrame, centroids: DataFrame, threshold: Double,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val n = corpus.sparkSession.sessionState.conf.numShufflePartitions
+    // cache(): the assignment feeds both self-join sides; the fence keeps
+    // the broadcast assignment pass single-evaluation (see cosineLshDedup).
+    val assigned = assignBuckets(corpus, centroids, idCol, vecCol)
+      .repartition(n, col("bucket"))
+      .cache()
+    val a = assigned.select(col("bucket"), col("vec_id").as("a_id"),
+      col("vec").as("a_vec"), col("norm").as("a_norm"))
+    val b = assigned.select(col("bucket"), col("vec_id").as("b_id"),
+      col("vec").as("b_vec"), col("norm").as("b_norm"))
+    val dups = a.join(b, Seq("bucket"))
+      .filter(col("b_id") < col("a_id"))
+      .withColumn("pcos", pairCos(col("a_vec"), col("b_vec"), col("a_norm"), col("b_norm")))
+      .filter(col("pcos") >= threshold)
+      .groupBy(col("a_id").as("vec_id"))
+      .agg(min(col("b_id")).as("dup_of"), min_by(col("pcos"), col("b_id")).as("cos"))
+    assigned.select(col("vec_id"), col("bucket"))
+      .join(dups, Seq("vec_id"), "left")
+      .withColumn("is_dup", col("dup_of").isNotNull)
+      .select("vec_id", "bucket", "is_dup", "dup_of", "cos")
+  }
 }
