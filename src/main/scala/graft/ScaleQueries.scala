@@ -858,7 +858,10 @@ object ScaleQueries {
       val delta = docs.filter(col("doc_id") % 3 === 0)
         .unionByName(docs.filter(col("doc_id") % 7 === 1)
           .select((col("doc_id") + 10000).as("doc_id"), col("text")))
-      val index = NearDup.buildMinHashIndex(corpus, "doc_id", "text")
+      // cache(): stands in for the persisted parquet index — the probe
+      // reads it twice (band scan + verify-by-id), and an unfenced inline
+      // build would re-run the corpus signature pipeline per consumer.
+      val index = NearDup.buildMinHashIndex(corpus, "doc_id", "text").cache()
       NearDup.incrementalMinHashDedup(index, delta, "doc_id", "text", threshold = 0.7)
         .ordered("id")
     }),

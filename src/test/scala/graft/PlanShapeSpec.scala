@@ -218,4 +218,69 @@ class PlanShapeSpec extends AnyFunSuite with Matchers {
       plan should not include "Exchange rangepartitioning"
     }
   }
+
+  /** Subtrees (as joined text) of every node whose name starts with
+    * `nodeName`, parsed from a treeString: a child line's marker sits
+    * strictly deeper than its parent's, so a subtree runs until the first
+    * line at the parent's depth or shallower.
+    */
+  private def subtrees(plan: String, nodeName: String): Seq[String] = {
+    val lines = plan.linesIterator.toVector
+    def pos(l: String): Int = {
+      val i = l.indexWhere(c => !" :+-|".contains(c)); if (i < 0) l.length else i
+    }
+    lines.indices.collect {
+      case i if {
+        val c = lines(i).substring(pos(lines(i)))
+        c.startsWith(nodeName) || c.matches(raw"\*\(\d+\) \Q$nodeName\E.*")
+      } =>
+        (lines(i) +: lines.drop(i + 1).takeWhile(l => pos(l) > pos(lines(i))))
+          .mkString("\n")
+    }
+  }
+
+  test("incremental dedup probe: the parquet-backed index is never shuffled or broadcast") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val idxDir = java.nio.file.Files.createTempDirectory("mh_index_plan").toString
+    graft.scale.NearDup.buildMinHashIndex(docs.filter(col("doc_id") % 3 =!= 0),
+      "doc_id", "text").write.mode("overwrite").parquet(idxDir)
+    val index = spark.read.parquet(idxDir)
+    val probe = graft.scale.NearDup.incrementalMinHashDedup(index,
+      docs.filter(col("doc_id") % 3 === 0), "doc_id", "text")
+    val plan = finalPlan(probe)
+    withClue(plan) {
+      // the corpus-sized index streams through broadcast joins: a sort-merge
+      // or shuffled-hash join would mean the explicit hints stopped holding
+      plan should not include "SortMergeJoin"
+      plan should not include "ShuffledHashJoin"
+      // both probe paths (band scan + verify-by-id scan) read the index
+      plan.linesIterator.count(l =>
+        l.contains("FileScan") && l.contains(idxDir)) shouldBe 2
+      // and index rows never cross an exchange raw: every exchange whose
+      // lineage touches the index must sit ABOVE the broadcast join that
+      // reduced it to candidate-sized state (a raw-index exchange — the
+      // sort-merge regression — would have no join below it)
+      (subtrees(plan, "Exchange") ++ subtrees(plan, "BroadcastExchange"))
+        .filter(_.contains(idxDir))
+        .foreach(s => s should include("BroadcastHashJoin"))
+    }
+  }
+
+  test("semDedup: centroids ride broadcast; the corpus is never broadcast") {
+    import org.apache.spark.sql.functions.col
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val sd = graft.scale.Similarity.semDedup(e,
+      e.filter(col("vec_id") % 10 === 3), threshold = 0.99)
+    val plan = finalPlan(sd)
+    withClue(plan) {
+      val bcasts = subtrees(plan, "BroadcastExchange")
+        .filter(_.contains("embeddings.parquet"))
+      bcasts should not be empty
+      // every broadcast subtree that scans embeddings is the centroid
+      // slice — broadcasting the corpus side would OOM the driver at scale
+      bcasts.foreach(s => s should include("% 10) = 3"))
+    }
+  }
 }
