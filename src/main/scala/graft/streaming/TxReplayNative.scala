@@ -9,7 +9,7 @@ import org.apache.spark.sql.types._
   * join+aggregation — per-key state-store buffers and per-event-shaped
   * incremental work, the operator shape of the reference's
   * `TxAwareTwoInputNonBroadcastJoinProcessOperator` — built as a linear
-  * chain of four `transformWithState` operators (Spark 4 arbitrary stateful
+  * chain of three `transformWithState` operators (Spark 4 arbitrary stateful
   * processing over the RocksDB state store provider, which
   * `transformWithState` requires).
   *
@@ -32,20 +32,21 @@ import org.apache.spark.sql.types._
   *
   *  1. [[TxReplayNative.Completeness]] — keyed by tx_id. Counts arriving
   *     left/right events per transaction against the END event's announced
-  *     counts (`join/WatermarkInjector.java:74-144`) and signals
-  *     "announced" / "complete" downstream. O(1) state per live tx.
+  *     counts (`join/WatermarkInjector.java:74-144`), remembers the
+  *     DISTINCT KEYS the transaction touched (ListState), and signals
+  *     "announced" / "complete" downstream — the complete signal carries
+  *     the key set (every sighting has arrived by definition of
+  *     completeness, so the set is final).
   *  2. [[TxReplayNative.Sequencer]] — keyed by a constant: the reference's
   *     parallelism-1 watermark injector. Holds the pending (announced but
   *     not yet emittable) transaction set and releases transactions in
   *     contiguous commit-LSN order — one incomplete transaction stalls
-  *     everything after it (`WatermarkInjector.java:127-147`). Sees one
-  *     metadata record per transaction signal, never data.
-  *  3. [[TxReplayNative.KeyFanout]] — keyed by tx_id. Remembers which keys
-  *     each transaction touched and, on release, fans the release out as
-  *     per-key flush markers — the analogue of Flink broadcasting the LSN
-  *     watermark to every parallel subtask, re-expressed as a keyed
-  *     shuffle of delta-sized markers.
-  *  4. [[TxReplayNative.DocAssembler]] — keyed by the join key: the
+  *     everything after it (`WatermarkInjector.java:127-147`). Sees two
+  *     metadata records per transaction, never data. A release fans out
+  *     to per-key flush markers with a NARROW flatMap over its key set —
+  *     the analogue of Flink broadcasting the LSN watermark to every
+  *     parallel subtask, with no stateful stage or event re-shuffle.
+  *  3. [[TxReplayNative.DocAssembler]] — keyed by the join key: the
   *     reference's `TxAware…JoinProcessOperator` itself. Buffers raw
   *     events in ListState (`:100-160`), and on each flush marker applies
   *     the flushed transaction's events in (commit_lsn, lsn) order to
@@ -54,9 +55,18 @@ import org.apache.spark.sql.types._
   *     emits exactly one document per (key, tx)
   *     (`TxAwareAggregationFunction.java:33-100`).
   *
-  * Scale shape: stages 1, 3, 4 are fully key-parallel; stage 2 is
+  * Scale shape: stages 1 and 3 are fully key-parallel; stage 2 is
   * parallelism-1 BY THE PROBLEM'S NATURE (the reference's is too) but
-  * carries two metadata records per transaction, not events. All state is
+  * carries two metadata records per transaction, not events. Every event
+  * crosses exactly TWO keyed shuffles — by tx_id for counting, by join
+  * key for assembly — the information-theoretic floor for this operator
+  * (an earlier 4-stage form shuffled events a third time into a dedicated
+  * key-fanout stage; folding key memory into the completeness counter
+  * removed it). The one tradeoff: a stalled-but-complete transaction's
+  * key set waits inside the sequencer's single-partition state instead of
+  * distributed per-tx state — per-tx-bounded metadata (the reference's
+  * injector queues per-tx buffers the same way); a workload with millions
+  * of keys per transaction would want the key list sharded. All state is
   * per-key/per-tx in RocksDB, compacted by the store; there is no
   * full-state scan anywhere. The transport assumption is inherited from
   * the reference: tx END events arrive in commit-LSN order (Debezium's
@@ -72,36 +82,41 @@ case class TxMeta(txId: Long, side: Int, key: Long, commitLsn: Long,
                   expLeft: Long, expRight: Long)
 
 /** Completeness signal: announced (complete=false, on END arrival) or
-  * complete (counts match the announcement).
+  * complete (counts match the announcement — `keys` then carries the
+  * transaction's final distinct touched-key set; empty when announced).
   */
-case class TxSignal(txId: Long, commitLsn: Long, complete: Boolean)
+case class TxSignal(txId: Long, commitLsn: Long, complete: Boolean,
+                    keys: Seq[Long])
 
 /** Stage-1 per-tx running state. */
 case class TxProgress(nLeft: Long, nRight: Long, expLeft: Long,
                       expRight: Long, commitLsn: Long,
                       announced: Boolean, done: Boolean)
 
-/** A transaction released by the sequencer (emittable NOW). */
-case class Release(txId: Long, commitLsn: Long)
-
-/** Stage-3 input: a (tx → key) sighting, or a release marker. */
-case class PairOrRelease(txId: Long, key: Long, commitLsn: Long,
-                         isRelease: Boolean)
+/** A transaction released by the sequencer (emittable NOW), with the keys
+  * to flush.
+  */
+case class Release(txId: Long, commitLsn: Long, keys: Seq[Long])
 
 /** Per-key flush instruction: apply+emit tx `txId` as of `commitLsn`. */
 case class FlushMarker(key: Long, txId: Long, commitLsn: Long)
 
 object TxReplayNative {
 
-  /** Stage 1: per-transaction completeness counter
+  /** Stage 1: per-transaction completeness counter + touched-key memory
     * (`join/WatermarkInjector.java:74-144` keeps the same running counts
-    * per tx, updated per event — O(delta), never a rescan).
+    * per tx, updated per event — O(delta), never a rescan). The key set
+    * rides the complete signal so releases can fan out to flush markers
+    * without a second event shuffle.
     */
   class Completeness extends StatefulProcessor[Long, TxMeta, TxSignal] {
     @transient private var st: ValueState[TxProgress] = _
-    override def init(o: OutputMode, t: TimeMode): Unit =
+    @transient private var keys: ListState[Long] = _
+    override def init(o: OutputMode, t: TimeMode): Unit = {
       st = getHandle.getValueState[TxProgress]("progress",
         Encoders.product[TxProgress], TTLConfig.NONE)
+      keys = getHandle.getListState[Long]("keys", Encoders.scalaLong, TTLConfig.NONE)
+    }
 
     override def handleInputRows(txId: Long, rows: Iterator[TxMeta],
                                  tv: TimerValues): Iterator[TxSignal] = {
@@ -109,20 +124,28 @@ object TxReplayNative {
         TxProgress(0, 0, -1, -1, Long.MinValue, announced = false, done = false))
       if (p.done) return Iterator.empty // late duplicates of a settled tx
       val out = Vector.newBuilder[TxSignal]
+      val fresh = Vector.newBuilder[Long]
       rows.foreach { m =>
         m.side match {
-          case 0 => p = p.copy(nLeft = p.nLeft + 1)
-          case 1 => p = p.copy(nRight = p.nRight + 1)
+          case 0 => p = p.copy(nLeft = p.nLeft + 1); fresh += m.key
+          case 1 => p = p.copy(nRight = p.nRight + 1); fresh += m.key
           case _ =>
             p = p.copy(expLeft = m.expLeft, expRight = m.expRight,
               commitLsn = m.commitLsn, announced = true)
-            out += TxSignal(txId, m.commitLsn, complete = false)
+            out += TxSignal(txId, m.commitLsn, complete = false, keys = Nil)
         }
       }
       if (p.announced && p.nLeft == p.expLeft && p.nRight == p.expRight) {
-        out += TxSignal(txId, p.commitLsn, complete = true)
+        // completeness == every sighting has arrived, so the set is final
+        val all = (keys.get().toVector ++ fresh.result()).distinct
+        out += TxSignal(txId, p.commitLsn, complete = true, keys = all)
         st.clear() // settled: the transport contract says no more events
-      } else st.update(p)
+        keys.clear()
+      } else {
+        val f = fresh.result()
+        if (f.nonEmpty) keys.appendList(f.distinct.toArray)
+        st.update(p)
+      }
       out.result().iterator
     }
   }
@@ -150,40 +173,11 @@ object TxReplayNative {
       val all = pending.iterator().map(_._2).toVector.sortBy(_.commitLsn)
       val release = all.takeWhile(_.complete)
       release.foreach(s => pending.removeKey(s.txId))
-      release.iterator.map(s => Release(s.txId, s.commitLsn))
+      release.iterator.map(s => Release(s.txId, s.commitLsn, s.keys))
     }
   }
 
-  /** Stage 3: (tx → touched keys) memory + release fan-out — the keyed
-    * re-expression of Flink broadcasting the LSN watermark to all subtasks
-    * (`TxAware…Operator.java:221-266` flushes per key on watermark).
-    */
-  class KeyFanout extends StatefulProcessor[Long, PairOrRelease, FlushMarker] {
-    @transient private var keys: ListState[Long] = _
-    override def init(o: OutputMode, t: TimeMode): Unit =
-      keys = getHandle.getListState[Long]("keys", Encoders.scalaLong, TTLConfig.NONE)
-
-    override def handleInputRows(txId: Long, rows: Iterator[PairOrRelease],
-                                 tv: TimerValues): Iterator[FlushMarker] = {
-      var release: Option[PairOrRelease] = None
-      val fresh = Vector.newBuilder[Long]
-      rows.foreach { r => if (r.isRelease) release = Some(r) else fresh += r.key }
-      release match {
-        case Some(rel) =>
-          // completeness guarantees every sighting of this tx has arrived
-          // (in this or an earlier batch); emit each touched key once
-          val all = (keys.get().toVector ++ fresh.result()).distinct
-          keys.clear()
-          all.iterator.map(k => FlushMarker(k, txId, rel.commitLsn))
-        case None =>
-          val f = fresh.result()
-          if (f.nonEmpty) keys.appendList(f.toArray)
-          Iterator.empty
-      }
-    }
-  }
-
-  /** Stage 4: the per-key join/aggregation operator itself. Input rows use
+  /** Stage 3: the per-key join/aggregation operator itself. Input rows use
     * the unified schema built by [[docs]] (kind 0=left, 1=right, 2=flush
     * marker); state is the reference operator's exactly:
     * buffered-not-yet-flushed events (ListState — `:100-160`), latest
@@ -273,10 +267,10 @@ object TxReplayNative {
     }
   }
 
-  /** Wire the four stages over streaming left/right/END frames with the
+  /** Wire the three stages over streaming left/right/END frames with the
     * [[graft.tx.TxReplay]] column contracts; returns the streaming document
     * frame (same output schema as `TxReplay.replay`) for the caller to
-    * sink. All four stateful operators require the RocksDB state store
+    * sink. All three stateful operators require the RocksDB state store
     * provider (`spark.sql.streaming.stateStore.providerClass`).
     */
   def docs(left: DataFrame, right: DataFrame, ends: DataFrame): DataFrame = {
@@ -300,12 +294,10 @@ object TxReplayNative {
     val released = signals.groupByKey(_ => 0L)
       .transformWithState(new Sequencer, TimeMode.None(), OutputMode.Append())
 
-    val pairs = metaL.union(metaR)
-      .map(m => PairOrRelease(m.txId, m.key, Long.MinValue, isRelease = false))
-    val markers = pairs.union(
-        released.map(r => PairOrRelease(r.txId, -1L, r.commitLsn, isRelease = true)))
-      .groupByKey(_.txId)
-      .transformWithState(new KeyFanout, TimeMode.None(), OutputMode.Append())
+    // release → per-key flush markers: a narrow flatMap over the key set
+    // the completeness stage collected — no third event shuffle
+    val markers = released.flatMap(r =>
+      r.keys.map(k => FlushMarker(k, r.txId, r.commitLsn)))
 
     val lt = left.schema("row").dataType
     val rt = right.schema("row").dataType

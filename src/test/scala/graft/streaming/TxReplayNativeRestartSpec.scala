@@ -14,7 +14,7 @@ import graft.tx.{LeftEv, LineRow, OrderRow, RightEv, TxEnd}
   * machinery), [[TxReplayNative]] delegates state durability to the
   * PLATFORM — the RocksDB state store snapshots into the query checkpoint.
   * This spec pins that the delegation actually holds: a new query
-  * incarnation over the same checkpoint resumes the four stages' state
+  * incarnation over the same checkpoint resumes the three stages' state
   * (buffered events, pending sequencer set, tx→key memory, per-key
   * running docs) and neither re-emits nor loses documents.
   */
@@ -23,7 +23,7 @@ class TxReplayNativeRestartSpec extends AnyFunSuite with Matchers {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  test("a restarted query resumes all four stages' state exactly-once") {
+  test("a restarted query resumes all three stages' state exactly-once") {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key,
@@ -67,8 +67,8 @@ class TxReplayNativeRestartSpec extends AnyFunSuite with Matchers {
           x.commit_lsn, x.expected_left, x.expected_right))
 
       // incarnation 1: tx 1 commits (emits); tx 2's data arrives but its
-      // END does not — buffered state must survive the restart in stage-4
-      // ListState, and the sequencer must remember nothing is pending
+      // END does not — buffered state must survive the restart in the
+      // assembler's ListState, and the sequencer must remember nothing is pending
       val q1 = startQuery()
       in.addData(toNative(
         Seq(LeftEv(1, "c", 1, 1, OrderRow(7, "addr-1")),
