@@ -880,6 +880,14 @@ object ScaleQueries {
       Similarity.semDedup(e.unionByName(scaled),
         e.filter(col("vec_id") % 10 === 3), threshold = 0.99)
         .ordered("vec_id")
+    }),
+
+    // Source-overlap audit matrix: ordered-pair n-gram containment across
+    // the corpus's 20 sources, zero-filled (disjointness is the audit's
+    // positive finding). Exact counts — deterministic on any engine.
+    "q_source_overlap" -> ((s, d) => {
+      TextOps.sourceOverlap(Tables.documents(s, d), "source", "text")
+        .ordered("src_a", "src_b")
     })
   )
 
@@ -2099,6 +2107,27 @@ object ScaleQueries {
         |SELECT a.vec_id, a.bucket, best.dup_of IS NOT NULL AS is_dup,
         | best.dup_of, best.cos
         |FROM assign a LEFT JOIN best USING (vec_id)
-        |ORDER BY vec_id""".stripMargin
+        |ORDER BY vec_id""".stripMargin,
+
+    // Distinct (source, 3-gram) sets, exact pairwise intersection counts,
+    // containment = shared / |grams(a)|.
+    "q_source_overlap" ->
+      """WITH g0 AS (
+        | SELECT source AS src,
+        |  unnest(list_distinct(list_transform(generate_series(1, len(toks)-2),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS gram
+        | FROM (SELECT source, string_split(text, ' ') AS toks FROM documents)),
+        |g AS (SELECT DISTINCT src, gram FROM g0),
+        |sizes AS (SELECT src, count(*) AS n FROM g GROUP BY src),
+        |sh AS (
+        | SELECT a.src AS src_a, b.src AS src_b, count(*) AS shared
+        | FROM g a JOIN g b ON a.gram = b.gram AND a.src <> b.src
+        | GROUP BY 1, 2)
+        |SELECT sa.src AS src_a, sb.src AS src_b, sa.n AS grams_a, sb.n AS grams_b,
+        | coalesce(sh.shared, 0) AS shared,
+        | round(CAST(coalesce(sh.shared, 0) AS DOUBLE) / sa.n, 6) AS containment
+        |FROM sizes sa JOIN sizes sb ON sa.src <> sb.src
+        |LEFT JOIN sh ON sh.src_a = sa.src AND sh.src_b = sb.src
+        |ORDER BY src_a, src_b""".stripMargin
   )
 }

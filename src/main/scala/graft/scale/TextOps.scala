@@ -256,4 +256,51 @@ object TextOps {
           .otherwise(array().cast(ArrayType(LongType))))
       .drop("_gh")
   }
+
+  /** Pairwise source-overlap matrix: for every ORDERED source pair (a, b),
+    * the n-gram containment |grams(a) ∩ grams(b)| / |grams(a)| — the
+    * corpus-audit answer to "how much of source a is inside source b"
+    * (asymmetric on purpose: a small source fully contained in a big one
+    * reads 1.0 one way and near-0 the other). Sub-k-token docs carry no
+    * grams on either engine, as everywhere else in this module.
+    *
+    * Scale shape: ONE hash-agg over (source, gram) builds the distinct
+    * gram sets — the only corpus-sized shuffle; the intersection join is
+    * keyed on the gram and fans out at most |sources|² rows per gram.
+    * The matrix is a dashboard artifact — |sources| is dozens-to-hundreds
+    * by contract; for thousands of sources replace the exact join with
+    * per-source [[graft.functions.KmvAgg]] sketches and estimate
+    * intersections by inclusion-exclusion (the sketches are mergeable, so
+    * the same one-pass agg builds them).
+    *
+    * Output: (src_a, src_b, grams_a, grams_b, shared, containment) for
+    * every a ≠ b, zero-filled pairs included (absence of overlap is the
+    * finding a contamination audit is after).
+    */
+  def sourceOverlap(df: DataFrame, srcCol: String, textCol: String,
+                    shingleK: Int = 3): DataFrame = {
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    // round-robin fanout: the gram pipeline is CPU-dense and the corpus may
+    // arrive as one input split; order-independence downstream (distinct,
+    // counts) keeps the result deterministic. cache(): feeds sizes + both
+    // join sides.
+    val grams = df.repartition(n)
+      .select(col(srcCol).as("src"),
+        explode(NearDup.shinglesFromTokens(tokens(col(textCol)), shingleK)).as("gram"))
+      .distinct()
+      .cache()
+    val sizes = grams.groupBy("src").agg(count(lit(1)).as("n_grams"))
+    val shared = grams.select(col("src").as("src_a"), col("gram"))
+      .join(grams.select(col("src").as("src_b"), col("gram")), Seq("gram"))
+      .filter(col("src_a") =!= col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("shared"))
+    sizes.select(col("src").as("src_a"), col("n_grams").as("grams_a"))
+      .join(sizes.select(col("src").as("src_b"), col("n_grams").as("grams_b")),
+        col("src_a") =!= col("src_b"))
+      .join(shared, Seq("src_a", "src_b"), "left")
+      .withColumn("shared", coalesce(col("shared"), lit(0L)))
+      .withColumn("containment",
+        round(col("shared").cast(DoubleType) / col("grams_a"), 6))
+      .select("src_a", "src_b", "grams_a", "grams_b", "shared", "containment")
+  }
 }
