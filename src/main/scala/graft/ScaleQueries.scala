@@ -888,6 +888,19 @@ object ScaleQueries {
     "q_source_overlap" -> ((s, d) => {
       TextOps.sourceOverlap(Tables.documents(s, d), "source", "text")
         .ordered("src_a", "src_b")
+    }),
+
+    // C4-style global line dedup. The corpus is single-line, so 3-line docs
+    // are built deterministically: a boilerplate line shared by ALL docs
+    // (one global survivor), the unique body, and a per-language tag line
+    // (one survivor per language) — the boilerplate-stripping shape.
+    "q_line_dedup" -> ((s, d) => {
+      val three = concat_ws("\n", lit("subscribe to updates"), col("text"),
+        concat(lit("lang tag "), col("lang")))
+      TextOps.dedupLines(
+        Tables.documents(s, d).select(col("doc_id"), three.as("text")),
+        "doc_id", "text")
+        .ordered("id")
     })
   )
 
@@ -2128,6 +2141,25 @@ object ScaleQueries {
         | round(CAST(coalesce(sh.shared, 0) AS DOUBLE) / sa.n, 6) AS containment
         |FROM sizes sa JOIN sizes sb ON sa.src <> sb.src
         |LEFT JOIN sh ON sh.src_a = sa.src AND sh.src_b = sb.src
-        |ORDER BY src_a, src_b""".stripMargin
+        |ORDER BY src_a, src_b""".stripMargin,
+
+    // Keep each line's globally-first (doc_id, pos) occurrence, rebuild
+    // docs in position order, empty text when everything lost.
+    "q_line_dedup" ->
+      """WITH d AS (SELECT doc_id,
+        |  'subscribe to updates' || chr(10) || text || chr(10) || 'lang tag ' || lang AS t
+        | FROM documents),
+        |l AS (SELECT doc_id, g.i AS pos, ls[g.i] AS line
+        | FROM (SELECT doc_id, string_split(t, chr(10)) AS ls FROM d),
+        |  unnest(generate_series(1, len(ls))) AS g(i)),
+        |keep AS (SELECT doc_id, pos, line FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+        |  FROM l) WHERE rn = 1),
+        |agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+        |  count(*) AS n_lines FROM keep GROUP BY doc_id)
+        |SELECT d.doc_id AS id, coalesce(agg.text, '') AS text,
+        | coalesce(agg.n_lines, 0) AS n_lines,
+        | 3 - coalesce(agg.n_lines, 0) AS n_removed
+        |FROM d LEFT JOIN agg USING (doc_id) ORDER BY id""".stripMargin
   )
 }

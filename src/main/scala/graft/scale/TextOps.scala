@@ -277,6 +277,61 @@ object TextOps {
     * every a ≠ b, zero-filled pairs included (absence of overlap is the
     * finding a contamination audit is after).
     */
+  /** C4-style GLOBAL line deduplication (Raffel et al. 2020 §2.2 "we
+    * discarded all but one of any three-sentence span occurring more than
+    * once"; CCNet's per-shard line dedup): every distinct line keeps only
+    * its globally FIRST occurrence — smallest (id, position) — and every
+    * later occurrence is removed from its document. The classic
+    * boilerplate-stripper: navigation chrome, cookie banners, share
+    * buttons repeat across millions of pages and survive document-level
+    * dedup untouched.
+    *
+    * Scale shape — deliberately NOT a window partitioned by line: the hot
+    * boilerplate line appears in a large fraction of ALL documents, and a
+    * `Window.partitionBy(line)` would move every copy into one partition
+    * (the textbook skew trap). Instead the winner per line is a groupBy
+    * `min(struct(id, pos))` — partial aggregation collapses each hot line
+    * to ONE row per map task before the shuffle — and survivors are
+    * selected by an equi-join on the UNIQUE composite key (line, id, pos),
+    * which cannot skew because each key occurs exactly once per side.
+    * Reassembly is a per-document sort of surviving positions. Three
+    * shuffles total, all skew-proof.
+    *
+    * Empty lines are lines: repeated blank separators dedup like any
+    * other content (filter them upstream if they are formatting). A
+    * document whose every line lost keeps its row with empty text —
+    * dropping it silently would corrupt downstream joins on id.
+    *
+    * Output: (id, text — surviving lines joined by `sep`, n_lines,
+    * n_removed).
+    */
+  def dedupLines(df: DataFrame, idCol: String, textCol: String,
+                 sep: String = "\n"): DataFrame = {
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    // round-robin fanout (single-input-split corpora) — order-independent
+    // downstream, so determinism is unaffected. cache(): lines feed the
+    // winner agg AND the survivor join.
+    val lines = df.repartition(n)
+      .select(col(idCol).as("id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("pos", "line")))
+      .cache()
+    val winners = lines.groupBy("line")
+      .agg(min(struct(col("id"), col("pos"))).as("w"))
+      .select(col("line"), col("w.id").as("id"), col("w.pos").as("pos"))
+    val kept = lines.join(winners, Seq("line", "id", "pos"))
+    val rebuilt = kept.groupBy("id")
+      .agg(array_join(transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x.getField("line")), sep).as("_text"),
+        count(lit(1)).as("n_lines"))
+    df.select(col(idCol).as("id"),
+        size(split(col(textCol), java.util.regex.Pattern.quote(sep))).as("_orig"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"), coalesce(col("_text"), lit("")).as(textCol),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        (col("_orig") - coalesce(col("n_lines"), lit(0L))).as("n_removed"))
+  }
+
   def sourceOverlap(df: DataFrame, srcCol: String, textCol: String,
                     shingleK: Int = 3): DataFrame = {
     val n = df.sparkSession.sessionState.conf.numShufflePartitions

@@ -267,6 +267,24 @@ class PlanShapeSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("dedupLines: winner via partial-aggregated min, no line-partitioned window") {
+    import org.apache.spark.sql.functions.{col, concat_ws, lit}
+    val three = concat_ws("\n", lit("boiler"), col("text"), col("lang"))
+    val df = graft.scale.TextOps.dedupLines(
+      Tables.documents(spark, sf).select(col("doc_id"), three.as("text")),
+      "doc_id", "text")
+    val plan = finalPlan(df)
+    withClue(plan) {
+      // the hot-boilerplate skew trap: a window partitioned by line would
+      // move every copy of a shared line into one partition
+      plan should not include "Window"
+      // instead the per-line winner must partial-aggregate map-side, so a
+      // hot line collapses to one row per task before the shuffle
+      plan.linesIterator.count(l =>
+        l.contains("partial_min") || l.contains("partial min")) should be >= 1
+    }
+  }
+
   test("semDedup: centroids ride broadcast; the corpus is never broadcast") {
     import org.apache.spark.sql.functions.col
     val e = Tables.embeddings(spark, sf)
