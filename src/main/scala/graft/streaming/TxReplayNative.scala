@@ -84,22 +84,30 @@ case class TxMeta(txId: Long, side: Int, key: Long, commitLsn: Long,
 /** Completeness signal: announced (complete=false, on END arrival) or
   * complete (counts match the announcement — `keys` then carries the
   * transaction's final distinct touched-key set; empty when announced).
+  * `abandoned` marks a stall-timeout eviction: treated as complete for
+  * watermark contiguity, but downstream PURGES instead of applying
+  * (commitLsn is Long.MinValue when the tx was never even announced).
   */
 case class TxSignal(txId: Long, commitLsn: Long, complete: Boolean,
-                    keys: Seq[Long])
+                    keys: Seq[Long], abandoned: Boolean = false)
 
 /** Stage-1 per-tx running state. */
 case class TxProgress(nLeft: Long, nRight: Long, expLeft: Long,
                       expRight: Long, commitLsn: Long,
                       announced: Boolean, done: Boolean)
 
-/** A transaction released by the sequencer (emittable NOW), with the keys
-  * to flush.
+/** A transaction released by the sequencer (emittable NOW — or, when
+  * `purge` is set, abandoned: its buffered events must be discarded, never
+  * applied), with the keys to flush.
   */
-case class Release(txId: Long, commitLsn: Long, keys: Seq[Long])
+case class Release(txId: Long, commitLsn: Long, keys: Seq[Long],
+                   purge: Boolean = false)
 
-/** Per-key flush instruction: apply+emit tx `txId` as of `commitLsn`. */
-case class FlushMarker(key: Long, txId: Long, commitLsn: Long)
+/** Per-key flush instruction: apply+emit tx `txId` as of `commitLsn`
+  * (`purge` = discard the tx's buffered events instead).
+  */
+case class FlushMarker(key: Long, txId: Long, commitLsn: Long,
+                       purge: Boolean = false)
 
 object TxReplayNative {
 
@@ -108,8 +116,17 @@ object TxReplayNative {
     * per tx, updated per event — O(delta), never a rescan). The key set
     * rides the complete signal so releases can fan out to flush markers
     * without a second event shuffle.
+    *
+    * `stallTimeoutMs` (opt-in; requires TimeMode.ProcessingTime): a
+    * processing-time timer registered at a transaction's first sighting.
+    * If the tx is still incomplete at expiry it is declared ABANDONED —
+    * an abandoned signal (with the keys seen so far) lets the sequencer
+    * advance the watermark past it and downstream purge its partial
+    * events, which are never applied. The tombstoned progress row (`done`)
+    * absorbs any later stragglers of the evicted tx.
     */
-  class Completeness extends StatefulProcessor[Long, TxMeta, TxSignal] {
+  class Completeness(stallTimeoutMs: Option[Long] = None)
+      extends StatefulProcessor[Long, TxMeta, TxSignal] {
     @transient private var st: ValueState[TxProgress] = _
     @transient private var keys: ListState[Long] = _
     override def init(o: OutputMode, t: TimeMode): Unit = {
@@ -120,9 +137,13 @@ object TxReplayNative {
 
     override def handleInputRows(txId: Long, rows: Iterator[TxMeta],
                                  tv: TimerValues): Iterator[TxSignal] = {
-      var p = Option(st.get()).getOrElse(
+      val existing = Option(st.get())
+      var p = existing.getOrElse(
         TxProgress(0, 0, -1, -1, Long.MinValue, announced = false, done = false))
       if (p.done) return Iterator.empty // late duplicates of a settled tx
+      if (existing.isEmpty)
+        stallTimeoutMs.foreach(t =>
+          getHandle.registerTimer(tv.getCurrentProcessingTimeInMs() + t))
       val out = Vector.newBuilder[TxSignal]
       val fresh = Vector.newBuilder[Long]
       rows.foreach { m =>
@@ -148,6 +169,20 @@ object TxReplayNative {
       }
       out.result().iterator
     }
+
+    override def handleExpiredTimer(txId: Long, tv: TimerValues,
+                                    info: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[TxSignal] = {
+      val p = st.get()
+      if (p == null || p.done) return Iterator.empty // settled before expiry
+      // abandoned: commitLsn is MinValue when the END never arrived — the
+      // sequencer purge-releases those immediately (nothing to order)
+      val all = keys.get().toVector.distinct
+      st.update(p.copy(done = true)) // tombstone absorbs late stragglers
+      keys.clear()
+      Iterator.single(
+        TxSignal(txId, p.commitLsn, complete = true, keys = all, abandoned = true))
+    }
   }
 
   /** Stage 2: the parallelism-1 contiguity sequencer — the reference's
@@ -163,17 +198,27 @@ object TxReplayNative {
 
     override def handleInputRows(k: Long, rows: Iterator[TxSignal],
                                  tv: TimerValues): Iterator[Release] = {
-      // complete=true wins regardless of within-batch arrival order (the
-      // union's iterator may hand us "complete" before "announced")
+      // never-announced abandonments carry no commit LSN: nothing to
+      // order, purge-release immediately without entering the pending set
+      val unannounced = Vector.newBuilder[Release]
       rows.foreach { s =>
-        val prev = pending.getValue(s.txId)
-        pending.updateValue(s.txId, if (prev != null && prev.complete) prev else s)
+        if (s.abandoned && s.commitLsn == Long.MinValue)
+          unannounced += Release(s.txId, s.commitLsn, s.keys, purge = true)
+        else {
+          // complete=true wins regardless of within-batch arrival order
+          // (the union's iterator may hand us "complete" before
+          // "announced"); an abandoned signal IS complete for ordering
+          val prev = pending.getValue(s.txId)
+          pending.updateValue(s.txId, if (prev != null && prev.complete) prev else s)
+        }
       }
       // drain the contiguous complete prefix in commit order
       val all = pending.iterator().map(_._2).toVector.sortBy(_.commitLsn)
       val release = all.takeWhile(_.complete)
       release.foreach(s => pending.removeKey(s.txId))
-      release.iterator.map(s => Release(s.txId, s.commitLsn, s.keys))
+      (unannounced.result() ++
+        release.map(s => Release(s.txId, s.commitLsn, s.keys, purge = s.abandoned)))
+        .iterator
     }
   }
 
@@ -208,7 +253,7 @@ object TxReplayNative {
     }
 
     // unified schema field order: kind, key, line_id, op, lsn, tx_id,
-    // commit_lsn, lrow, rrow
+    // commit_lsn, lrow, rrow, purge
     override def handleInputRows(key: Long, rows: Iterator[Row],
                                  tv: TimerValues): Iterator[Row] = {
       val all = rows.toVector
@@ -229,6 +274,11 @@ object TxReplayNative {
         val txId = m.getLong(5)
         val probeLsn = m.getLong(6)
         flushedTx += txId
+        if (m.getBoolean(9)) {
+          // abandoned tx: its buffered events leave the buffer via
+          // flushedTx but are NEVER applied — emitted documents only ever
+          // reflect fully-delivered transactions
+        } else {
         // apply this tx's events for this key in lsn order — the in-tx
         // scan order of the reference's buffer walk (`:221-266`)
         byTx.getOrElse(txId, Vector.empty).sortBy(_.getLong(4)).foreach { e =>
@@ -257,6 +307,7 @@ object TxReplayNative {
               Array[Any](key, probeLsn, h.get(3), arr, h.getString(2) == "d"))
           }
         }
+        }
       }
 
       curHdr.foreach(hdr.update)
@@ -272,8 +323,21 @@ object TxReplayNative {
     * frame (same output schema as `TxReplay.replay`) for the caller to
     * sink. All three stateful operators require the RocksDB state store
     * provider (`spark.sql.streaming.stateStore.providerClass`).
+    *
+    * `stallTimeoutMs` (default None = stall forever, the reference's strict
+    * behavior): evict transactions still incomplete after the timeout so
+    * one lost producer cannot block the watermark indefinitely — their
+    * partial events are purged, never applied. Two operational notes when
+    * set: (1) the completeness stage runs in TimeMode.ProcessingTime, and
+    * Spark schedules a micro-batch every trigger to check timers — SET A
+    * TRIGGER INTERVAL, and don't wait on `processAllAvailable()` (a
+    * processing-time-timer query always "requires another batch", so it
+    * never quiesces; poll the sink instead). (2) eviction is a
+    * consistency trade made explicit: the evicted transaction is LOST, by
+    * design, and later transactions emit as if it never happened.
     */
-  def docs(left: DataFrame, right: DataFrame, ends: DataFrame): DataFrame = {
+  def docs(left: DataFrame, right: DataFrame, ends: DataFrame,
+           stallTimeoutMs: Option[Long] = None): DataFrame = {
     val spark = left.sparkSession
     import spark.implicits._
 
@@ -289,7 +353,9 @@ object TxReplayNative {
 
     val signals = metaL.union(metaR).union(metaE)
       .groupByKey(_.txId)
-      .transformWithState(new Completeness, TimeMode.None(), OutputMode.Append())
+      .transformWithState(new Completeness(stallTimeoutMs),
+        if (stallTimeoutMs.isDefined) TimeMode.ProcessingTime() else TimeMode.None(),
+        OutputMode.Append())
 
     val released = signals.groupByKey(_ => 0L)
       .transformWithState(new Sequencer, TimeMode.None(), OutputMode.Append())
@@ -297,23 +363,26 @@ object TxReplayNative {
     // release → per-key flush markers: a narrow flatMap over the key set
     // the completeness stage collected — no third event shuffle
     val markers = released.flatMap(r =>
-      r.keys.map(k => FlushMarker(k, r.txId, r.commitLsn)))
+      r.keys.map(k => FlushMarker(k, r.txId, r.commitLsn, r.purge)))
 
     val lt = left.schema("row").dataType
     val rt = right.schema("row").dataType
     val dLeft = left.select(lit(0).as("kind"), col("key"),
       lit(null).cast(LongType).as("line_id"), col("op"), col("lsn"),
       col("tx_id"), lit(null).cast(LongType).as("commit_lsn"),
-      col("row").as("lrow"), lit(null).cast(rt).as("rrow"))
+      col("row").as("lrow"), lit(null).cast(rt).as("rrow"),
+      lit(false).as("purge"))
     val dRight = right.select(lit(1).as("kind"), col("key"),
       col("line_id"), col("op"), col("lsn"), col("tx_id"),
       lit(null).cast(LongType).as("commit_lsn"),
-      lit(null).cast(lt).as("lrow"), col("row").as("rrow"))
+      lit(null).cast(lt).as("lrow"), col("row").as("rrow"),
+      lit(false).as("purge"))
     val dMark = markers.toDF().select(lit(2).as("kind"), col("key"),
       lit(null).cast(LongType).as("line_id"), lit(null).cast(StringType).as("op"),
       lit(Long.MaxValue).as("lsn"), col("txId").as("tx_id"),
       col("commitLsn").as("commit_lsn"),
-      lit(null).cast(lt).as("lrow"), lit(null).cast(rt).as("rrow"))
+      lit(null).cast(lt).as("lrow"), lit(null).cast(rt).as("rrow"),
+      col("purge"))
     val unified = dLeft.unionByName(dRight).unionByName(dMark)
 
     val outSchema = StructType(Seq(
