@@ -91,10 +91,14 @@ case class TxMeta(txId: Long, side: Int, key: Long, commitLsn: Long,
 case class TxSignal(txId: Long, commitLsn: Long, complete: Boolean,
                     keys: Seq[Long], abandoned: Boolean = false)
 
-/** Stage-1 per-tx running state. */
+/** Stage-1 per-tx running state (`timerTs` = the registered stall timer's
+  * expiry, -1 when no timeout is configured — kept so settling deletes the
+  * timer instead of letting every settled tx fire a no-op later).
+  */
 case class TxProgress(nLeft: Long, nRight: Long, expLeft: Long,
                       expRight: Long, commitLsn: Long,
-                      announced: Boolean, done: Boolean)
+                      announced: Boolean, done: Boolean,
+                      timerTs: Long = -1L)
 
 /** A transaction released by the sequencer (emittable NOW — or, when
   * `purge` is set, abandoned: its buffered events must be discarded, never
@@ -141,9 +145,11 @@ object TxReplayNative {
       var p = existing.getOrElse(
         TxProgress(0, 0, -1, -1, Long.MinValue, announced = false, done = false))
       if (p.done) return Iterator.empty // late duplicates of a settled tx
-      if (existing.isEmpty)
-        stallTimeoutMs.foreach(t =>
-          getHandle.registerTimer(tv.getCurrentProcessingTimeInMs() + t))
+      if (existing.isEmpty) stallTimeoutMs.foreach { t =>
+        val ts = tv.getCurrentProcessingTimeInMs() + t
+        getHandle.registerTimer(ts)
+        p = p.copy(timerTs = ts)
+      }
       val out = Vector.newBuilder[TxSignal]
       val fresh = Vector.newBuilder[Long]
       rows.foreach { m =>
@@ -160,6 +166,9 @@ object TxReplayNative {
         // completeness == every sighting has arrived, so the set is final
         val all = (keys.get().toVector ++ fresh.result()).distinct
         out += TxSignal(txId, p.commitLsn, complete = true, keys = all)
+        // settling deletes the stall timer — otherwise every settled tx
+        // fires a no-op timer one timeout later (a timer storm at scale)
+        if (p.timerTs >= 0) getHandle.deleteTimer(p.timerTs)
         st.clear() // settled: the transport contract says no more events
         keys.clear()
       } else {
