@@ -114,9 +114,11 @@ import graft.tx.TxReplay
   * needs). DATA events may arrive in any order and any batch.
   */
 class TxReplayStream(spark: SparkSession, stateRoot: String,
-                     numBuckets: Int = 16, compactSegments: Int = 4) {
+                     numBuckets: Int = 16, compactSegments: Int = 4,
+                     evictAfterBatches: Option[Int] = None) {
   require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
   require(compactSegments > 0, s"compactSegments must be positive, got $compactSegments")
+  require(evictAfterBatches.forall(_ > 0), "evictAfterBatches must be positive")
 
   // GRAFT_TXSTREAM_PROFILE=1 prints per-phase wall times per batch
   private val profile = sys.env.get("GRAFT_TXSTREAM_PROFILE").exists(_ == "1")
@@ -271,6 +273,7 @@ class TxReplayStream(spark: SparkSession, stateRoot: String,
     pruneScalar("ends")
     pruneScalar("emitted")
     pruneScalar("counts")
+    pruneScalar("evicted")
   }
 
   /** Process one micro-batch of new events; returns the emitted documents
@@ -319,27 +322,76 @@ class TxReplayStream(spark: SparkSession, stateRoot: String,
         .union(newRight.select(bucketOf(col("key")).as("_b"), lit(1).as("_side")))
         .distinct().collect()))
 
+    val thisBatch = if (batchId >= 0) batchId else committedBatch + 1
+
     // Incremental per-tx counts: previous counts state ⊎ this batch's delta,
     // folded in ONE partial-aggregated exchange (per-event unit rows merge
     // map-side with the carried counts — no per-side pre-aggregation or
     // join). A state root written before the counts table existed
     // (version >= 0, no counts dir) falls back to one full-buffer
-    // aggregation to seed it.
-    val unitCounts = newLeft.select(col("tx_id"), lit(1L).as("n_left"), lit(0L).as("n_right"))
-      .unionByName(newRight.select(col("tx_id"), lit(0L).as("n_left"), lit(1L).as("n_right")))
+    // aggregation to seed it. `first_b` is the eviction clock: the first
+    // batch that sighted the tx (min-merged; END rows contribute 0 counts
+    // but start the clock for END-only transactions). A pre-clock counts
+    // state reads as first-seen-now — eviction ages restart, never jump.
+    def unit(df: DataFrame, l: Long, r: Long): DataFrame =
+      df.select(col("tx_id"), lit(l).as("n_left"), lit(r).as("n_right"),
+        lit(thisBatch).as("first_b"))
+    val unitCounts = unit(newLeft, 1L, 0L)
+      .unionByName(unit(newRight, 0L, 1L))
+      .unionByName(unit(newEnds, 0L, 0L))
     val countRows = readScalar("counts") match {
-      case Some(prev) => prev.unionByName(unitCounts)
+      case Some(prev) if prev.columns.contains("first_b") => prev.unionByName(unitCounts)
+      case Some(prev) =>
+        prev.withColumn("first_b", lit(thisBatch)).unionByName(unitCounts)
       case None if version >= 0 => // migration: seed from the buffer once
-        left.select(col("tx_id"), lit(1L).as("n_left"), lit(0L).as("n_right"))
-          .unionByName(right.select(col("tx_id"), lit(0L).as("n_left"), lit(1L).as("n_right")))
+        unit(left, 1L, 0L).unionByName(unit(right, 0L, 1L)).unionByName(unit(ends, 0L, 0L))
       case None => unitCounts
     }
     val counts = countRows
       .groupBy("tx_id")
-      .agg(sum("n_left").as("n_left"), sum("n_right").as("n_right"))
+      .agg(sum("n_left").as("n_left"), sum("n_right").as("n_right"),
+        min("first_b").as("first_b"))
       .cache()
 
     try {
+      // Stall-timeout eviction (opt-in): transactions still incomplete
+      // `evictAfterBatches` batches after first sighting are abandoned —
+      // removed from completeness (the watermark advances past them) and
+      // anti-joined out of every read path, so their partial events are
+      // never applied and vanish at the next compaction. The id list is
+      // driver-collected (evictions are rare, ids are 8 bytes) and
+      // persisted per version; it must persist for the query's lifetime —
+      // an evicted tx's late stragglers keep entering append segments and
+      // are re-filtered on every read.
+      val prevEvicted: Array[Long] = readScalar("evicted")
+        .map(_.collect().map(_.getLong(0))).getOrElse(Array.empty)
+      val newlyEvicted: Array[Long] = evictAfterBatches match {
+        case None => Array.empty
+        case Some(n) =>
+          val oldEnough = col("first_b") <= lit(thisBatch - n)
+          val ends1 =
+            if (prevEvicted.isEmpty) ends
+            else ends.filter(!col("tx_id").isInCollection(prevEvicted.toSeq))
+          val annStale = ends1.join(counts, Seq("tx_id"), "left")
+            .filter(col("commit_lsn") > lit(watermark) &&
+              !(coalesce(col("n_left"), lit(0L)) === col("expected_left") &&
+                coalesce(col("n_right"), lit(0L)) === col("expected_right")) &&
+              coalesce(col("first_b"), lit(thisBatch)) <= lit(thisBatch - n))
+            .select("tx_id")
+          val unannStale = counts
+            .join(ends.select("tx_id"), Seq("tx_id"), "left_anti")
+            .filter(oldEnough).select("tx_id")
+          phased("evict-scan")(
+            annStale.unionByName(unannStale).distinct().collect().map(_.getLong(0)))
+      }
+      val evicted: Array[Long] = (prevEvicted ++ newlyEvicted).distinct
+      def exceptEvicted(df: DataFrame): DataFrame =
+        if (evicted.isEmpty) df
+        else df.filter(!col("tx_id").isInCollection(evicted.toSeq))
+      val ends2 = exceptEvicted(ends)
+      val left2 = exceptEvicted(left)
+      val right2 = exceptEvicted(right)
+
       // reachable txs from the counts state, with settled (already-emitted
       // and compacted) txs floored out — their shrunken buffers must not
       // read as "incomplete" and stall the watermark. COLLECTED: the replay
@@ -348,7 +400,7 @@ class TxReplayStream(spark: SparkSession, stateRoot: String,
       // constraint — and the watermark falls out for free instead of
       // costing a separate aggregation job.
       val reachRows = phased("watermark")(
-        TxReplay.txCompletenessFromCounts(counts, ends, watermark)
+        TxReplay.txCompletenessFromCounts(counts, ends2, watermark)
           .filter(col("reachable")).select("tx_id", "commit_lsn")
           .collect())
       val newWm =
@@ -361,7 +413,6 @@ class TxReplayStream(spark: SparkSession, stateRoot: String,
         java.util.Arrays.asList(reachRows: _*), reachSchema)
 
       val next = version + 1
-      val thisBatch = if (batchId >= 0) batchId else committedBatch + 1
 
       val dirtyRows = Await.result(dirtyF, Duration.Inf)
       val dirtyLeft = dirtyRows.collect { case r if r.getInt(1) == 0 => r.getInt(0) }.toSet
@@ -381,15 +432,27 @@ class TxReplayStream(spark: SparkSession, stateRoot: String,
       // settled txs (their counts can never be consulted again: the floor
       // excludes them from both the stall rule and reachability).
       val countsF = Future(phased("keep-counts")(
-        counts.join(ends.filter(col("commit_lsn") <= newWm).select("tx_id"),
-            Seq("tx_id"), "left_anti")
+        exceptEvicted(
+          counts.join(ends2.filter(col("commit_lsn") <= newWm).select("tx_id"),
+            Seq("tx_id"), "left_anti"))
           .write.mode(SaveMode.Overwrite).parquet(scalarDir("counts", next))))
+      // the evicted list rides the same versioned-scalar scheme; written
+      // whenever the feature is on or a list already exists
+      val evictedF =
+        if (evictAfterBatches.isEmpty && evicted.isEmpty) None
+        else Some(Future(phased("keep-evicted")(
+          spark.createDataFrame(
+            java.util.Arrays.asList(evicted.map(org.apache.spark.sql.Row(_)): _*),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("tx_id",
+                org.apache.spark.sql.types.LongType))))
+            .write.mode(SaveMode.Overwrite).parquet(scalarDir("evicted", next)))))
 
       // compaction (cleanupState) for the size-triggered buckets only —
       // reading exactly those buckets' segments plus the batch's fresh
       // events for them: enrich to learn each event's commit LSN; unfinished
       // events (no END yet) stay raw in the buffer.
-      val endsKeyed = ends.select("tx_id", "commit_lsn")
+      val endsKeyed = ends2.select("tx_id", "commit_lsn")
       def split(ev: DataFrame, latestKeys: Seq[String]): DataFrame = {
         val enriched = ev.join(broadcast(endsKeyed), Seq("tx_id"))
         val unfinished = ev.join(broadcast(endsKeyed.select("tx_id")), Seq("tx_id"), "left_anti")
@@ -407,7 +470,9 @@ class TxReplayStream(spark: SparkSession, stateRoot: String,
         val pruned = segs.zipWithIndex.map { case (vs, b) =>
           if (compact.contains(b)) vs else Nil
         }
-        unionWith(readSegs(name, pruned), fresh.filter(inBuckets(compact)))
+        // evicted txs' events leave the buffer here, at their bucket's
+        // next compaction — never applied, reclaimed without a dedicated pass
+        exceptEvicted(unionWith(readSegs(name, pruned), fresh.filter(inBuckets(compact))))
       }
       val compactLeftF = Future(phased("compact-left")(
         writeSegments("left",
@@ -427,7 +492,7 @@ class TxReplayStream(spark: SparkSession, stateRoot: String,
       // Nothing reachable (stalled or idle batch) → nothing can emit: skip
       // the replay's jobs entirely and persist an empty output (the schema
       // comes from plan ANALYSIS only — no execution).
-      val replayPlan = TxReplay.replay(left, right, ends, watermark, Some(reach),
+      val replayPlan = TxReplay.replay(left2, right2, ends2, watermark, Some(reach),
         broadcastProbes = true)
       val emitted =
         if (reachRows.isEmpty)
@@ -442,6 +507,7 @@ class TxReplayStream(spark: SparkSession, stateRoot: String,
       val cmpLeft = Await.result(compactLeftF, Duration.Inf)
       val cmpRight = Await.result(compactRightF, Duration.Inf)
       Await.result(countsF, Duration.Inf)
+      evictedF.foreach(Await.result(_, Duration.Inf))
       def updated(segs: Array[List[Long]], appended: Set[Int], targets: Set[Int],
                   compacted: Set[Int]): Array[List[Long]] =
         segs.zipWithIndex.map { case (vs, b) =>
@@ -462,15 +528,15 @@ class TxReplayStream(spark: SparkSession, stateRoot: String,
       // their eventual compaction; dropping one would reclassify its events
       // as unfinished and stall the watermark.
       val keepEnds =
-        if (compactLeft.isEmpty && compactRight.isEmpty) ends
+        if (compactLeft.isEmpty && compactRight.isEmpty) ends2
         else {
           val referenced = (readSegs("left", newLeftSegs) ++ readSegs("right", newRightSegs))
             .map(_.select("tx_id"))
             .reduceOption(_ union _)
           referenced
-            .map(ref => ends.join(ref.distinct(), Seq("tx_id"), "left_semi"))
-            .getOrElse(ends.filter(lit(false)))
-            .unionByName(ends.filter(col("commit_lsn") > newWm))
+            .map(ref => ends2.join(ref.distinct(), Seq("tx_id"), "left_semi"))
+            .getOrElse(ends2.filter(lit(false)))
+            .unionByName(ends2.filter(col("commit_lsn") > newWm))
             .dropDuplicates("tx_id")
         }
       phased("keep-ends")(
@@ -540,12 +606,19 @@ object TxReplayStream {
   /** @param numBuckets state buckets (a resumed manifest's layout wins)
     * @param compactSegments per-bucket segment count that triggers
     *   compaction — the write-amplification / read-fanout dial
+    * @param evictAfterBatches opt-in stall timeout, measured in batches: a
+    *   transaction still incomplete this many batches after first sighting
+    *   is abandoned — the watermark advances past it and its partial
+    *   events are never applied (the same consistency trade as
+    *   [[TxReplayNative.docs]]'s `stallTimeoutMs`, with the micro-batch
+    *   counter as the clock)
     */
   def attach(unioned: DataFrame, stateRoot: String, checkpoint: String,
-             numBuckets: Int = 16, compactSegments: Int = 4)
+             numBuckets: Int = 16, compactSegments: Int = 4,
+             evictAfterBatches: Option[Int] = None)
             (onEmit: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     val engine = new TxReplayStream(unioned.sparkSession, stateRoot,
-      numBuckets, compactSegments)
+      numBuckets, compactSegments, evictAfterBatches)
     unioned.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
