@@ -611,7 +611,11 @@ object TxReplayStream {
     *   is abandoned — the watermark advances past it and its partial
     *   events are never applied (the same consistency trade as
     *   [[TxReplayNative.docs]]'s `stallTimeoutMs`, with the micro-batch
-    *   counter as the clock)
+    *   counter as the clock). Size it ABOVE the worst-case transport lag
+    *   between a transaction's events and its END marker: any tx whose END
+    *   (or missing events) straggle longer than this is permanently lost —
+    *   that is what a timeout means (EvictEquivalenceSpec pins the
+    *   evicted ≡ never-existed semantics when the window is respected)
     */
   def attach(unioned: DataFrame, stateRoot: String, checkpoint: String,
              numBuckets: Int = 16, compactSegments: Int = 4,
