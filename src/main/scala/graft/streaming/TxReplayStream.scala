@@ -384,6 +384,12 @@ class TxReplayStream(spark: SparkSession, stateRoot: String,
           phased("evict-scan")(
             annStale.unionByName(unannStale).distinct().collect().map(_.getLong(0)))
       }
+      if (newlyEvicted.nonEmpty)
+        // loud by design: every eviction is data loss a human accepted by
+        // configuring the timeout — it must be traceable, never silent
+        System.err.println(s"[TxReplayStream] batch $thisBatch EVICTED stalled " +
+          s"transactions ${newlyEvicted.sorted.mkString(", ")} (incomplete after " +
+          s"${evictAfterBatches.get} batches); their partial events will never apply")
       val evicted: Array[Long] = (prevEvicted ++ newlyEvicted).distinct
       def exceptEvicted(df: DataFrame): DataFrame =
         if (evicted.isEmpty) df
@@ -560,6 +566,13 @@ class TxReplayStream(spark: SparkSession, stateRoot: String,
 
   /** Current watermark (largest emitted commit LSN; MinValue before any). */
   def currentWatermark: Long = watermark
+
+  /** Transactions evicted by the stall timeout over this query's lifetime
+    * (empty when the feature is off) — the audit surface: every id here is
+    * a transaction whose partial events were deliberately dropped.
+    */
+  def evictedTxIds: Seq[Long] = readScalar("evicted")
+    .map(_.collect().map(_.getLong(0)).toSeq.sorted).getOrElse(Seq.empty)
 
   /** Last micro-batch id whose state+output are durably committed. */
   def lastCommittedBatch: Long = committedBatch

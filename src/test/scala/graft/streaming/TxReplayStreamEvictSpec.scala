@@ -57,6 +57,7 @@ class TxReplayStreamEvictSpec extends AnyFunSuite with Matchers {
     lineIds(out2(0)) shouldBe Seq(11L, 88L)
     lineIds(out2(1)) shouldBe Seq(11L, 88L, 99L)
     engine.currentWatermark shouldBe 400L
+    engine.evictedTxIds shouldBe Seq(2L) // the audit surface names the loss
 
     // batch 3: a LATE straggler of the evicted tx2 (its missing second
     // line) must not resurrect it — the evicted list filters every read
