@@ -29,8 +29,10 @@ class EvictEquivalenceSpec extends AnyFunSuite with Matchers {
       .map(l => (l.getLong(0), l.getStruct(1).getInt(0))),
     r.getAs[Boolean]("deleted"))
 
+  private val fuzzSeeds = sys.env.get("GRAFT_FUZZ_SEEDS").map(_.toInt).getOrElse(5)
+
   test("eviction of a crippled tx == replay of a history it never entered") {
-    for (seed <- 11 to 15) {
+    for (seed <- 11 until 11 + fuzzSeeds) {
       val rnd = new scala.util.Random(seed)
       val nKeys = 1 + rnd.nextInt(3)
       val nTx = 3 + rnd.nextInt(4)

@@ -28,8 +28,12 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite with Matchers {
       .map(l => (l.getLong(0), l.getStruct(1).getInt(0))),
     r.getAs[Boolean]("deleted"))
 
+  // GRAFT_FUZZ_SEEDS widens the randomized sweep (default 5) for one-off
+  // deep fuzz runs; CI stays fast
+  private val fuzzSeeds = sys.env.get("GRAFT_FUZZ_SEEDS").map(_.toInt).getOrElse(5)
+
   test("any batch slicing of a random history emits exactly the one-shot replay") {
-    for (seed <- 1 to 5) {
+    for (seed <- 1 to fuzzSeeds) {
       val rnd = new scala.util.Random(seed)
       val nKeys = 1 + rnd.nextInt(3)
       val nTx = 3 + rnd.nextInt(4)
