@@ -126,8 +126,10 @@ object NearDup {
     * family (XXH64+splitmix today, murmur3 before) can change between
     * versions, which silently shifts LSH candidate recall if signatures or
     * band keys are persisted and compared across versions. Never store
-    * signatures for reuse by a later run — recompute them; only the
-    * Jaccard-verified output pairs are version-stable.
+    * raw signatures for reuse by a later run — the ONE sanctioned
+    * persistence form is the [[buildMinHashIndex]] artifact, whose
+    * [[SignatureVersion]] stamp turns cross-version reuse into a loud
+    * failure; only the Jaccard-verified output pairs are version-stable.
     */
   def minHashDedup(df: DataFrame, idCol: String, textCol: String,
                    threshold: Double = 0.5, bands: Int = 32, rowsPerBand: Int = 3,
@@ -447,6 +449,8 @@ object NearDup {
   def buildMinHashIndex(df: DataFrame, idCol: String, textCol: String,
                         bands: Int = 32, rowsPerBand: Int = 3,
                         shingleK: Int = 3): DataFrame = {
+    require(bands > 0 && rowsPerBand > 0 && shingleK > 0,
+      "bands, rowsPerBand, and shingleK must be positive")
     val sig = graft.functions.TextHashFunctions.minHashSig(col("sh"), bands * rowsPerBand)
     // sig is staged via withColumn: CollapseProject keeps a non-cheap alias
     // referenced bands×rowsPerBand times as its own projection, so the

@@ -307,6 +307,7 @@ object TextOps {
     */
   def dedupLines(df: DataFrame, idCol: String, textCol: String,
                  sep: String = "\n"): DataFrame = {
+    require(sep.nonEmpty, "sep must be non-empty (an empty separator would split every character)")
     val n = df.sparkSession.sessionState.conf.numShufflePartitions
     // round-robin fanout (single-input-split corpora) — order-independent
     // downstream, so determinism is unaffected. cache(): lines feed the

@@ -347,6 +347,7 @@ object TxReplayNative {
     */
   def docs(left: DataFrame, right: DataFrame, ends: DataFrame,
            stallTimeoutMs: Option[Long] = None): DataFrame = {
+    require(stallTimeoutMs.forall(_ > 0), "stallTimeoutMs must be positive")
     val spark = left.sparkSession
     import spark.implicits._
 
