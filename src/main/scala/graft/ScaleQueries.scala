@@ -890,6 +890,38 @@ object ScaleQueries {
         .ordered("src_a", "src_b")
     }),
 
+    // Round-6 composition #4 — the INGEST-DAY pipeline: an arriving delta
+    // (doc_id % 3 = 0, plus exact copies of every 7th doc) is line-deduped
+    // (boilerplate stripped), probed against the persisted MinHash index
+    // of the standing corpus (doc_id % 3 ≠ 0) WITHOUT a corpus rescan,
+    // and survivors are quality-scored for admission. One declarative
+    // plan: the index side streams through broadcast joins; only
+    // delta-sized state shuffles. The one delta doc that keeps the
+    // boilerplate line still matches its corpus counterpart: its Jaccard
+    // stays ≈ (n-3)/(n+3) ≥ 0.9 (3 boundary shingles of ~100), where LSH
+    // miss probability is < 1e-17.
+    "q_corpus_pipeline4" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(col("doc_id") % 3 =!= 0).select("doc_id", "text")
+      val three = concat_ws("\n", lit("subscribe to updates"), col("text"),
+        concat(lit("lang tag "), col("lang")))
+      val delta0 = docs.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), three.as("text"))
+        .unionByName(docs.filter(col("doc_id") % 7 === 1)
+          .select((col("doc_id") + 10000).as("doc_id"), three.as("text")))
+      val cleaned = TextOps.dedupLines(delta0, "doc_id", "text")
+      val index = NearDup.buildMinHashIndex(corpus, "doc_id", "text").cache()
+      val verdict = NearDup.incrementalMinHashDedup(index,
+        cleaned.select(col("id").as("doc_id"), col("text")),
+        "doc_id", "text", threshold = 0.7)
+      val admitted = TextOps.qualityScore(
+        cleaned.select(col("id"), col("text"), col("n_removed")), "text")
+      admitted.join(verdict, admitted("id") === verdict("id"))
+        .select(admitted("id"), col("n_removed"), col("dup_of"), col("is_new"),
+          round(col("quality"), 6).as("quality6"))
+        .ordered("id")
+    }),
+
     // C4-style global line dedup. The corpus is single-line, so 3-line docs
     // are built deterministically: a boilerplate line shared by ALL docs
     // (one global survivor), the unique body, and a per-language tag line
@@ -2142,6 +2174,65 @@ object ScaleQueries {
         |FROM sizes sa JOIN sizes sb ON sa.src <> sb.src
         |LEFT JOIN sh ON sh.src_a = sa.src AND sh.src_b = sb.src
         |ORDER BY src_a, src_b""".stripMargin,
+
+    // The ingest-day pipeline end-to-end: line dedup over the delta,
+    // exact all-pairs probe mirror (vs corpus any, vs smaller-id delta)
+    // on the CLEANED text, quality on the cleaned text.
+    "q_corpus_pipeline4" ->
+      s"""WITH delta0 AS (
+        | SELECT doc_id,
+        |  'subscribe to updates' || chr(10) || text || chr(10) || 'lang tag ' || lang AS t
+        | FROM documents WHERE doc_id % 3 = 0
+        | UNION ALL
+        | SELECT doc_id + 10000 AS doc_id,
+        |  'subscribe to updates' || chr(10) || text || chr(10) || 'lang tag ' || lang AS t
+        | FROM documents WHERE doc_id % 7 = 1),
+        |l AS (SELECT doc_id, g.i AS pos, ls[g.i] AS line
+        | FROM (SELECT doc_id, string_split(t, chr(10)) AS ls FROM delta0),
+        |  unnest(generate_series(1, len(ls))) AS g(i)),
+        |keep AS (SELECT doc_id, pos, line FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+        |  FROM l) WHERE rn = 1),
+        |cleaned AS (
+        | SELECT d.doc_id AS id, coalesce(agg.txt, '') AS txt,
+        |  3 - coalesce(agg.n, 0) AS n_removed
+        | FROM delta0 d LEFT JOIN (
+        |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS txt,
+        |   count(*) AS n
+        |  FROM keep GROUP BY doc_id) agg ON agg.doc_id = d.doc_id),
+        |sh_c AS (
+        | SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks)-2),
+        |     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+        | FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |       FROM documents WHERE doc_id % 3 <> 0)),
+        |sh_d AS (
+        | SELECT id, list_distinct(list_transform(generate_series(1, len(toks)-2),
+        |     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+        | FROM (SELECT id, string_split(txt, ' ') AS toks FROM cleaned)),
+        |pairs AS (
+        | SELECT d.id, o.doc_id AS other_id,
+        |  CAST(len(list_intersect(d.shingles, o.shingles)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(d.shingles, o.shingles))) AS jac
+        | FROM sh_d d CROSS JOIN sh_c o
+        | UNION ALL
+        | SELECT d.id, o.id AS other_id,
+        |  CAST(len(list_intersect(d.shingles, o.shingles)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(d.shingles, o.shingles))) AS jac
+        | FROM sh_d d JOIN sh_d o ON o.id < d.id),
+        |best AS (SELECT id, min(other_id) AS dup_of
+        | FROM pairs WHERE jac >= 0.7 GROUP BY id),
+        |q AS (SELECT id,
+        |  CAST(len(list_distinct(string_split(txt, ' '))) AS DOUBLE)
+        |    / len(string_split(txt, ' ')) AS uniq_ratio,
+        |  CAST(len(list_filter(string_split(txt, ' '),
+        |    x -> list_contains($markersSql, x))) AS DOUBLE)
+        |    / len(string_split(txt, ' ')) AS stop_ratio,
+        |  least(CAST(length(txt) AS DOUBLE) / 500.0, 1.0) AS len_score
+        | FROM cleaned)
+        |SELECT c.id AS id, c.n_removed, best.dup_of, best.dup_of IS NULL AS is_new,
+        | round(q.uniq_ratio * 0.4 + q.stop_ratio * 0.3 + q.len_score * 0.3, 6) AS quality6
+        |FROM cleaned c JOIN q ON q.id = c.id LEFT JOIN best ON best.id = c.id
+        |ORDER BY c.id""".stripMargin,
 
     // Keep each line's globally-first (doc_id, pos) occurrence, rebuild
     // docs in position order, empty text when everything lost.
