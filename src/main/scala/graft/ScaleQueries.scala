@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 import org.apache.spark.sql.expressions.Window
 
 import graft.Ordered._
-import graft.scale.{Bpe, Classifier, Decontam, Dsir, Embeddings, LangModel, Multimodal, NearDup, Packing, Sampling, Similarity, Sketches, SpanDedup, TextOps}
+import graft.scale.{Bpe, Classifier, Decontam, Dsir, Embeddings, LangModel, Multimodal, NearDup, Packing, Retrieval, Sampling, Similarity, Sketches, SpanDedup, TextOps}
 
 /** Driver-verifiable queries for the training-data-pipeline operators
   * (`graft.scale`) over the `documents` table, each with a DuckDB oracle
@@ -933,6 +933,44 @@ object ScaleQueries {
         Tables.documents(s, d).select(col("doc_id"), three.as("text")),
         "doc_id", "text")
         .ordered("id")
+    }),
+
+    // BM25 retrieval over the inverted index: probe queries = every 97th
+    // doc's first 4 distinct tokens, top-10 corpus docs per probe. The one
+    // corpus-sized pass is the postings semi-join against the broadcast
+    // query-token set; scores and ranking are candidate-sized.
+    "q_bm25_topk" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val probes = docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("q_id"),
+          explode(array_distinct(slice(split(col("text"), " "), 1, 4))).as("term"))
+      Retrieval.bm25TopK(docs, "doc_id", "text", probes, "q_id", "term", k = 10)
+        .ordered("q_id", "rank")
+    }),
+
+    // Gopher-style rule gate: hard per-doc bounds from postings statistics
+    // alone — one (doc, token) hash-agg + per-doc rollup, no second text
+    // scan. Thresholds chosen so each rule splits this corpus.
+    "q_gopher_gate" -> ((s, d) => {
+      TextOps.gopherGate(Tables.documents(s, d), "doc_id", "text")
+        .ordered("doc_id")
+    }),
+
+    // Soft dedup: q_dedup_clusters' planted-duplicate corpus, but members
+    // are kept and down-weighted 1/cluster_size instead of dropped — one
+    // count window over the cluster label, no cluster-dimension join.
+    "q_dedup_softweight" -> ((s, d) => {
+      val base = Tables.documents(s, d).select("doc_id", "text")
+      val copies = base.filter(col("doc_id") % 20 === 0)
+      val corpus = base
+        .unionByName(copies.select((col("doc_id") + 10000).as("doc_id"), col("text")))
+        .unionByName(copies.select((col("doc_id") + 20000).as("doc_id"), col("text")))
+      val pairs = NearDup.minHashDedup(corpus, "doc_id", "text", threshold = 0.7)
+      val labels = NearDup.clusterPairs(corpus.select(col("doc_id").as("id")), pairs)
+      NearDup.softDedupWeights(labels)
+        .select(col("id").as("doc_id"), col("cluster_root"),
+          col("cluster_size"), col("weight"))
+        .ordered("doc_id")
     })
   )
 
@@ -2251,6 +2289,83 @@ object ScaleQueries {
         |SELECT d.doc_id AS id, coalesce(agg.text, '') AS text,
         | coalesce(agg.n_lines, 0) AS n_lines,
         | 3 - coalesce(agg.n_lines, 0) AS n_removed
-        |FROM d LEFT JOIN agg USING (doc_id) ORDER BY id""".stripMargin
+        |FROM d LEFT JOIN agg USING (doc_id) ORDER BY id""".stripMargin,
+
+    // BM25 with the Robertson/Lucene idf; constant folding mirrors the
+    // Spark expression tree ((0.25 + 0.75*dl/avgdl), tf*2.2) so both
+    // engines evaluate the identical double arithmetic before the round.
+    "q_bm25_topk" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |post AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl FROM documents),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |q AS (SELECT doc_id AS q_id,
+        |  unnest(list_distinct((string_split(text, ' '))[1:4])) AS token
+        | FROM documents WHERE doc_id % 97 = 0),
+        |dfq AS (SELECT token, count(*) AS df FROM post
+        | WHERE token IN (SELECT DISTINCT token FROM q) GROUP BY 1),
+        |scored AS (SELECT q.q_id, p.doc_id,
+        |  round(sum(ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+        |    * p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))), 4) AS score
+        | FROM post p JOIN q ON p.token = q.token JOIN dfq f ON p.token = f.token
+        | JOIN dl ON p.doc_id = dl.doc_id CROSS JOIN stats s
+        | GROUP BY 1, 2)
+        |SELECT q_id, doc_id, score, CAST(rank AS INTEGER) AS rank FROM (
+        | SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank
+        | FROM scored)
+        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+
+    "q_gopher_gate" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |post AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |g AS (SELECT doc_id,
+        |  CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |  CAST(max(tf) AS BIGINT) AS top,
+        |  round(CAST(sum(length(token) * tf) AS DOUBLE) / sum(tf), 4) AS avg_token_len,
+        |  CAST(sum(CASE WHEN list_contains($markersSql, token) THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_stopwords
+        | FROM post GROUP BY 1)
+        |SELECT doc_id, n_tokens, avg_token_len,
+        | round(CAST(top AS DOUBLE) / n_tokens, 4) AS top_frac, n_stopwords,
+        | n_tokens BETWEEN 20 AND 100000 AS ok_count,
+        | avg_token_len BETWEEN 3.0 AND 10.0 AS ok_len,
+        | n_stopwords >= 2 AS ok_stop,
+        | round(CAST(top AS DOUBLE) / n_tokens, 4) <= 0.2 AS ok_rep,
+        | (n_tokens BETWEEN 20 AND 100000) AND (avg_token_len BETWEEN 3.0 AND 10.0)
+        |   AND n_stopwords >= 2
+        |   AND round(CAST(top AS DOUBLE) / n_tokens, 4) <= 0.2 AS pass
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    // q_dedup_clusters' exact component oracle, weights instead of drops.
+    "q_dedup_softweight" ->
+      """WITH RECURSIVE all_docs AS (
+        | SELECT doc_id, text FROM documents
+        | UNION ALL
+        | SELECT doc_id + 10000, text FROM documents WHERE doc_id % 20 = 0
+        | UNION ALL
+        | SELECT doc_id + 20000, text FROM documents WHERE doc_id % 20 = 0),
+        |sh AS (
+        | SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks)-2),
+        |     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+        | FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM all_docs)),
+        |pairs AS (
+        | SELECT a_id, b_id FROM (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |   CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        |     / len(list_distinct(list_concat(a.shingles, b.shingles))) AS jac
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        | WHERE jac >= 0.7),
+        |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+        |          UNION ALL SELECT b_id, a_id FROM pairs),
+        |r(id, root) AS (
+        | SELECT doc_id, doc_id FROM all_docs
+        | UNION
+        | SELECT e.dst, r.root FROM r JOIN edges e ON e.src = r.id),
+        |lab AS (SELECT id, min(root) AS cluster_root FROM r GROUP BY id),
+        |sizes AS (SELECT cluster_root, count(*) AS cluster_size FROM lab GROUP BY 1)
+        |SELECT id AS doc_id, cluster_root, cluster_size,
+        | round(CAST(1.0 AS DOUBLE) / cluster_size, 6) AS weight
+        |FROM lab JOIN sizes USING (cluster_root)
+        |ORDER BY doc_id""".stripMargin
   )
 }

@@ -381,6 +381,27 @@ object NearDup {
       .select(col(idCol), col("cluster_root"), col("keep_id"), col("is_kept"))
   }
 
+  /** SOFT dedup: keep every member but down-weight it by its duplicate
+    * cluster's size — `weight = 1/cluster_size` — so a document duplicated
+    * n times contributes one document's worth of expected training mass
+    * under weighted sampling (the keep-and-reweight alternative to hard
+    * removal when duplicates carry signal, e.g. popularity).
+    *
+    * One shuffle: a count window partitioned by `cluster_root` — the
+    * [[resolveCanonical]] shape; no groupBy + join-back, so the cluster
+    * dimension never needs to broadcast (at corpus scale it is
+    * corpus-sized: most clusters are singletons).
+    *
+    * Input: `labels` = (id, cluster_root) from either clustering routine.
+    * Output: (id, cluster_root, cluster_size, weight).
+    */
+  def softDedupWeights(labels: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster_root")
+    labels.select(col("id"), col("cluster_root"))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .withColumn("weight", round(lit(1.0) / col("cluster_size"), 6))
+  }
+
   /** EXACT n-gram-Jaccard similarity join via prefix filtering: canonical
     * (lexicographic) global order; a doc's prefix is its first
     * |sh| - ⌈t·|sh|⌉ + 1 sorted shingles; qualifying pairs must share a

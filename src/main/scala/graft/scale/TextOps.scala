@@ -359,4 +359,55 @@ object TextOps {
         round(col("shared").cast(DoubleType) / col("grams_a"), 6))
       .select("src_a", "src_b", "grams_a", "grams_b", "shared", "containment")
   }
+
+  /** Gopher-style rule gate (Rae et al. 2021, "Scaling Language Models",
+    * table A1's heuristic family): hard per-document bounds that cut the
+    * pathological tail BEFORE any model-based scoring spends compute on it.
+    * Rules kept are the ones computable from token statistics alone —
+    * token-count bounds, mean-token-length bounds, minimum distinct
+    * stopword count, and a repetition bound on the most frequent token's
+    * share (the single-token proxy for Gopher's duplicated-n-gram caps;
+    * n-gram-level repetition lives in [[repetitionStats]]).
+    *
+    * Every metric derives from the (doc, token, tf) postings — one explode
+    * + hash-agg shuffle bounded by per-document vocabulary, then a per-doc
+    * rollup — so the gate costs the same as [[tokenFrequency]] at any
+    * corpus size; no join back to the raw text is needed. `avg_token_len`
+    * and `top_frac` are exact integer ratios (deterministic across
+    * engines), rounded to 4 decimals for stable comparison.
+    *
+    * Output: (doc_id, n_tokens, avg_token_len, top_frac, n_stopwords,
+    * ok_count, ok_len, ok_stop, ok_rep, pass).
+    */
+  def gopherGate(df: DataFrame, idCol: String, textCol: String,
+                 minTokens: Long = 20, maxTokens: Long = 100000,
+                 minAvgLen: Double = 3.0, maxAvgLen: Double = 10.0,
+                 minStopwords: Int = 2, maxTopFrac: Double = 0.2): DataFrame = {
+    require(minTokens <= maxTokens && minAvgLen <= maxAvgLen,
+      "gate bounds must be ordered (min <= max)")
+    val markers = EnglishMarkers
+    val post = df.select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val gate = post.groupBy("doc_id").agg(
+      sum("tf").as("n_tokens"),
+      max("tf").as("_top"),
+      round(sum(length(col("token")) * col("tf")).cast(DoubleType) / sum("tf"), 4)
+        .as("avg_token_len"),
+      sum(when(col("token").isInCollection(markers), 1L).otherwise(0L))
+        .as("n_stopwords"))
+    gate
+      .withColumn("top_frac",
+        round(col("_top").cast(DoubleType) / col("n_tokens"), 4))
+      .withColumn("ok_count",
+        col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens)
+      .withColumn("ok_len",
+        col("avg_token_len") >= minAvgLen && col("avg_token_len") <= maxAvgLen)
+      .withColumn("ok_stop", col("n_stopwords") >= minStopwords)
+      .withColumn("ok_rep", col("top_frac") <= maxTopFrac)
+      .withColumn("pass",
+        col("ok_count") && col("ok_len") && col("ok_stop") && col("ok_rep"))
+      .select("doc_id", "n_tokens", "avg_token_len", "top_frac", "n_stopwords",
+        "ok_count", "ok_len", "ok_stop", "ok_rep", "pass")
+  }
 }
