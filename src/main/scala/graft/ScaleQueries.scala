@@ -956,6 +956,33 @@ object ScaleQueries {
         .ordered("doc_id")
     }),
 
+    // Retrieval-gated decontamination: the fuzzy complement to
+    // q_decontaminate's exact n-gram membership — BM25 retrieves each eval
+    // passage's top-5 corpus candidates (one postings pass), then ONLY the
+    // candidates pay the exact 3-gram containment verify. The corpus-sized
+    // work is the postings pass plus one shingle scan that the broadcast
+    // candidate set reduces immediately; the quadratic eval×corpus overlap
+    // matrix is never built.
+    "q_decontam_retrieval" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val evals = docs.filter(col("doc_id") % 41 === 0)
+      val probes = evals.select(col("doc_id").as("q_id"),
+        explode(array_distinct(slice(split(col("text"), " "), 1, 6))).as("term"))
+      val hits = Retrieval.bm25TopK(docs, "doc_id", "text", probes, "q_id", "term", k = 5)
+      val evalG = evals.select(col("doc_id").as("q_id"),
+        NearDup.shinglesFromTokens(TextOps.tokens(col("text"))).as("eg"))
+      val candG = docs.select(col("doc_id"),
+        NearDup.shinglesFromTokens(TextOps.tokens(col("text"))).as("cg"))
+      val he = hits.join(evalG, Seq("q_id"))
+      candG.join(broadcast(he), Seq("doc_id"))
+        .withColumn("overlap", round(
+          size(array_intersect(col("eg"), col("cg"))).cast(DoubleType) /
+            size(col("eg")), 6))
+        .withColumn("contaminated", col("overlap") >= 0.5)
+        .select("q_id", "doc_id", "rank", "score", "overlap", "contaminated")
+        .ordered("q_id", "rank")
+    }),
+
     // Soft dedup: q_dedup_clusters' planted-duplicate corpus, but members
     // are kept and down-weighted 1/cluster_size instead of dropped — one
     // count window over the cluster label, no cluster-dimension join.
@@ -2335,6 +2362,35 @@ object ScaleQueries {
         |   AND n_stopwords >= 2
         |   AND round(CAST(top AS DOUBLE) / n_tokens, 4) <= 0.2 AS pass
         |FROM g ORDER BY doc_id""".stripMargin,
+
+    "q_decontam_retrieval" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |post AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl FROM documents),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |q AS (SELECT doc_id AS q_id,
+        |  unnest(list_distinct((string_split(text, ' '))[1:6])) AS token
+        | FROM documents WHERE doc_id % 41 = 0),
+        |dfq AS (SELECT token, count(*) AS df FROM post
+        | WHERE token IN (SELECT DISTINCT token FROM q) GROUP BY 1),
+        |scored AS (SELECT q.q_id, p.doc_id,
+        |  round(sum(ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+        |    * p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))), 4) AS score
+        | FROM post p JOIN q ON p.token = q.token JOIN dfq f ON p.token = f.token
+        | JOIN dl ON p.doc_id = dl.doc_id CROSS JOIN stats s
+        | GROUP BY 1, 2),
+        |hits AS (SELECT q_id, doc_id, score, CAST(rank AS INTEGER) AS rank FROM (
+        | SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank
+        | FROM scored) WHERE rank <= 5),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t)-2),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+        | FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
+        |SELECT h.q_id, h.doc_id, h.rank, h.score,
+        | round(CAST(len(list_intersect(e.g, c.g)) AS DOUBLE) / len(e.g), 6) AS overlap,
+        | round(CAST(len(list_intersect(e.g, c.g)) AS DOUBLE) / len(e.g), 6) >= 0.5
+        |   AS contaminated
+        |FROM hits h JOIN sh e ON e.doc_id = h.q_id JOIN sh c ON c.doc_id = h.doc_id
+        |ORDER BY h.q_id, h.rank""".stripMargin,
 
     // q_dedup_clusters' exact component oracle, weights instead of drops.
     "q_dedup_softweight" ->

@@ -30,11 +30,14 @@ import graft.tx.TxReplay
   * is hash-bucketed by key — `pmod(hash(key), numBuckets)` — and each bucket
   * holds an ordered LIST of immutable parquet segments. A micro-batch
   * APPENDS one delta-sized segment per side (only this batch's new events);
-  * a bucket is COMPACTED — all its segments plus the batch's fresh events
-  * rewritten as one segment through the reference's `cleanupState` rule —
-  * only when its segment count reaches `compactSegments`. So per-batch write
-  * cost is O(delta) every batch, and the full compaction cost is amortized
-  * 1/compactSegments per bucket — the parquet analogue of an LSM / state
+  * a bucket is COMPACTED — all its segments, including the one this batch
+  * just appended, rewritten as one segment through the reference's
+  * `cleanupState` rule — only when its pre-append segment count reaches
+  * `compactSegments`. Each batch advances the state version by TWO: append
+  * segments land at version+1, compacted segments and scalars at version+2
+  * (the committed version). So per-batch write cost is O(delta) every
+  * batch, and the full compaction cost is amortized 1/compactSegments per
+  * bucket — the parquet analogue of an LSM / state
   * store, and of ListState's O(delta) updates
   * (`TxAware…Operator.java:432-444`). Deferred compaction is semantically
   * free: replay's as-of `max_by` tolerates superseded versions, settled txs
@@ -166,13 +169,6 @@ class TxReplayStream(spark: SparkSession, stateRoot: String,
 
   private def bucketOf(c: Column): Column = pmod(hash(c), lit(buckets))
 
-  /** Membership predicate on the row's key bucket; empty set → constant
-    * false (Spark's `In` with an empty list is not a plan we want to rely
-    * on), so `!inBuckets(empty)` is the everything-matches filter.
-    */
-  private def inBuckets(dirty: Set[Int]): Column =
-    if (dirty.isEmpty) lit(false) else bucketOf(col("key")).isInCollection(dirty)
-
   private def readSegs(name: String, segs: Array[List[Long]]): Option[DataFrame] = {
     val paths = segs.zipWithIndex.flatMap { case (vs, b) => vs.map(bucketDir(name, b, _)) }
     if (paths.isEmpty) None else Some(spark.read.parquet(paths.toIndexedSeq: _*))
@@ -282,19 +278,23 @@ class TxReplayStream(spark: SparkSession, stateRoot: String,
     * or directly for deterministic batch-at-a-time testing (batchId then
     * defaults to the next sequential id).
     *
-    * PER-BATCH COST SHAPE (round-6 LSM rework): the only full-buffer work
-    * left is the replay's SCAN — which is the micro-batch replay design.
-    * Everything else is delta- or dimension-sized:
+    * PER-BATCH COST SHAPE (round-6 LSM rework + round-7 fold): the only
+    * full-buffer work left is the replay's SCAN — which is the micro-batch
+    * replay design. Everything else is delta- or dimension-sized:
     *  - completeness comes from the incremental `counts` state table, not a
     *    re-aggregation of the buffered events;
-    *  - state writes are append segments holding only this batch's events;
-    *    a bucket pays a full compaction only every `compactSegments`-th
-    *    batch that touches it;
+    *  - state writes are append segments holding only this batch's events,
+    *    started as soon as the deltas are cached; the buckets that staged a
+    *    segment ARE the dirty set, so no dedicated dirty-scan job exists.
+    *    A bucket pays a full compaction only every `compactSegments`-th
+    *    batch that touches it, and the compaction reads the bucket's
+    *    segments INCLUDING the just-appended one — never a second pass
+    *    over the delta;
     *  - the replay runs with `broadcastProbes`: the buffered state is never
     *    shuffled, every exchange is delta-sized;
     *  - END retention is a no-scan carry-over on append-only batches;
-    *  - independent writes (append segments, counts) run concurrently with
-    *    the replay.
+    *  - the append→compact chains and the counts write run concurrently
+    *    with the replay.
     */
   def processBatch(newLeft0: DataFrame, newRight0: DataFrame,
                    newEnds: DataFrame, batchId: Long = -1L): DataFrame = {
@@ -311,16 +311,22 @@ class TxReplayStream(spark: SparkSession, stateRoot: String,
     val right = unionWith(readSegs("right", rightSegs), newRight)
     val ends = unionWith(readScalar("ends"), newEnds).dropDuplicates("tx_id").cache()
 
-    // Dirty buckets = buckets of this batch's new events only (one
-    // delta-sized job, ≤ 2·numBuckets ints), kicked off concurrently with
-    // the completeness chain below — neither needs the other. Emitting
-    // keys' buckets are NOT compacted on emission any more — their settled
-    // history is reclaimed by that bucket's next size-triggered compaction,
-    // which is semantically free (see class doc).
-    val dirtyF = Future(phased("dirty-scan")(
-      newLeft.select(bucketOf(col("key")).as("_b"), lit(0).as("_side"))
-        .union(newRight.select(bucketOf(col("key")).as("_b"), lit(1).as("_side")))
-        .distinct().collect()))
+    // Two state versions per batch: append segments land at `vApp`,
+    // compacted segments and all scalars at `vCmp` (the committed version).
+    // Append jobs start IMMEDIATELY — they need only the delta — and run
+    // under the eviction/watermark work; the buckets that actually staged a
+    // segment ARE the batch's dirty set, so the former dedicated dirty-scan
+    // job is folded into the append write itself (writeSegments discovers
+    // staged buckets). Emitting keys' buckets are NOT compacted on emission
+    // — their settled history is reclaimed at the bucket's next
+    // size-triggered compaction, which is semantically free (see class doc).
+    val vApp = version + 1
+    val vCmp = version + 2
+    val allBuckets = (0 until buckets).toSet
+    val appendLeftF = Future(phased("append-left")(
+      writeSegments("left", newLeft, allBuckets, vApp, "app")))
+    val appendRightF = Future(phased("append-right")(
+      writeSegments("right", newRight, allBuckets, vApp, "app")))
 
     val thisBatch = if (batchId >= 0) batchId else committedBatch + 1
 
@@ -418,22 +424,6 @@ class TxReplayStream(spark: SparkSession, stateRoot: String,
       val reach = spark.createDataFrame(
         java.util.Arrays.asList(reachRows: _*), reachSchema)
 
-      val next = version + 1
-
-      val dirtyRows = Await.result(dirtyF, Duration.Inf)
-      val dirtyLeft = dirtyRows.collect { case r if r.getInt(1) == 0 => r.getInt(0) }.toSet
-      val dirtyRight = dirtyRows.collect { case r if r.getInt(1) == 1 => r.getInt(0) }.toSet
-      val compactLeft = dirtyLeft.filter(b => leftSegs(b).size >= compactSegments)
-      val compactRight = dirtyRight.filter(b => rightSegs(b).size >= compactSegments)
-
-      // Independent delta-sized writes run concurrently with the replay:
-      // Spark schedules their jobs onto cores the replay stages leave idle.
-      val appendLeftF = Future(phased("append-left")(
-        writeSegments("left", newLeft.filter(!inBuckets(compactLeft)),
-          dirtyLeft -- compactLeft, next, "app")))
-      val appendRightF = Future(phased("append-right")(
-        writeSegments("right", newRight.filter(!inBuckets(compactRight)),
-          dirtyRight -- compactRight, next, "app")))
       // Persist the per-tx counts for the next batch's completeness, minus
       // settled txs (their counts can never be consulted again: the floor
       // excludes them from both the stall rule and reachability).
@@ -441,7 +431,7 @@ class TxReplayStream(spark: SparkSession, stateRoot: String,
         exceptEvicted(
           counts.join(ends2.filter(col("commit_lsn") <= newWm).select("tx_id"),
             Seq("tx_id"), "left_anti"))
-          .write.mode(SaveMode.Overwrite).parquet(scalarDir("counts", next))))
+          .write.mode(SaveMode.Overwrite).parquet(scalarDir("counts", vCmp))))
       // the evicted list rides the same versioned-scalar scheme; written
       // whenever the feature is on or a list already exists
       val evictedF =
@@ -452,12 +442,15 @@ class TxReplayStream(spark: SparkSession, stateRoot: String,
             org.apache.spark.sql.types.StructType(Seq(
               org.apache.spark.sql.types.StructField("tx_id",
                 org.apache.spark.sql.types.LongType))))
-            .write.mode(SaveMode.Overwrite).parquet(scalarDir("evicted", next)))))
+            .write.mode(SaveMode.Overwrite).parquet(scalarDir("evicted", vCmp)))))
 
       // compaction (cleanupState) for the size-triggered buckets only —
-      // reading exactly those buckets' segments plus the batch's fresh
-      // events for them: enrich to learn each event's commit LSN; unfinished
-      // events (no END yet) stay raw in the buffer.
+      // reading exactly those buckets' old segments PLUS the segment the
+      // batch just appended (no second pass over the delta): enrich to
+      // learn each event's commit LSN; unfinished events (no END yet) stay
+      // raw in the buffer. Chained on the append future: a compacting
+      // bucket's input includes its fresh appended segment, and the chain
+      // still runs concurrently with the replay.
       val endsKeyed = ends2.select("tx_id", "commit_lsn")
       def split(ev: DataFrame, latestKeys: Seq[String]): DataFrame = {
         val enriched = ev.join(broadcast(endsKeyed), Seq("tx_id"))
@@ -471,24 +464,29 @@ class TxReplayStream(spark: SparkSession, stateRoot: String,
         val future = enriched.filter(col("commit_lsn") > newWm).select(ev.columns.map(col).toIndexedSeq: _*)
         latestPast.unionByName(future).unionByName(unfinished)
       }
-      def compactInput(name: String, segs: Array[List[Long]], compact: Set[Int],
-                       fresh: DataFrame): DataFrame = {
+      def compactInput(name: String, segs: Array[List[Long]],
+                       compact: Set[Int]): DataFrame = {
         val pruned = segs.zipWithIndex.map { case (vs, b) =>
-          if (compact.contains(b)) vs else Nil
+          if (compact.contains(b)) vs :+ vApp else Nil
         }
         // evicted txs' events leave the buffer here, at their bucket's
         // next compaction — never applied, reclaimed without a dedicated pass
-        exceptEvicted(unionWith(readSegs(name, pruned), fresh.filter(inBuckets(compact))))
+        exceptEvicted(readSegs(name, pruned).get)
       }
-      val compactLeftF = Future(phased("compact-left")(
-        writeSegments("left",
-          split(compactInput("left", leftSegs, compactLeft, newLeft), Seq("key")),
-          compactLeft, next, "cmp")))
-      val compactRightF = Future(phased("compact-right")(
-        writeSegments("right",
-          split(compactInput("right", rightSegs, compactRight, newRight),
-            Seq("key", "line_id")),
-          compactRight, next, "cmp")))
+      // (appended staged set, compaction target set, compaction staged set)
+      def stateChain(name: String, segs: Array[List[Long]], latestKeys: Seq[String],
+                     appendF: Future[Set[Int]]): Future[(Set[Int], Set[Int], Set[Int])] =
+        appendF.map { app =>
+          val targets = app.filter(b => segs(b).size >= compactSegments)
+          val staged =
+            if (targets.isEmpty) Set.empty[Int]
+            else phased(s"compact-$name")(writeSegments(name,
+              split(compactInput(name, segs, targets), latestKeys),
+              targets, vCmp, "cmp"))
+          (app, targets, staged)
+        }
+      val leftChainF = stateChain("left", leftSegs, Seq("key"), appendLeftF)
+      val rightChainF = stateChain("right", rightSegs, Seq("key", "line_id"), appendRightF)
 
       // one doc per (key, tx) not yet emitted in an earlier batch; durability
       // order: emitted docs + bucket state + ends first, manifest (atomic
@@ -506,23 +504,21 @@ class TxReplayStream(spark: SparkSession, stateRoot: String,
             replayPlan.schema)
         else replayPlan
       phased("replay+emit")(
-        emitted.write.mode(SaveMode.Overwrite).parquet(scalarDir("emitted", next)))
+        emitted.write.mode(SaveMode.Overwrite).parquet(scalarDir("emitted", vCmp)))
 
-      val appLeft = Await.result(appendLeftF, Duration.Inf)
-      val appRight = Await.result(appendRightF, Duration.Inf)
-      val cmpLeft = Await.result(compactLeftF, Duration.Inf)
-      val cmpRight = Await.result(compactRightF, Duration.Inf)
+      val (appLeft, tgtLeft, cmpLeft) = Await.result(leftChainF, Duration.Inf)
+      val (appRight, tgtRight, cmpRight) = Await.result(rightChainF, Duration.Inf)
       Await.result(countsF, Duration.Inf)
       evictedF.foreach(Await.result(_, Duration.Inf))
       def updated(segs: Array[List[Long]], appended: Set[Int], targets: Set[Int],
                   compacted: Set[Int]): Array[List[Long]] =
         segs.zipWithIndex.map { case (vs, b) =>
-          if (targets.contains(b)) { if (compacted.contains(b)) List(next) else Nil }
-          else if (appended.contains(b)) vs :+ next
+          if (targets.contains(b)) { if (compacted.contains(b)) List(vCmp) else Nil }
+          else if (appended.contains(b)) vs :+ vApp
           else vs
         }
-      val newLeftSegs = updated(leftSegs, appLeft, compactLeft, cmpLeft)
-      val newRightSegs = updated(rightSegs, appRight, compactRight, cmpRight)
+      val newLeftSegs = updated(leftSegs, appLeft, tgtLeft, cmpLeft)
+      val newRightSegs = updated(rightSegs, appRight, tgtRight, cmpRight)
 
       // END retention. Append-only batch: every previously retained END is
       // still referenced (no event left the buffer), so the END table
@@ -534,7 +530,7 @@ class TxReplayStream(spark: SparkSession, stateRoot: String,
       // their eventual compaction; dropping one would reclassify its events
       // as unfinished and stall the watermark.
       val keepEnds =
-        if (compactLeft.isEmpty && compactRight.isEmpty) ends2
+        if (tgtLeft.isEmpty && tgtRight.isEmpty) ends2
         else {
           val referenced = (readSegs("left", newLeftSegs) ++ readSegs("right", newRightSegs))
             .map(_.select("tx_id"))
@@ -546,16 +542,16 @@ class TxReplayStream(spark: SparkSession, stateRoot: String,
             .dropDuplicates("tx_id")
         }
       phased("keep-ends")(
-        keepEnds.write.mode(SaveMode.Overwrite).parquet(scalarDir("ends", next)))
+        keepEnds.write.mode(SaveMode.Overwrite).parquet(scalarDir("ends", vCmp)))
 
-      commitManifest(next, newWm, thisBatch, newLeftSegs, newRightSegs)
-      version = next
+      commitManifest(vCmp, newWm, thisBatch, newLeftSegs, newRightSegs)
+      version = vCmp
       watermark = newWm
       committedBatch = thisBatch
       leftSegs = newLeftSegs
       rightSegs = newRightSegs
-      prune(newLeftSegs, newRightSegs, next)
-      spark.read.parquet(scalarDir("emitted", next))
+      prune(newLeftSegs, newRightSegs, vCmp)
+      spark.read.parquet(scalarDir("emitted", vCmp))
     } finally {
       counts.unpersist()
       newLeft.unpersist()
