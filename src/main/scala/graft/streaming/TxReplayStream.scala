@@ -30,14 +30,15 @@ import graft.tx.TxReplay
   * is hash-bucketed by key — `pmod(hash(key), numBuckets)` — and each bucket
   * holds an ordered LIST of immutable parquet segments. A micro-batch
   * APPENDS one delta-sized segment per side (only this batch's new events);
-  * a bucket is COMPACTED — all its segments, including the one this batch
-  * just appended, rewritten as one segment through the reference's
-  * `cleanupState` rule — only when its pre-append segment count reaches
-  * `compactSegments`. Each batch advances the state version by TWO: append
-  * segments land at version+1, compacted segments and scalars at version+2
-  * (the committed version). So per-batch write cost is O(delta) every
-  * batch, and the full compaction cost is amortized 1/compactSegments per
-  * bucket — the parquet analogue of an LSM / state
+  * a bucket is COMPACTED — all its segments plus the batch's fresh events
+  * rewritten as one segment through the reference's `cleanupState` rule —
+  * once its segment count reaches `compactSegments` (from the segment
+  * table alone, dirty or not — compaction is semantically free anytime,
+  * and an at-threshold bucket pays the identical rewrite on its next dirty
+  * batch anyway; this is what lets the appends' staged-bucket set BE the
+  * batch's dirty set, with no dedicated dirty-scan job). So per-batch write
+  * cost is O(delta) every batch, and the full compaction cost is amortized
+  * 1/compactSegments per bucket — the parquet analogue of an LSM / state
   * store, and of ListState's O(delta) updates
   * (`TxAware…Operator.java:432-444`). Deferred compaction is semantically
   * free: replay's as-of `max_by` tolerates superseded versions, settled txs
@@ -169,6 +170,13 @@ class TxReplayStream(spark: SparkSession, stateRoot: String,
 
   private def bucketOf(c: Column): Column = pmod(hash(c), lit(buckets))
 
+  /** Membership predicate on the row's key bucket; empty set → constant
+    * false (Spark's `In` with an empty list is not a plan we want to rely
+    * on), so `!inBuckets(empty)` is the everything-matches filter.
+    */
+  private def inBuckets(dirty: Set[Int]): Column =
+    if (dirty.isEmpty) lit(false) else bucketOf(col("key")).isInCollection(dirty)
+
   private def readSegs(name: String, segs: Array[List[Long]]): Option[DataFrame] = {
     val paths = segs.zipWithIndex.flatMap { case (vs, b) => vs.map(bucketDir(name, b, _)) }
     if (paths.isEmpty) None else Some(spark.read.parquet(paths.toIndexedSeq: _*))
@@ -285,21 +293,19 @@ class TxReplayStream(spark: SparkSession, stateRoot: String,
     *    re-aggregation of the buffered events;
     *  - state writes are append segments holding only this batch's events,
     *    started as soon as the deltas are cached; the buckets that staged a
-    *    segment ARE the dirty set, so no dedicated dirty-scan job exists.
-    *    A bucket pays a full compaction only every `compactSegments`-th
-    *    batch that touches it, and the compaction reads the bucket's
-    *    segments INCLUDING the just-appended one — never a second pass
-    *    over the delta;
+    *    segment ARE the dirty set, so no dedicated dirty-scan job exists
+    *    (compaction targets come from the segment table alone — see the
+    *    class doc);
     *  - the replay runs with `broadcastProbes`: the buffered state is never
     *    shuffled, every exchange is delta-sized;
     *  - END retention is a no-scan carry-over on append-only batches;
-    *  - the append→compact chains and the counts write run concurrently
-    *    with the replay.
+    *  - appends, compactions, and the counts write all run concurrently
+    *    with the replay (appends and compactions target disjoint buckets).
     */
   def processBatch(newLeft0: DataFrame, newRight0: DataFrame,
                    newEnds: DataFrame, batchId: Long = -1L): DataFrame = {
-    // cache the DELTAS: each is consumed ~4× per batch (counts, dirty scan,
-    // append segment, replay union), and in `attach` streaming use every
+    // cache the DELTAS: each is consumed ~4× per batch (counts, append
+    // segment, compaction input, replay union), and in `attach` streaming use every
     // uncached read re-runs the upstream micro-batch source. The full state
     // union is NOT cached — its only consumer is the replay (two scans per
     // side), and a parquet re-scan of the segment files beat paying an
@@ -311,22 +317,29 @@ class TxReplayStream(spark: SparkSession, stateRoot: String,
     val right = unionWith(readSegs("right", rightSegs), newRight)
     val ends = unionWith(readScalar("ends"), newEnds).dropDuplicates("tx_id").cache()
 
-    // Two state versions per batch: append segments land at `vApp`,
-    // compacted segments and all scalars at `vCmp` (the committed version).
-    // Append jobs start IMMEDIATELY — they need only the delta — and run
-    // under the eviction/watermark work; the buckets that actually staged a
-    // segment ARE the batch's dirty set, so the former dedicated dirty-scan
-    // job is folded into the append write itself (writeSegments discovers
-    // staged buckets). Emitting keys' buckets are NOT compacted on emission
-    // — their settled history is reclaimed at the bucket's next
-    // size-triggered compaction, which is semantically free (see class doc).
-    val vApp = version + 1
-    val vCmp = version + 2
+    // No dedicated dirty-scan job (round-7 fold): compaction targets come
+    // from the SEGMENT TABLE alone — any bucket at the `compactSegments`
+    // threshold compacts this batch, dirty or not (compaction is
+    // semantically free anytime, and an at-threshold bucket would pay the
+    // identical rewrite on its next dirty batch anyway) — and the appends'
+    // dirty set is discovered by the append write itself (writeSegments
+    // returns the staged buckets). Appends and compactions target DISJOINT
+    // buckets, so both land at one new version; append jobs start
+    // IMMEDIATELY — they need only the delta — and run under the
+    // eviction/watermark work, compactions (which need the new watermark)
+    // join them concurrently with the replay. Emitting keys' buckets are
+    // NOT compacted on emission — their settled history is reclaimed at the
+    // bucket's next size-triggered compaction (see class doc).
+    val vNext = version + 1
     val allBuckets = (0 until buckets).toSet
+    val compactLeftT = allBuckets.filter(b => leftSegs(b).size >= compactSegments)
+    val compactRightT = allBuckets.filter(b => rightSegs(b).size >= compactSegments)
     val appendLeftF = Future(phased("append-left")(
-      writeSegments("left", newLeft, allBuckets, vApp, "app")))
+      writeSegments("left", newLeft.filter(!inBuckets(compactLeftT)),
+        allBuckets -- compactLeftT, vNext, "app")))
     val appendRightF = Future(phased("append-right")(
-      writeSegments("right", newRight, allBuckets, vApp, "app")))
+      writeSegments("right", newRight.filter(!inBuckets(compactRightT)),
+        allBuckets -- compactRightT, vNext, "app")))
 
     val thisBatch = if (batchId >= 0) batchId else committedBatch + 1
 
@@ -431,7 +444,7 @@ class TxReplayStream(spark: SparkSession, stateRoot: String,
         exceptEvicted(
           counts.join(ends2.filter(col("commit_lsn") <= newWm).select("tx_id"),
             Seq("tx_id"), "left_anti"))
-          .write.mode(SaveMode.Overwrite).parquet(scalarDir("counts", vCmp))))
+          .write.mode(SaveMode.Overwrite).parquet(scalarDir("counts", vNext))))
       // the evicted list rides the same versioned-scalar scheme; written
       // whenever the feature is on or a list already exists
       val evictedF =
@@ -442,7 +455,7 @@ class TxReplayStream(spark: SparkSession, stateRoot: String,
             org.apache.spark.sql.types.StructType(Seq(
               org.apache.spark.sql.types.StructField("tx_id",
                 org.apache.spark.sql.types.LongType))))
-            .write.mode(SaveMode.Overwrite).parquet(scalarDir("evicted", vCmp)))))
+            .write.mode(SaveMode.Overwrite).parquet(scalarDir("evicted", vNext)))))
 
       // compaction (cleanupState) for the size-triggered buckets only —
       // reading exactly those buckets' old segments PLUS the segment the
@@ -464,29 +477,24 @@ class TxReplayStream(spark: SparkSession, stateRoot: String,
         val future = enriched.filter(col("commit_lsn") > newWm).select(ev.columns.map(col).toIndexedSeq: _*)
         latestPast.unionByName(future).unionByName(unfinished)
       }
-      def compactInput(name: String, segs: Array[List[Long]],
-                       compact: Set[Int]): DataFrame = {
+      def compactInput(name: String, segs: Array[List[Long]], compact: Set[Int],
+                       fresh: DataFrame): DataFrame = {
         val pruned = segs.zipWithIndex.map { case (vs, b) =>
-          if (compact.contains(b)) vs :+ vApp else Nil
+          if (compact.contains(b)) vs else Nil
         }
         // evicted txs' events leave the buffer here, at their bucket's
         // next compaction — never applied, reclaimed without a dedicated pass
-        exceptEvicted(readSegs(name, pruned).get)
+        exceptEvicted(unionWith(readSegs(name, pruned), fresh.filter(inBuckets(compact))))
       }
-      // (appended staged set, compaction target set, compaction staged set)
-      def stateChain(name: String, segs: Array[List[Long]], latestKeys: Seq[String],
-                     appendF: Future[Set[Int]]): Future[(Set[Int], Set[Int], Set[Int])] =
-        appendF.map { app =>
-          val targets = app.filter(b => segs(b).size >= compactSegments)
-          val staged =
-            if (targets.isEmpty) Set.empty[Int]
-            else phased(s"compact-$name")(writeSegments(name,
-              split(compactInput(name, segs, targets), latestKeys),
-              targets, vCmp, "cmp"))
-          (app, targets, staged)
-        }
-      val leftChainF = stateChain("left", leftSegs, Seq("key"), appendLeftF)
-      val rightChainF = stateChain("right", rightSegs, Seq("key", "line_id"), appendRightF)
+      val compactLeftF = Future(phased("compact-left")(
+        writeSegments("left",
+          split(compactInput("left", leftSegs, compactLeftT, newLeft), Seq("key")),
+          compactLeftT, vNext, "cmp")))
+      val compactRightF = Future(phased("compact-right")(
+        writeSegments("right",
+          split(compactInput("right", rightSegs, compactRightT, newRight),
+            Seq("key", "line_id")),
+          compactRightT, vNext, "cmp")))
 
       // one doc per (key, tx) not yet emitted in an earlier batch; durability
       // order: emitted docs + bucket state + ends first, manifest (atomic
@@ -504,21 +512,23 @@ class TxReplayStream(spark: SparkSession, stateRoot: String,
             replayPlan.schema)
         else replayPlan
       phased("replay+emit")(
-        emitted.write.mode(SaveMode.Overwrite).parquet(scalarDir("emitted", vCmp)))
+        emitted.write.mode(SaveMode.Overwrite).parquet(scalarDir("emitted", vNext)))
 
-      val (appLeft, tgtLeft, cmpLeft) = Await.result(leftChainF, Duration.Inf)
-      val (appRight, tgtRight, cmpRight) = Await.result(rightChainF, Duration.Inf)
+      val appLeft = Await.result(appendLeftF, Duration.Inf)
+      val appRight = Await.result(appendRightF, Duration.Inf)
+      val cmpLeft = Await.result(compactLeftF, Duration.Inf)
+      val cmpRight = Await.result(compactRightF, Duration.Inf)
       Await.result(countsF, Duration.Inf)
       evictedF.foreach(Await.result(_, Duration.Inf))
       def updated(segs: Array[List[Long]], appended: Set[Int], targets: Set[Int],
                   compacted: Set[Int]): Array[List[Long]] =
         segs.zipWithIndex.map { case (vs, b) =>
-          if (targets.contains(b)) { if (compacted.contains(b)) List(vCmp) else Nil }
-          else if (appended.contains(b)) vs :+ vApp
+          if (targets.contains(b)) { if (compacted.contains(b)) List(vNext) else Nil }
+          else if (appended.contains(b)) vs :+ vNext
           else vs
         }
-      val newLeftSegs = updated(leftSegs, appLeft, tgtLeft, cmpLeft)
-      val newRightSegs = updated(rightSegs, appRight, tgtRight, cmpRight)
+      val newLeftSegs = updated(leftSegs, appLeft, compactLeftT, cmpLeft)
+      val newRightSegs = updated(rightSegs, appRight, compactRightT, cmpRight)
 
       // END retention. Append-only batch: every previously retained END is
       // still referenced (no event left the buffer), so the END table
@@ -530,7 +540,7 @@ class TxReplayStream(spark: SparkSession, stateRoot: String,
       // their eventual compaction; dropping one would reclassify its events
       // as unfinished and stall the watermark.
       val keepEnds =
-        if (tgtLeft.isEmpty && tgtRight.isEmpty) ends2
+        if (compactLeftT.isEmpty && compactRightT.isEmpty) ends2
         else {
           val referenced = (readSegs("left", newLeftSegs) ++ readSegs("right", newRightSegs))
             .map(_.select("tx_id"))
@@ -542,16 +552,16 @@ class TxReplayStream(spark: SparkSession, stateRoot: String,
             .dropDuplicates("tx_id")
         }
       phased("keep-ends")(
-        keepEnds.write.mode(SaveMode.Overwrite).parquet(scalarDir("ends", vCmp)))
+        keepEnds.write.mode(SaveMode.Overwrite).parquet(scalarDir("ends", vNext)))
 
-      commitManifest(vCmp, newWm, thisBatch, newLeftSegs, newRightSegs)
-      version = vCmp
+      commitManifest(vNext, newWm, thisBatch, newLeftSegs, newRightSegs)
+      version = vNext
       watermark = newWm
       committedBatch = thisBatch
       leftSegs = newLeftSegs
       rightSegs = newRightSegs
-      prune(newLeftSegs, newRightSegs, vCmp)
-      spark.read.parquet(scalarDir("emitted", vCmp))
+      prune(newLeftSegs, newRightSegs, vNext)
+      spark.read.parquet(scalarDir("emitted", vNext))
     } finally {
       counts.unpersist()
       newLeft.unpersist()

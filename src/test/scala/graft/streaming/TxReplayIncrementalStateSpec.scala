@@ -73,11 +73,9 @@ class TxReplayIncrementalStateSpec extends AnyFunSuite with Matchers {
     val bytesDelta = newBytes(inv1, inv2)
 
     // exactly ONE bucket rewritten per side — the bucket of key 1000; the
-    // other 7 buckets holding the 64-key state were not touched. Versions
-    // advance by two per batch (append at v, scalars/compactions at v+1):
-    // batch 0 appended at v0, batch 1 at v2.
-    bucketsAtVersion(root, "left", 2).size shouldBe 1
-    bucketsAtVersion(root, "right", 2).size shouldBe 1
+    // other 7 buckets holding the 64-key state were not touched
+    bucketsAtVersion(root, "left", 1).size shouldBe 1
+    bucketsAtVersion(root, "right", 1).size shouldBe 1
     bucketsAtVersion(root, "left", 0).size should be >= 6
 
     // and the bytes written are delta-scale, not state-scale: even with

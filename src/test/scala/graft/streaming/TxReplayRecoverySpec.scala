@@ -69,9 +69,8 @@ class TxReplayRecoverySpec extends AnyFunSuite with Matchers {
       try ls.toArray.map(x => x.asInstanceOf[java.nio.file.Path].getFileName.toString).toSeq.sorted
       finally ls.close()
     }
-    // two versions per batch: batch 0 committed at v1, batch 1 at v3
-    names(Paths.get(root, "ends")) shouldBe Seq("v3")
-    names(Paths.get(root, "emitted")) shouldBe Seq("v3")
+    names(Paths.get(root, "ends")) shouldBe Seq("v1")
+    names(Paths.get(root, "emitted")) shouldBe Seq("v1")
     for (side <- Seq("left", "right"); b <- names(Paths.get(root, side)) if b.startsWith("b"))
       names(Paths.get(root, side, b)).size shouldBe 1
   }
