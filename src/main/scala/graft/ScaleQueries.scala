@@ -948,6 +948,20 @@ object ScaleQueries {
         .ordered("q_id", "rank")
     }),
 
+    // BM25 through the persisted-index contract (buildBm25Index →
+    // bm25TopKIndexed): the corpus is tokenized exactly once at build; the
+    // probe path scans the index twice (semi-join + the column-pruned
+    // (doc_id, dl) stats pass) and shuffles only candidates.
+    "q_bm25_indexed" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val probes = docs.filter(col("doc_id") % 89 === 0)
+        .select(col("doc_id").as("q_id"),
+          explode(array_distinct(slice(split(col("text"), " "), 1, 5))).as("term"))
+      Retrieval.bm25TopKIndexed(Retrieval.buildBm25Index(docs, "doc_id", "text"),
+        probes, "q_id", "term", k = 7)
+        .ordered("q_id", "rank")
+    }),
+
     // Gopher-style rule gate: hard per-doc bounds from postings statistics
     // alone — one (doc, token) hash-agg + per-doc rollup, no second text
     // scan. Thresholds chosen so each rule splits this corpus.
@@ -959,20 +973,33 @@ object ScaleQueries {
     // Retrieval-gated decontamination: the fuzzy complement to
     // q_decontaminate's exact n-gram membership — BM25 retrieves each eval
     // passage's top-5 corpus candidates (one postings pass), then ONLY the
-    // candidates pay the exact 3-gram containment verify. The corpus-sized
-    // work is the postings pass plus one shingle scan that the broadcast
-    // candidate set reduces immediately; the quadratic eval×corpus overlap
-    // matrix is never built.
+    // retrieved candidates pay the interpreted shingle pipeline and the
+    // exact 3-gram containment verify (a broadcast semi-join reduces the
+    // corpus to candidate texts BEFORE any shingling — the first cut
+    // shingled all 5k docs and cost 15.8 s vs ~4 s for the retrieval
+    // itself). The eval×corpus overlap matrix is never built.
     "q_decontam_retrieval" -> ((s, d) => {
       val docs = Tables.documents(s, d).select("doc_id", "text")
-      val evals = docs.filter(col("doc_id") % 41 === 0)
+      // %163 keeps the eval suite small: the synthetic 31-token vocabulary
+      // has NO rare-term tail (min df = 5% of docs), so every probe term
+      // matches a large corpus fraction and candidate volume scales with
+      // |evals|·|corpus| — the one corpus shape where the maxDfFrac dial
+      // cannot prune (all-or-nothing when every term is common; with %41
+      // probes the retrieval stage alone measured 12-17 s). On a real
+      // vocabulary the dial bounds candidates; here the eval-suite size
+      // does. cache(): hits is tiny but feeds two consumers (candidate
+      // semi-join + verify join).
+      val evals = docs.filter(col("doc_id") % 163 === 0)
       val probes = evals.select(col("doc_id").as("q_id"),
         explode(array_distinct(slice(split(col("text"), " "), 1, 6))).as("term"))
       val hits = Retrieval.bm25TopK(docs, "doc_id", "text", probes, "q_id", "term", k = 5)
+        .cache()
       val evalG = evals.select(col("doc_id").as("q_id"),
         NearDup.shinglesFromTokens(TextOps.tokens(col("text"))).as("eg"))
-      val candG = docs.select(col("doc_id"),
-        NearDup.shinglesFromTokens(TextOps.tokens(col("text"))).as("cg"))
+      val candG = docs
+        .join(broadcast(hits.select("doc_id").distinct()), Seq("doc_id"))
+        .select(col("doc_id"),
+          NearDup.shinglesFromTokens(TextOps.tokens(col("text"))).as("cg"))
       val he = hits.join(evalG, Seq("q_id"))
       candG.join(broadcast(he), Seq("doc_id"))
         .withColumn("overlap", round(
@@ -2342,6 +2369,27 @@ object ScaleQueries {
         | FROM scored)
         |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
 
+    "q_bm25_indexed" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |post AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl FROM documents),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |q AS (SELECT doc_id AS q_id,
+        |  unnest(list_distinct((string_split(text, ' '))[1:5])) AS token
+        | FROM documents WHERE doc_id % 89 = 0),
+        |dfq AS (SELECT token, count(*) AS df FROM post
+        | WHERE token IN (SELECT DISTINCT token FROM q) GROUP BY 1),
+        |scored AS (SELECT q.q_id, p.doc_id,
+        |  round(sum(ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+        |    * p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))), 4) AS score
+        | FROM post p JOIN q ON p.token = q.token JOIN dfq f ON p.token = f.token
+        | JOIN dl ON p.doc_id = dl.doc_id CROSS JOIN stats s
+        | GROUP BY 1, 2)
+        |SELECT q_id, doc_id, score, CAST(rank AS INTEGER) AS rank FROM (
+        | SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank
+        | FROM scored)
+        |WHERE rank <= 7 ORDER BY q_id, rank""".stripMargin,
+
     "q_gopher_gate" ->
       s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
         |post AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
@@ -2370,7 +2418,7 @@ object ScaleQueries {
         |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
         |q AS (SELECT doc_id AS q_id,
         |  unnest(list_distinct((string_split(text, ' '))[1:6])) AS token
-        | FROM documents WHERE doc_id % 41 = 0),
+        | FROM documents WHERE doc_id % 163 = 0),
         |dfq AS (SELECT token, count(*) AS df FROM post
         | WHERE token IN (SELECT DISTINCT token FROM q) GROUP BY 1),
         |scored AS (SELECT q.q_id, p.doc_id,

@@ -54,11 +54,24 @@ object Retrieval {
     * any cross-engine comparison) never hinges on last-ulp float noise;
     * rank ties break by doc_id. Duplicate query terms are collapsed —
     * each distinct term contributes once.
+    *
+    * `maxDfFrac` is the candidate-volume dial (the analogue of the LSH
+    * band and df-capped fingerprint dials): query terms whose document
+    * frequency exceeds `maxDfFrac·N` are DROPPED before scoring — their
+    * idf is near zero, so they change rankings marginally while matching
+    * nearly every document (on a small-vocabulary corpus an uncapped
+    * common term degenerates the candidate set to all-pairs). 1.0 (the
+    * default) keeps every term. Lucene-family engines prune the same way
+    * (stop lists / WAND). A query whose every term is capped returns no
+    * rows for that q_id.
     */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                queries: DataFrame, qIdCol: String, termCol: String,
-               k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+               k: Int = 10, k1: Double = 1.2, b: Double = 0.75,
+               maxDfFrac: Double = 1.0): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    require(maxDfFrac > 0.0 && maxDfFrac <= 1.0,
+      s"maxDfFrac must be in (0, 1], got $maxDfFrac")
     val post = postings(docs, idCol, textCol)
     val qterms = queries
       .select(col(qIdCol).as("q_id"), col(termCol).as("token")).distinct()
@@ -67,10 +80,6 @@ object Retrieval {
     // terms, everything downstream is candidate-sized. cache(): feeds the
     // df count and the scoring join without re-scanning the corpus.
     val cand0 = post.join(broadcast(qterms), Seq("token")).cache()
-    // document frequency over the WHOLE corpus, but only for query tokens;
-    // distinct first — the q_id fanout must not multiply the doc count
-    val dfq = cand0.select("token", "doc_id").distinct()
-      .groupBy("token").agg(count(lit(1)).as("df"))
 
     // corpus stats: N and average document length (one tiny aggregate,
     // broadcast into the scoring join as a 1-row dimension)
@@ -79,10 +88,22 @@ object Retrieval {
     val stats = dl.agg(count(lit(1)).cast(DoubleType).as("n_docs"),
       avg("dl").as("avgdl"))
 
-    // candidate-sized side broadcast into the doc-length scan (dl is
-    // corpus-sized but narrow; the broadcast keeps it scan-only)
+    // document frequency over the WHOLE corpus, but only for query tokens;
+    // distinct first — the q_id fanout must not multiply the doc count.
+    // The df cap rides the same tiny table.
+    val dfq = cand0.select("token", "doc_id").distinct()
+      .groupBy("token").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats))
+      .filter(col("df") <= lit(maxDfFrac) * col("n_docs"))
+      .select("token", "df")
+
+    // NO broadcast hint on the scoring join: candidates are usually small
+    // (AQE broadcasts them), but a degenerate corpus — tiny vocabulary,
+    // every doc matching every term — can make them table-sized, and a
+    // forced broadcast would then bottleneck on the driver (the LangModel
+    // advisory lesson).
     val cand = cand0.join(broadcast(dfq), Seq("token"))
-    val scored = dl.join(broadcast(cand), Seq("doc_id"))
+    val scored = dl.join(cand, Seq("doc_id"))
       .crossJoin(broadcast(stats))
       .withColumn("idf",
         log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
@@ -92,6 +113,68 @@ object Retrieval {
       .groupBy("q_id", "doc_id")
       .agg(round(sum(col("idf") * col("tfn")), 4).as("score"))
 
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Persistable postings-index artifact: one row per (doc, token) with the
+    * term frequency AND the document length denormalized onto the row —
+    * schema (token, doc_id, dl, tf) — so a probe never has to rejoin the
+    * corpus. Build once per corpus snapshot (ONE tokenize pass), persist
+    * partitioned by token; daily probe batches then pay only the index
+    * semi-join — the same build/probe amortization contract as
+    * [[NearDup.buildMinHashIndex]]. Unlike MinHash signatures the rows are
+    * plain token counts, reproducible by any engine, so the artifact
+    * carries no version stamp: it is safe to persist, merge, and reread
+    * across library versions.
+    */
+  def buildBm25Index(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val n = docs.sparkSession.sessionState.conf.numShufflePartitions
+    docs.repartition(n)
+      .select(col(idCol).as("doc_id"),
+        size(TextOps.tokens(col(textCol))).cast(DoubleType).as("dl"),
+        explode(TextOps.tokens(col(textCol))).as("token"))
+      .groupBy("token", "doc_id", "dl").agg(count(lit(1)).as("tf"))
+  }
+
+  /** [[bm25TopK]] against a prebuilt [[buildBm25Index]] artifact — the
+    * shape a 100 TB deployment actually runs: the corpus is never
+    * re-tokenized; the index is scanned twice (probe semi-join + the
+    * column-pruned (doc_id, dl) pass for N/avgdl) and everything shuffled
+    * is candidate-sized. Same scoring arithmetic as [[bm25TopK]], so the
+    * two agree at the rounded-score level (RetrievalSpec pins equality on
+    * the fixture corpus).
+    */
+  def bm25TopKIndexed(index: DataFrame, queries: DataFrame,
+                      qIdCol: String, termCol: String,
+                      k: Int = 10, k1: Double = 1.2, b: Double = 0.75,
+                      maxDfFrac: Double = 1.0): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(maxDfFrac > 0.0 && maxDfFrac <= 1.0,
+      s"maxDfFrac must be in (0, 1], got $maxDfFrac")
+    val qterms = queries
+      .select(col(qIdCol).as("q_id"), col(termCol).as("token")).distinct()
+    val cand0 = index.join(broadcast(qterms), Seq("token")).cache()
+    // N and avgdl from the index itself: every doc appears (a document has
+    // at least one token), dl is functionally dependent on doc_id
+    val stats = index.select("doc_id", "dl").distinct()
+      .agg(count(lit(1)).cast(DoubleType).as("n_docs"), avg("dl").as("avgdl"))
+    val dfq = cand0.select("token", "doc_id").distinct()
+      .groupBy("token").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats))
+      .filter(col("df") <= lit(maxDfFrac) * col("n_docs"))
+      .select("token", "df")
+    val scored = cand0.join(broadcast(dfq), Seq("token"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("tfn",
+        col("tf") * (k1 + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy("q_id", "doc_id")
+      .agg(round(sum(col("idf") * col("tfn")), 4).as("score"))
     val w = Window.partitionBy("q_id")
       .orderBy(col("score").desc, col("doc_id"))
     scored.withColumn("rank", row_number().over(w))

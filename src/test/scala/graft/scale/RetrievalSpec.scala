@@ -102,6 +102,58 @@ class RetrievalSpec extends AnyFunSuite with Matchers {
     out(4L).getBoolean(5) shouldBe true
   }
 
+  test("bm25 maxDfFrac drops common query terms; fully-capped query is empty") {
+    // "common" in all 4 docs (df = 1.0), "rare" only in doc 1 (df = 0.25)
+    val docs = Seq((1L, "rare common pad1"), (2L, "common pad2 x"),
+      (3L, "common y z"), (4L, "common w v")).toDF("doc_id", "text")
+    val q = Seq((9L, "rare"), (9L, "common")).toDF("q_id", "term")
+    val capped = Retrieval.bm25TopK(docs, "doc_id", "text", q, "q_id", "term",
+      k = 10, maxDfFrac = 0.5).collect()
+    capped.map(_.getLong(1)).toSeq shouldBe Seq(1L) // only the rare term scores
+    val uncapped = Retrieval.bm25TopK(docs, "doc_id", "text", q, "q_id", "term",
+      k = 10).collect()
+    uncapped.length shouldBe 4 // the common term matches every doc
+    val allCapped = Retrieval.bm25TopK(docs, "doc_id", "text", q, "q_id", "term",
+      k = 10, maxDfFrac = 0.1).collect()
+    allCapped shouldBe empty
+  }
+
+  test("bm25 indexed path equals the inline path on the fixture corpus") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val probes = docs.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("q_id"),
+        explode(array_distinct(slice(split(col("text"), " "), 1, 4))).as("term"))
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1))
+    val inline = Retrieval.bm25TopK(docs, "doc_id", "text", probes, "q_id", "term", k = 10)
+      .collect().map(r => key(r) -> ((r.getDouble(2), r.getInt(3)))).toMap
+    val indexed = Retrieval.bm25TopKIndexed(
+      Retrieval.buildBm25Index(docs, "doc_id", "text"), probes, "q_id", "term", k = 10)
+      .collect().map(r => key(r) -> ((r.getDouble(2), r.getInt(3)))).toMap
+    indexed.keySet shouldBe inline.keySet
+    indexed.foreach { case (k0, (score, rank)) =>
+      rank shouldBe inline(k0)._2
+      score shouldBe inline(k0)._1 +- 1e-9
+    }
+  }
+
+  test("a persisted index probes without shuffling index rows pre-reduction") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25idx").toString
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    Retrieval.buildBm25Index(docs, "doc_id", "text")
+      .write.mode("overwrite").parquet(dir)
+    val index = spark.read.parquet(dir)
+    val probes = docs.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("q_id"),
+        explode(array_distinct(slice(split(col("text"), " "), 1, 4))).as("term"))
+    val out = Retrieval.bm25TopKIndexed(index, probes, "q_id", "term", k = 10)
+    out.count() should be > 0L
+    // every join over the index side is broadcast-built: no sort-merge or
+    // shuffled-hash join may carry index rows a broadcast hasn't reduced
+    val plan = out.queryExecution.executedPlan.toString
+    plan should not include "SortMergeJoin"
+    plan should not include "ShuffledHashJoin"
+  }
+
   test("soft dedup weights: each cluster's weights sum to 1") {
     val labels = Seq(
       (1L, 1L), (2L, 1L), (3L, 1L), // size-3 cluster
