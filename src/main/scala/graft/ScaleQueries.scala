@@ -1010,6 +1010,31 @@ object ScaleQueries {
         .ordered("q_id", "rank")
     }),
 
+    // Fifth end-to-end pipeline: Gopher-rule gate → near-dup clustering of
+    // the survivors → soft dedup weights → per-source EFFECTIVE budget
+    // (docs and tokens after down-weighting duplicates) — the mixture
+    // planner's input table. All stages are this round's operators
+    // composed declaratively; the rollup is one hash-agg on source.
+    "q_corpus_pipeline5" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val gate = TextOps.gopherGate(docs, "doc_id", "text")
+        .filter(col("pass")).select("doc_id", "n_tokens")
+      val survivors = docs.select("doc_id", "text", "source").join(gate, Seq("doc_id"))
+      val pairs = NearDup.minHashDedup(survivors.select("doc_id", "text"),
+        "doc_id", "text", threshold = 0.7)
+      val labels = NearDup.clusterPairs(
+        survivors.select(col("doc_id").as("id")), pairs)
+      val weights = NearDup.softDedupWeights(labels)
+        .select(col("id").as("doc_id"), col("weight"))
+      survivors.join(weights, Seq("doc_id"))
+        .groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          round(sum("weight"), 6).as("eff_docs"),
+          sum("n_tokens").as("n_tokens"),
+          round(sum(col("weight") * col("n_tokens")), 6).as("eff_tokens"))
+        .ordered("source")
+    }),
+
     // Soft dedup: q_dedup_clusters' planted-duplicate corpus, but members
     // are kept and down-weighted 1/cluster_size instead of dropped — one
     // count window over the cluster label, no cluster-dimension join.
@@ -2439,6 +2464,50 @@ object ScaleQueries {
         |   AS contaminated
         |FROM hits h JOIN sh e ON e.doc_id = h.q_id JOIN sh c ON c.doc_id = h.doc_id
         |ORDER BY h.q_id, h.rank""".stripMargin,
+
+    "q_corpus_pipeline5" ->
+      s"""WITH RECURSIVE toks AS (
+        | SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |post AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |g AS (SELECT doc_id,
+        |  CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |  CAST(max(tf) AS BIGINT) AS top,
+        |  round(CAST(sum(length(token) * tf) AS DOUBLE) / sum(tf), 4) AS avg_token_len,
+        |  CAST(sum(CASE WHEN list_contains($markersSql, token) THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_stopwords
+        | FROM post GROUP BY 1),
+        |gate AS (SELECT doc_id, n_tokens FROM g
+        | WHERE n_tokens BETWEEN 20 AND 100000
+        |   AND avg_token_len BETWEEN 3.0 AND 10.0 AND n_stopwords >= 2
+        |   AND round(CAST(top AS DOUBLE) / n_tokens, 4) <= 0.2),
+        |surv AS (SELECT d.doc_id, d.text, d.source, gate.n_tokens
+        | FROM documents d JOIN gate USING (doc_id)),
+        |sh AS (
+        | SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t)-2),
+        |     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+        | FROM (SELECT doc_id, string_split(text, ' ') AS t FROM surv)),
+        |prs AS (
+        | SELECT a_id, b_id FROM (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |   CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        |     / len(list_distinct(list_concat(a.shingles, b.shingles))) AS jac
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        | WHERE jac >= 0.7),
+        |edges AS (SELECT a_id AS src, b_id AS dst FROM prs
+        |          UNION ALL SELECT b_id, a_id FROM prs),
+        |r(id, root) AS (
+        | SELECT doc_id, doc_id FROM surv
+        | UNION
+        | SELECT e.dst, r.root FROM r JOIN edges e ON e.src = r.id),
+        |lab AS (SELECT id, min(root) AS cluster_root FROM r GROUP BY id),
+        |sizes AS (SELECT cluster_root, count(*) AS cluster_size FROM lab GROUP BY 1),
+        |w AS (SELECT id AS doc_id, round(CAST(1.0 AS DOUBLE) / cluster_size, 6) AS weight
+        | FROM lab JOIN sizes USING (cluster_root))
+        |SELECT source, count(*) AS n_docs, round(sum(weight), 6) AS eff_docs,
+        | CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        | round(sum(weight * n_tokens), 6) AS eff_tokens
+        |FROM surv JOIN w USING (doc_id)
+        |GROUP BY 1 ORDER BY source""".stripMargin,
 
     // q_dedup_clusters' exact component oracle, weights instead of drops.
     "q_dedup_softweight" ->
