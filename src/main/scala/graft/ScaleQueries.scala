@@ -1010,6 +1010,24 @@ object ScaleQueries {
         .ordered("q_id", "rank")
     }),
 
+    // Soft-dedup weights actually consumed: the weighted hash sample keeps
+    // each duplicate-cluster member with probability 1/cluster_size — hard
+    // dedup in expectation, per-row filter, no shuffle past the
+    // clustering. Same planted-duplicate corpus as q_dedup_clusters.
+    "q_weighted_sample" -> ((s, d) => {
+      val base = Tables.documents(s, d).select("doc_id", "text")
+      val copies = base.filter(col("doc_id") % 20 === 0)
+      val corpus = base
+        .unionByName(copies.select((col("doc_id") + 10000).as("doc_id"), col("text")))
+        .unionByName(copies.select((col("doc_id") + 20000).as("doc_id"), col("text")))
+      val pairs = NearDup.minHashDedup(corpus, "doc_id", "text", threshold = 0.7)
+      val labels = NearDup.clusterPairs(corpus.select(col("doc_id").as("id")), pairs)
+      val weights = NearDup.softDedupWeights(labels)
+        .select(col("id").as("doc_id"), col("cluster_root"), col("weight"))
+      Sampling.weightedHashSample(weights, "doc_id", "weight")
+        .ordered("doc_id")
+    }),
+
     // Fifth end-to-end pipeline: Gopher-rule gate → near-dup clustering of
     // the survivors → soft dedup weights → per-source EFFECTIVE budget
     // (docs and tokens after down-weighting duplicates) — the mixture
@@ -2464,6 +2482,40 @@ object ScaleQueries {
         |   AS contaminated
         |FROM hits h JOIN sh e ON e.doc_id = h.q_id JOIN sh c ON c.doc_id = h.doc_id
         |ORDER BY h.q_id, h.rank""".stripMargin,
+
+    "q_weighted_sample" ->
+      """WITH RECURSIVE all_docs AS (
+        | SELECT doc_id, text FROM documents
+        | UNION ALL
+        | SELECT doc_id + 10000, text FROM documents WHERE doc_id % 20 = 0
+        | UNION ALL
+        | SELECT doc_id + 20000, text FROM documents WHERE doc_id % 20 = 0),
+        |sh AS (
+        | SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks)-2),
+        |     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+        | FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM all_docs)),
+        |pairs AS (
+        | SELECT a_id, b_id FROM (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |   CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        |     / len(list_distinct(list_concat(a.shingles, b.shingles))) AS jac
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        | WHERE jac >= 0.7),
+        |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+        |          UNION ALL SELECT b_id, a_id FROM pairs),
+        |r(id, root) AS (
+        | SELECT doc_id, doc_id FROM all_docs
+        | UNION
+        | SELECT e.dst, r.root FROM r JOIN edges e ON e.src = r.id),
+        |lab AS (SELECT id, min(root) AS cluster_root FROM r GROUP BY id),
+        |sizes AS (SELECT cluster_root, count(*) AS cluster_size FROM lab GROUP BY 1),
+        |w AS (SELECT id AS doc_id, cluster_root,
+        |  round(CAST(1.0 AS DOUBLE) / cluster_size, 6) AS weight
+        | FROM lab JOIN sizes USING (cluster_root))
+        |SELECT doc_id, cluster_root, weight FROM w
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000
+        |  < weight * 1000000
+        |ORDER BY doc_id""".stripMargin,
 
     "q_corpus_pipeline5" ->
       s"""WITH RECURSIVE toks AS (

@@ -80,6 +80,25 @@ object Sampling {
       .filter(col("bucket") < col("rate_pct"))
   }
 
+  /** Per-row-WEIGHTED deterministic sample — the sampling consumer of
+    * [[NearDup.softDedupWeights]]: keep a row with probability
+    * `weightCol` ∈ [0,1] via the hash-threshold rule
+    * `md5bucket(id) mod resolution < weight·resolution`. Same md5-derived
+    * mechanics as [[hashSample]] (reproducible, append-stable, engine-
+    * portable), but the rate comes from a COLUMN instead of a constant —
+    * per-row filter, no shuffle. With weights 1/cluster_size the expected
+    * kept mass per duplicate cluster is one document: hard dedup in
+    * expectation while every member keeps a nonzero chance to represent
+    * its cluster. weight ≥ 1 always keeps; weight ≤ 0 or NULL never.
+    */
+  def weightedHashSample(df: DataFrame, idCol: String, weightCol: String,
+                         resolution: Long = 1000000L): DataFrame = {
+    require(resolution > 0, s"resolution must be positive, got $resolution")
+    df.filter(
+      pmod(Hashing.md5Long60(col(idCol).cast(StringType)), lit(resolution)) <
+        col(weightCol) * resolution)
+  }
+
   /** Token-budget mixture sampling — the domain-rebalancing pass of a
     * training run: given per-source mixture WEIGHTS and a total token
     * budget, allocate `budget · wₛ / Σw` tokens to source s and keep each

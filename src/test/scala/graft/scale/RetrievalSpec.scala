@@ -154,6 +154,25 @@ class RetrievalSpec extends AnyFunSuite with Matchers {
     plan should not include "ShuffledHashJoin"
   }
 
+  test("weighted hash sample: boundary weights, monotonicity, determinism") {
+    val df = (1L to 500L).map(i => (i, 0.5)).toDF("id", "w")
+    val all = df.withColumn("w", lit(1.0))
+    val none = df.withColumn("w", lit(0.0))
+    Sampling.weightedHashSample(all, "id", "w").count() shouldBe 500L
+    Sampling.weightedHashSample(none, "id", "w").count() shouldBe 0L
+    val half = Sampling.weightedHashSample(df, "id", "w")
+      .select("id").as[Long].collect().toSet
+    // determinism: the same call returns the same set
+    Sampling.weightedHashSample(df, "id", "w")
+      .select("id").as[Long].collect().toSet shouldBe half
+    // monotonicity: raising every weight only ADDS rows
+    val more = Sampling.weightedHashSample(df.withColumn("w", lit(0.8)), "id", "w")
+      .select("id").as[Long].collect().toSet
+    half.subsetOf(more) shouldBe true
+    // rate lands near the weight (hash uniformity; wide tolerance)
+    half.size.toDouble shouldBe (250.0 +- 60.0)
+  }
+
   test("soft dedup weights: each cluster's weights sum to 1") {
     val labels = Seq(
       (1L, 1L), (2L, 1L), (3L, 1L), // size-3 cluster
