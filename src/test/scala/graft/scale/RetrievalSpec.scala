@@ -80,6 +80,16 @@ class RetrievalSpec extends AnyFunSuite with Matchers {
     out.unpersist()
   }
 
+  test("bm25 edges: empty probe set and no-match probes return empty, not error") {
+    val docs = Seq((1L, "a b c"), (2L, "d e f")).toDF("doc_id", "text")
+    val noProbes = Seq.empty[(Long, String)].toDF("q_id", "term")
+    Retrieval.bm25TopK(docs, "doc_id", "text", noProbes, "q_id", "term").collect() shouldBe empty
+    val noMatch = Seq((1L, "zzz_not_in_corpus")).toDF("q_id", "term")
+    Retrieval.bm25TopK(docs, "doc_id", "text", noMatch, "q_id", "term").collect() shouldBe empty
+    Retrieval.bm25TopKIndexed(Retrieval.buildBm25Index(docs, "doc_id", "text"),
+      noMatch, "q_id", "term").collect() shouldBe empty
+  }
+
   test("gopher gate: each rule trips independently on crafted docs") {
     // 18 distinct 5-6 char tokens + 2 stopwords: every rule passes
     val good = (1 to 18).map(i => s"word$i").mkString(" ") + " the a"
