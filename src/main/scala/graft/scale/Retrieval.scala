@@ -75,11 +75,19 @@ object Retrieval {
     val post = postings(docs, idCol, textCol)
     val qterms = queries
       .select(col(qIdCol).as("q_id"), col(termCol).as("token")).distinct()
+    val qtokens = qterms.select("token").distinct()
 
-    // the ONE corpus-sized postings pass: joined to the broadcast query
-    // terms, everything downstream is candidate-sized. cache(): feeds the
-    // df count and the scoring join without re-scanning the corpus.
-    val cand0 = post.join(broadcast(qterms), Seq("token")).cache()
+    // the ONE corpus-sized postings pass: joined to the broadcast distinct
+    // query-TOKEN set (not the (q_id, token) pairs — the q_id fanout must
+    // not multiply rows before df is counted). Everything downstream is
+    // candidate-sized, and the plan stays LINEAR: document frequency is a
+    // window count over this same candidate set instead of a second
+    // aggregate branch, so no cache is needed and the corpus is scanned
+    // once. (The earlier two-branch design cached here; a plan-keyed cache
+    // on a reread index path silently serves stale candidates after new
+    // data lands — engineered away rather than documented.)
+    val cand1 = post.join(broadcast(qtokens), Seq("token"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("token")))
 
     // corpus stats: N and average document length (one tiny aggregate,
     // broadcast into the scoring join as a 1-row dimension)
@@ -88,23 +96,16 @@ object Retrieval {
     val stats = dl.agg(count(lit(1)).cast(DoubleType).as("n_docs"),
       avg("dl").as("avgdl"))
 
-    // document frequency over the WHOLE corpus, but only for query tokens;
-    // distinct first — the q_id fanout must not multiply the doc count.
-    // The df cap rides the same tiny table.
-    val dfq = cand0.select("token", "doc_id").distinct()
-      .groupBy("token").agg(count(lit(1)).as("df"))
-      .crossJoin(broadcast(stats))
-      .filter(col("df") <= lit(maxDfFrac) * col("n_docs"))
-      .select("token", "df")
-
+    // df cap, then the q_id fanout via the broadcast (q_id, token) pairs.
     // NO broadcast hint on the scoring join: candidates are usually small
     // (AQE broadcasts them), but a degenerate corpus — tiny vocabulary,
     // every doc matching every term — can make them table-sized, and a
     // forced broadcast would then bottleneck on the driver (the LangModel
     // advisory lesson).
-    val cand = cand0.join(broadcast(dfq), Seq("token"))
+    val cand = cand1.crossJoin(broadcast(stats))
+      .filter(col("df") <= lit(maxDfFrac) * col("n_docs"))
+      .join(broadcast(qterms), Seq("token"))
     val scored = dl.join(cand, Seq("doc_id"))
-      .crossJoin(broadcast(stats))
       .withColumn("idf",
         log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
       .withColumn("tfn",
@@ -156,18 +157,20 @@ object Retrieval {
       s"maxDfFrac must be in (0, 1], got $maxDfFrac")
     val qterms = queries
       .select(col(qIdCol).as("q_id"), col(termCol).as("token")).distinct()
-    val cand0 = index.join(broadcast(qterms), Seq("token")).cache()
+    val qtokens = qterms.select("token").distinct()
+    // ONE index pass reduced by the broadcast token set; df as a window
+    // count over the candidate-sized result (see bm25TopK — the linear
+    // no-cache plan means a re-probe of a grown index path always rereads
+    // the current segment set; nothing is plan-cached to go stale)
+    val cand1 = index.join(broadcast(qtokens), Seq("token"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("token")))
     // N and avgdl from the index itself: every doc appears (a document has
     // at least one token), dl is functionally dependent on doc_id
     val stats = index.select("doc_id", "dl").distinct()
       .agg(count(lit(1)).cast(DoubleType).as("n_docs"), avg("dl").as("avgdl"))
-    val dfq = cand0.select("token", "doc_id").distinct()
-      .groupBy("token").agg(count(lit(1)).as("df"))
-      .crossJoin(broadcast(stats))
+    val scored = cand1.crossJoin(broadcast(stats))
       .filter(col("df") <= lit(maxDfFrac) * col("n_docs"))
-      .select("token", "df")
-    val scored = cand0.join(broadcast(dfq), Seq("token"))
-      .crossJoin(broadcast(stats))
+      .join(broadcast(qterms), Seq("token"))
       .withColumn("idf",
         log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
       .withColumn("tfn",

@@ -29,14 +29,10 @@ object StreamingRetrieval {
   /** Attach index maintenance to a document stream (columns `idCol`,
     * `textCol`). Returns the started query; the index at `indexDir` is
     * readable at any batch boundary with `spark.read.parquet(indexDir)`
-    * and probed with [[Retrieval.bm25TopKIndexed]].
-    *
-    * Probe-side caveat: `bm25TopKIndexed` caches its candidate table, and
-    * Spark's cache is keyed on the LOGICAL PLAN — a second probe of the
-    * same query set against the same path would silently reuse the
-    * previous probe's candidates even though new segments exist. Drop the
-    * probe's cache (`unpersist`/`clearCache`) before re-probing a grown
-    * index (StreamingRetrievalSpec pins this).
+    * and probed with [[Retrieval.bm25TopKIndexed]]. Probes hold nothing in
+    * Spark's plan-keyed cache, so re-probing the same query set after new
+    * segments land always reads the current segment set
+    * (StreamingRetrievalSpec pins this).
     */
   def attachIndexMaintenance(docs: DataFrame, indexDir: String, checkpoint: String,
                              idCol: String = "doc_id",

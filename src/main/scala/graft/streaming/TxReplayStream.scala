@@ -224,8 +224,15 @@ class TxReplayStream(spark: SparkSession, stateRoot: String,
     if (targets.isEmpty) return Set.empty
     val stage = Paths.get(s"$stateRoot/$name/.stage-$tag-v$next")
     deleteRecursively(stage)
+    // partition count capped at the session's shuffle parallelism: appends
+    // pass ~all buckets as `targets` whatever the delta touches, and with a
+    // large bucket count an uncapped repartition would launch that many
+    // mostly-empty write tasks per batch. partitionBy("_b") still yields one
+    // dir per touched bucket; staged-set discovery tolerates empty buckets.
+    val parts = math.max(1, math.min(targets.size,
+      df.sparkSession.sessionState.conf.numShufflePartitions))
     df.withColumn("_b", bucketOf(col("key")))
-      .repartition(math.max(targets.size, 1), col("_b"))
+      .repartition(parts, col("_b"))
       .write.partitionBy("_b").mode(SaveMode.Overwrite).parquet(stage.toString)
     val staged = targets.filter(b => Files.exists(stage.resolve(s"_b=$b")))
     staged.foreach { b =>
@@ -457,13 +464,14 @@ class TxReplayStream(spark: SparkSession, stateRoot: String,
                 org.apache.spark.sql.types.LongType))))
             .write.mode(SaveMode.Overwrite).parquet(scalarDir("evicted", vNext)))))
 
-      // compaction (cleanupState) for the size-triggered buckets only —
-      // reading exactly those buckets' old segments PLUS the segment the
-      // batch just appended (no second pass over the delta): enrich to
-      // learn each event's commit LSN; unfinished events (no END yet) stay
-      // raw in the buffer. Chained on the append future: a compacting
-      // bucket's input includes its fresh appended segment, and the chain
-      // still runs concurrently with the replay.
+      // compaction (cleanupState) for the size-triggered buckets only.
+      // Appends and compactions are DISJOINT and unchained: the append jobs
+      // exclude compacting buckets (`newLeft.filter(!inBuckets(...))`), and
+      // a compacting bucket's input is its old segments plus its share of
+      // the CACHED delta read directly (`fresh.filter(inBuckets(compact))`)
+      // — no dependency on the append write, both run concurrently with
+      // the replay. Enrich to learn each event's commit LSN; unfinished
+      // events (no END yet) stay raw in the buffer.
       val endsKeyed = ends2.select("tx_id", "commit_lsn")
       def split(ev: DataFrame, latestKeys: Seq[String]): DataFrame = {
         val enriched = ev.join(broadcast(endsKeyed), Seq("tx_id"))

@@ -23,17 +23,20 @@ object RetrievalProfile {
     import org.apache.spark.sql.types.DoubleType
     (1 to 3).foreach { rep =>
       println(s"--- rep $rep")
-      // inline rebuild of bm25TopK with stop points
+      // inline rebuild of bm25TopK with stop points — MIRRORS the shipped
+      // plan (linear, no cache, df via window, no broadcast hint on the
+      // dl join); if Retrieval.bm25TopK's plan changes, change this too
       val post = Retrieval.postings(docs, "doc_id", "text")
       val qterms = probes.select(col("q_id"), col("term").as("token")).distinct()
       val qtokens = qterms.select("token").distinct()
-      val postQ = post.join(broadcast(qtokens), Seq("token")).cache()
-      val dfq = postQ.groupBy("token").agg(count(lit(1)).as("df"))
+      val cand1 = post.join(broadcast(qtokens), Seq("token"))
+        .withColumn("df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("token")))
       val dl = docs.select(col("doc_id"), size(split(col("text"), " ")).cast(DoubleType).as("dl"))
       val stats = dl.agg(count(lit(1)).cast(DoubleType).as("n_docs"), avg("dl").as("avgdl"))
-      val cand = postQ.join(broadcast(qterms), Seq("token")).join(broadcast(dfq), Seq("token"))
-      val scored = dl.join(broadcast(cand), Seq("doc_id"))
-        .crossJoin(broadcast(stats))
+      val cand = cand1.crossJoin(broadcast(stats))
+        .join(broadcast(qterms), Seq("token"))
+      val scored = dl.join(cand, Seq("doc_id"))
         .withColumn("idf", log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
         .withColumn("tfn", col("tf") * 2.2 / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
         .groupBy("q_id", "doc_id").agg(round(sum(col("idf") * col("tfn")), 4).as("score"))

@@ -36,9 +36,10 @@ class StreamingRetrievalSpec extends AnyFunSuite with Matchers {
     val probes = Seq((7L, "alpha"), (7L, "beta")).toDF("q_id", "term")
 
     def probe(): Map[(Long, Long), (Double, Int)] = {
-      // a fresh probe must not reuse the previous probe's candidate cache:
-      // the logical plan is identical, but the index has new segments
-      spark.catalog.clearCache()
+      // deliberately NO clearCache: the probe plan holds nothing in the
+      // plan-keyed cache, so an identical re-probe after new segments land
+      // must read the grown index (the round-7 stale-candidate footgun,
+      // engineered away by the linear no-cache probe plan)
       Retrieval.bm25TopKIndexed(spark.read.parquet(indexDir), probes, "q_id", "term", k = 10)
         .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getDouble(2), r.getInt(3))))
         .toMap
