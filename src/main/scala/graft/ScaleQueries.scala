@@ -7,6 +7,7 @@ import org.apache.spark.sql.expressions.Window
 
 import graft.Ordered._
 import graft.scale.{Bpe, Classifier, Decontam, Dsir, Embeddings, LangModel, Multimodal, NearDup, Packing, Retrieval, Sampling, Similarity, Sketches, SpanDedup, TextOps}
+import graft.streaming.StreamingRetrieval
 
 /** Driver-verifiable queries for the training-data-pipeline operators
   * (`graft.scale`) over the `documents` table, each with a DuckDB oracle
@@ -959,6 +960,33 @@ object ScaleQueries {
           explode(array_distinct(slice(split(col("text"), " "), 1, 5))).as("term"))
       Retrieval.bm25TopKIndexed(Retrieval.buildBm25Index(docs, "doc_id", "text"),
         probes, "q_id", "term", k = 7)
+        .ordered("q_id", "rank")
+    }),
+
+    // BM25 over a LIVE upsert/delete index (StreamingRetrieval's LSM
+    // contract, batch-composed): batch 0 indexes the corpus, batch 1
+    // re-sends every %23 doc with appended text (latest version wins),
+    // batch 2 deletes every %31 doc via markers. The probe resolves
+    // liveness from per-doc batch maxima + the marker table — both
+    // churn-sized joins riding the candidate set — and must equal BM25
+    // over the surviving latest-version corpus (the oracle).
+    "q_bm25_upsert" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val seg0 = Retrieval.buildBm25Index(docs, "doc_id", "text")
+        .withColumn("batch", lit(0L))
+      val updated = docs.filter(col("doc_id") % 23 === 0)
+        .withColumn("text", concat(col("text"), lit(" refreshed v2")))
+      val seg1 = Retrieval.buildBm25Index(updated, "doc_id", "text")
+        .withColumn("batch", lit(1L))
+      val dels = docs.filter(col("doc_id") % 31 === 0)
+        .select(col("doc_id"), lit(2L).as("batch"))
+      val probes = docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("q_id"),
+          explode(array_distinct(slice(split(col("text"), " "), 1, 4))).as("term"))
+        .unionByName(Seq((-1L, "refreshed")).toDF("q_id", "term"))
+      StreamingRetrieval.bm25TopKLive(seg0.unionByName(seg1), dels,
+        probes, "q_id", "term", k = 10)
         .ordered("q_id", "rank")
     }),
 
@@ -2432,6 +2460,33 @@ object ScaleQueries {
         | SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank
         | FROM scored)
         |WHERE rank <= 7 ORDER BY q_id, rank""".stripMargin,
+
+    // the live upsert/delete index must answer exactly like BM25 over the
+    // SURVIVING corpus: %31 docs gone, %23 docs replaced by their v2 text
+    "q_bm25_upsert" ->
+      """WITH corpus AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 23 = 0 THEN text || ' refreshed v2' ELSE text END AS text
+        | FROM documents WHERE doc_id % 31 <> 0),
+        |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM corpus),
+        |post AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl FROM corpus),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |q AS (SELECT doc_id AS q_id,
+        |  unnest(list_distinct((string_split(text, ' '))[1:4])) AS token
+        | FROM documents WHERE doc_id % 97 = 0
+        | UNION ALL SELECT -1 AS q_id, 'refreshed' AS token),
+        |dfq AS (SELECT token, count(*) AS df FROM post
+        | WHERE token IN (SELECT DISTINCT token FROM q) GROUP BY 1),
+        |scored AS (SELECT q.q_id, p.doc_id,
+        |  round(sum(ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+        |    * p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))), 4) AS score
+        | FROM post p JOIN q ON p.token = q.token JOIN dfq f ON p.token = f.token
+        | JOIN dl ON p.doc_id = dl.doc_id CROSS JOIN stats s
+        | GROUP BY 1, 2)
+        |SELECT q_id, doc_id, score, CAST(rank AS INTEGER) AS rank FROM (
+        | SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank
+        | FROM scored)
+        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
 
     "q_gopher_gate" ->
       s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
