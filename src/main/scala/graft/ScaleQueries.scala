@@ -990,6 +990,25 @@ object ScaleQueries {
         .ordered("q_id", "rank")
     }),
 
+    // Hybrid retrieval fusion: the same probe documents retrieve through
+    // BOTH modalities — BM25 over their leading text terms and exact
+    // cosine over their embedding — and the two top-10 lists fuse by
+    // reciprocal rank (k0=60). Fusion is candidate-sized end-to-end: one
+    // union of two top-k lists, one (q_id, doc_id) hash-agg, one rank
+    // window per query.
+    "q_retrieval_fused" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val probes = docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("q_id"),
+          explode(array_distinct(slice(split(col("text"), " "), 1, 4))).as("term"))
+      val lex = Retrieval.bm25TopK(docs, "doc_id", "text", probes, "q_id", "term", k = 10)
+      val e = Tables.embeddings(s, d)
+      val sem = Similarity.bruteForceTopK(e, e.filter(col("vec_id") % 97 === 0), k = 10)
+        .withColumnRenamed("neighbor_id", "doc_id")
+      Retrieval.rrfFuse(Seq(lex, sem), k = 10)
+        .ordered("q_id", "rank")
+    }),
+
     // Gopher-style rule gate: hard per-doc bounds from postings statistics
     // alone — one (doc, token) hash-agg + per-doc rollup, no second text
     // scan. Thresholds chosen so each rule splits this corpus.
@@ -1079,6 +1098,46 @@ object ScaleQueries {
           sum("n_tokens").as("n_tokens"),
           round(sum(col("weight") * col("n_tokens")), 6).as("eff_tokens"))
         .ordered("source")
+    }),
+
+    // Sixth composed pipeline — gate → retrieve (both modalities) → fuse →
+    // verify: the Gopher gate prunes the corpus once, each eval passage
+    // retrieves top-5 candidates lexically (BM25 over the gated text) AND
+    // semantically (exact cosine over the gated embeddings), the two lists
+    // fuse by reciprocal rank, and ONLY the fused candidates pay the
+    // 3-gram containment verify. One declarative plan; after the gate the
+    // only corpus-sized work is the postings semi-join and the one
+    // embedding pass — fusion and verify are candidate-sized.
+    "q_corpus_pipeline6" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val gate = TextOps.gopherGate(docs, "doc_id", "text")
+        .filter(col("pass")).select("doc_id")
+      val corpus = docs.select("doc_id", "text").join(gate, Seq("doc_id"))
+      val evals = docs.select("doc_id", "text").filter(col("doc_id") % 163 === 0)
+      val probes = evals.select(col("doc_id").as("q_id"),
+        explode(array_distinct(slice(split(col("text"), " "), 1, 6))).as("term"))
+      val lex = Retrieval.bm25TopK(corpus, "doc_id", "text", probes, "q_id", "term", k = 5)
+      val emb = Tables.embeddings(s, d)
+      val sem = Similarity.bruteForceTopK(
+        emb.join(gate.select(col("doc_id").as("vec_id")), Seq("vec_id")),
+        emb.filter(col("vec_id") % 163 === 0), k = 5)
+        .withColumnRenamed("neighbor_id", "doc_id")
+      // bounded by |evals|·5 per list by construction → broadcastable
+      val hits = Retrieval.rrfFuse(Seq(lex, sem), k = 5).cache()
+      val evalG = evals.select(col("doc_id").as("q_id"),
+        NearDup.shinglesFromTokens(TextOps.tokens(col("text"))).as("eg"))
+      val candG = docs.select("doc_id", "text")
+        .join(broadcast(hits.select("doc_id").distinct()), Seq("doc_id"))
+        .select(col("doc_id"),
+          NearDup.shinglesFromTokens(TextOps.tokens(col("text"))).as("cg"))
+      val he = hits.join(evalG, Seq("q_id"))
+      candG.join(broadcast(he), Seq("doc_id"))
+        .withColumn("overlap", round(
+          size(array_intersect(col("eg"), col("cg"))).cast(DoubleType) /
+            size(col("eg")), 6))
+        .withColumn("contaminated", col("overlap") >= 0.5)
+        .select("q_id", "doc_id", "rank", "rrf", "overlap", "contaminated")
+        .ordered("q_id", "rank")
     }),
 
     // Soft dedup: q_dedup_clusters' planted-duplicate corpus, but members
@@ -2461,6 +2520,45 @@ object ScaleQueries {
         | FROM scored)
         |WHERE rank <= 7 ORDER BY q_id, rank""".stripMargin,
 
+    // RRF over the two modality rankings; 1.0::DOUBLE keeps the division
+    // out of DuckDB's decimal arithmetic so both engines sum doubles
+    "q_retrieval_fused" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |post AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl FROM documents),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |q AS (SELECT doc_id AS q_id,
+        |  unnest(list_distinct((string_split(text, ' '))[1:4])) AS token
+        | FROM documents WHERE doc_id % 97 = 0),
+        |dfq AS (SELECT token, count(*) AS df FROM post
+        | WHERE token IN (SELECT DISTINCT token FROM q) GROUP BY 1),
+        |bscored AS (SELECT q.q_id, p.doc_id,
+        |  round(sum(ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+        |    * p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))), 4) AS score
+        | FROM post p JOIN q ON p.token = q.token JOIN dfq f ON p.token = f.token
+        | JOIN dl ON p.doc_id = dl.doc_id CROSS JOIN stats s
+        | GROUP BY 1, 2),
+        |lex AS (SELECT q_id, doc_id, rank FROM (
+        | SELECT q_id, doc_id,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank
+        | FROM bscored) WHERE rank <= 10),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |p2 AS (SELECT q.vec_id AS q_id, c.vec_id AS doc_id,
+        |  ${cosSql("q.v", "c.v")} AS cos
+        | FROM e q JOIN e c ON q.vec_id <> c.vec_id
+        | WHERE q.vec_id % 97 = 0),
+        |sem AS (SELECT q_id, doc_id, rank FROM (
+        | SELECT q_id, doc_id,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, doc_id) AS rank
+        | FROM p2) WHERE rank <= 10),
+        |fused AS (SELECT q_id, doc_id,
+        |  round(sum(1.0::DOUBLE / (60 + rank)), 6) AS rrf
+        | FROM (SELECT * FROM lex UNION ALL SELECT * FROM sem) GROUP BY 1, 2)
+        |SELECT q_id, doc_id, rrf, CAST(rank AS INTEGER) AS rank FROM (
+        | SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, doc_id) AS rank
+        | FROM fused)
+        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+
     // the live upsert/delete index must answer exactly like BM25 over the
     // SURVIVING corpus: %31 docs gone, %23 docs replaced by their v2 text
     "q_bm25_upsert" ->
@@ -2536,6 +2634,69 @@ object ScaleQueries {
         | round(CAST(len(list_intersect(e.g, c.g)) AS DOUBLE) / len(e.g), 6) >= 0.5
         |   AS contaminated
         |FROM hits h JOIN sh e ON e.doc_id = h.q_id JOIN sh c ON c.doc_id = h.doc_id
+        |ORDER BY h.q_id, h.rank""".stripMargin,
+
+    // gate → dual retrieve → RRF → verify, all in one statement; the gate
+    // CTEs mirror q_gopher_gate, the retrieval CTEs q_bm25_topk (over the
+    // gated corpus), the fusion q_retrieval_fused, the verify
+    // q_decontam_retrieval
+    "q_corpus_pipeline6" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |post AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |g AS (SELECT doc_id,
+        |  CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |  CAST(max(tf) AS BIGINT) AS top,
+        |  round(CAST(sum(length(token) * tf) AS DOUBLE) / sum(tf), 4) AS avg_token_len,
+        |  CAST(sum(CASE WHEN list_contains($markersSql, token) THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_stopwords
+        | FROM post GROUP BY 1),
+        |gate AS (SELECT doc_id FROM g
+        | WHERE n_tokens BETWEEN 20 AND 100000
+        |   AND avg_token_len BETWEEN 3.0 AND 10.0 AND n_stopwords >= 2
+        |   AND round(CAST(top AS DOUBLE) / n_tokens, 4) <= 0.2),
+        |cpost AS (SELECT p.doc_id, p.token, p.tf FROM post p JOIN gate USING (doc_id)),
+        |dl AS (SELECT d.doc_id, CAST(len(string_split(d.text, ' ')) AS DOUBLE) AS dl
+        | FROM documents d JOIN gate USING (doc_id)),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |q AS (SELECT doc_id AS q_id,
+        |  unnest(list_distinct((string_split(text, ' '))[1:6])) AS token
+        | FROM documents WHERE doc_id % 163 = 0),
+        |dfq AS (SELECT token, count(*) AS df FROM cpost
+        | WHERE token IN (SELECT DISTINCT token FROM q) GROUP BY 1),
+        |bscored AS (SELECT q.q_id, p.doc_id,
+        |  round(sum(ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+        |    * p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))), 4) AS score
+        | FROM cpost p JOIN q ON p.token = q.token JOIN dfq f ON p.token = f.token
+        | JOIN dl ON p.doc_id = dl.doc_id CROSS JOIN stats s
+        | GROUP BY 1, 2),
+        |lex AS (SELECT q_id, doc_id, rank FROM (
+        | SELECT q_id, doc_id,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank
+        | FROM bscored) WHERE rank <= 5),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        | JOIN gate ON gate.doc_id = vec_id),
+        |eq AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 163 = 0),
+        |p2 AS (SELECT q.vec_id AS q_id, c.vec_id AS doc_id,
+        |  ${cosSql("q.v", "c.v")} AS cos
+        | FROM eq q JOIN e c ON q.vec_id <> c.vec_id),
+        |sem AS (SELECT q_id, doc_id, rank FROM (
+        | SELECT q_id, doc_id,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, doc_id) AS rank
+        | FROM p2) WHERE rank <= 5),
+        |fused AS (SELECT q_id, doc_id,
+        |  round(sum(1.0::DOUBLE / (60 + rank)), 6) AS rrf
+        | FROM (SELECT * FROM lex UNION ALL SELECT * FROM sem) GROUP BY 1, 2),
+        |hits AS (SELECT q_id, doc_id, rrf, CAST(rank AS INTEGER) AS rank FROM (
+        | SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, doc_id) AS rank
+        | FROM fused) WHERE rank <= 5),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t)-2),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+        | FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
+        |SELECT h.q_id, h.doc_id, h.rank, h.rrf,
+        | round(CAST(len(list_intersect(e2.g, c.g)) AS DOUBLE) / len(e2.g), 6) AS overlap,
+        | round(CAST(len(list_intersect(e2.g, c.g)) AS DOUBLE) / len(e2.g), 6) >= 0.5
+        |   AS contaminated
+        |FROM hits h JOIN sh e2 ON e2.doc_id = h.q_id JOIN sh c ON c.doc_id = h.doc_id
         |ORDER BY h.q_id, h.rank""".stripMargin,
 
     "q_weighted_sample" ->

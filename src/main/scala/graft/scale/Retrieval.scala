@@ -120,6 +120,33 @@ object Retrieval {
       .filter(col("rank") <= k)
   }
 
+  /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher, SIGIR'09) of per-query
+    * rankings from heterogeneous retrievers — the standard way to combine a
+    * lexical [[bm25TopK]] list with an embedding [[Similarity]] top-k before
+    * a verifier, without comparing incomparable scores: each system
+    * contributes `1/(k0 + rank)` per (query, doc) and the fused list ranks
+    * by the sum. `k0 = 60` is the paper's constant; larger values flatten
+    * the head. Inputs need columns (q_id, doc_id, rank); a doc missing from
+    * a system's list simply contributes nothing for it.
+    *
+    * Scale shape: inputs are top-k lists, so everything here is
+    * candidate-sized — one union, one hash-agg on (q_id, doc_id), one rank
+    * window partitioned by query. Fused scores are rounded to 6 decimals
+    * before ranking (ties break by doc_id) so the ordering is reproducible
+    * across engines.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int = 10, k0: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(k > 0, s"k must be positive, got $k")
+    require(k0 >= 0, s"k0 must be non-negative, got $k0")
+    val unioned = rankings.map(_.select("q_id", "doc_id", "rank")).reduce(_ unionByName _)
+    val fused = unioned.groupBy("q_id", "doc_id")
+      .agg(round(sum(lit(1.0) / (lit(k0) + col("rank"))), 6).as("rrf"))
+    val w = Window.partitionBy("q_id").orderBy(col("rrf").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Persistable postings-index artifact: one row per (doc, token) with the
     * term frequency AND the document length denormalized onto the row —
     * schema (token, doc_id, dl, tf) — so a probe never has to rejoin the

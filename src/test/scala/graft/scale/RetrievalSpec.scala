@@ -183,6 +183,26 @@ class RetrievalSpec extends AnyFunSuite with Matchers {
     half.size.toDouble shouldBe (250.0 +- 60.0)
   }
 
+  test("rrf fusion: hand-computed scores, one-list docs, tie-break by doc id") {
+    import spark.implicits._
+    // system A: doc 1 @1, doc 2 @2; system B: doc 2 @1, doc 3 @2
+    val a = Seq((9L, 1L, 1), (9L, 2L, 2)).toDF("q_id", "doc_id", "rank")
+    val b = Seq((9L, 2L, 1), (9L, 3L, 2)).toDF("q_id", "doc_id", "rank")
+    val out = Retrieval.rrfFuse(Seq(a, b), k = 10)
+      .orderBy("rank").collect()
+    // doc 2: 1/62 + 1/61 (both lists) beats doc 1: 1/61 (one list)
+    out.map(_.getLong(1)).toSeq shouldBe Seq(2L, 1L, 3L)
+    out.head.getDouble(2) shouldBe (math.rint((1.0 / 62 + 1.0 / 61) * 1e6) / 1e6 +- 1e-9)
+    out(1).getDouble(2) shouldBe (math.rint(1.0 / 61 * 1e6) / 1e6 +- 1e-9)
+    // doc 1 and doc 3 tie at rounded 1/61 vs 1/62 — no; make a real tie:
+    val t1 = Seq((5L, 7L, 3)).toDF("q_id", "doc_id", "rank")
+    val t2 = Seq((5L, 4L, 3)).toDF("q_id", "doc_id", "rank")
+    val tied = Retrieval.rrfFuse(Seq(t1, t2), k = 10).orderBy("rank").collect()
+    tied.map(_.getLong(1)).toSeq shouldBe Seq(4L, 7L) // equal rrf → doc_id asc
+    // k caps the fused list
+    Retrieval.rrfFuse(Seq(a, b), k = 1).count() shouldBe 1L
+  }
+
   test("soft dedup weights: each cluster's weights sum to 1") {
     val labels = Seq(
       (1L, 1L), (2L, 1L), (3L, 1L), // size-3 cluster
