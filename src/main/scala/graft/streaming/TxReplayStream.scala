@@ -429,12 +429,26 @@ class TxReplayStream(spark: SparkSession, stateRoot: String,
       // read as "incomplete" and stall the watermark. COLLECTED: the replay
       // broadcasts this set into its probe joins anyway (a broadcast IS a
       // driver collect), so materializing it driver-side adds no scale
-      // constraint — and the watermark falls out for free instead of
-      // costing a separate aggregation job.
-      val reachRows = phased("watermark")(
-        TxReplay.txCompletenessFromCounts(counts, ends2, watermark)
-          .filter(col("reachable")).select("tx_id", "commit_lsn")
+      // constraint. ONE job: collect (lsn, complete) for every unsettled
+      // announced tx and derive the stall point, reachability, and the new
+      // watermark in plain Scala — running the stall-min as its own
+      // aggregate feeding crossJoin(broadcast(stall)) (the
+      // txCompletenessFromCounts shape) evaluated the uncached ends⋈counts
+      // join twice and launched an extra job per batch.
+      val flaggedRows = phased("watermark")(
+        ends2.filter(col("commit_lsn") > lit(watermark))
+          .join(counts, Seq("tx_id"), "left")
+          .select(col("tx_id"), col("commit_lsn"),
+            (coalesce(col("n_left"), lit(0L)) === col("expected_left") &&
+              coalesce(col("n_right"), lit(0L)) === col("expected_right")).as("complete"))
           .collect())
+      val stallLsn = {
+        val it = flaggedRows.iterator.filter(!_.getBoolean(2)).map(_.getLong(1))
+        if (it.hasNext) it.min else Long.MaxValue
+      }
+      val reachRows = flaggedRows
+        .filter(r => r.getBoolean(2) && r.getLong(1) < stallLsn)
+        .map(r => org.apache.spark.sql.Row(r.getLong(0), r.getLong(1)))
       val newWm =
         if (reachRows.isEmpty) watermark
         else math.max(reachRows.iterator.map(_.getLong(1)).max, watermark)
