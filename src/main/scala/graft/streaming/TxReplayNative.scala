@@ -62,11 +62,16 @@ import org.apache.spark.sql.types._
   * key for assembly — the information-theoretic floor for this operator
   * (an earlier 4-stage form shuffled events a third time into a dedicated
   * key-fanout stage; folding key memory into the completeness counter
-  * removed it). The one tradeoff: a stalled-but-complete transaction's
-  * key set waits inside the sequencer's single-partition state instead of
-  * distributed per-tx state — per-tx-bounded metadata (the reference's
-  * injector queues per-tx buffers the same way); a workload with millions
-  * of keys per transaction would want the key list sharded. All state is
+  * removed it). The one tradeoff of the default fold: a
+  * stalled-but-complete transaction's key set waits inside the
+  * sequencer's single-partition state instead of distributed per-tx
+  * state — per-tx-bounded metadata (the reference's injector queues
+  * per-tx buffers the same way). For workloads with millions of keys per
+  * transaction (bulk UPDATEs), `keyShards` opts into the sharded
+  * [[TxReplayNative.ShardFanout]] stage: key memory spreads over
+  * (txId, shard) state entries across partitions and the
+  * signal/sequencer path carries pure metadata, at the price of a third
+  * keyed shuffle of 2-long records. All state is
   * per-key/per-tx in RocksDB, compacted by the store; there is no
   * full-state scan anywhere. The transport assumption is inherited from
   * the reference: tx END events arrive in commit-LSN order (Debezium's
@@ -113,6 +118,13 @@ case class Release(txId: Long, commitLsn: Long, keys: Seq[Long],
 case class FlushMarker(key: Long, txId: Long, commitLsn: Long,
                        purge: Boolean = false)
 
+/** Wire record of the opt-in sharded key fan-out (`keyShards`): either a
+  * key sighting destined for shard state (`release = false`) or a release
+  * broadcast to every shard of the transaction (`release = true`).
+  */
+case class ShardCmd(txId: Long, shard: Int, key: Long, release: Boolean,
+                    commitLsn: Long, purge: Boolean)
+
 object TxReplayNative {
 
   /** Stage 1: per-transaction completeness counter + touched-key memory
@@ -129,7 +141,8 @@ object TxReplayNative {
     * events, which are never applied. The tombstoned progress row (`done`)
     * absorbs any later stragglers of the evicted tx.
     */
-  class Completeness(stallTimeoutMs: Option[Long] = None)
+  class Completeness(stallTimeoutMs: Option[Long] = None,
+                     trackKeys: Boolean = true)
       extends StatefulProcessor[Long, TxMeta, TxSignal] {
     @transient private var st: ValueState[TxProgress] = _
     @transient private var keys: ListState[Long] = _
@@ -163,8 +176,12 @@ object TxReplayNative {
         }
       }
       if (p.announced && p.nLeft == p.expLeft && p.nRight == p.expRight) {
-        // completeness == every sighting has arrived, so the set is final
-        val all = (keys.get().toVector ++ fresh.result()).distinct
+        // completeness == every sighting has arrived, so the set is final.
+        // Under sharded fan-out the signal carries NO keys — key memory
+        // lives distributed in the ShardFanout stage, so a bulk tx never
+        // rides one signal row or one sequencer state entry.
+        val all =
+          if (trackKeys) (keys.get().toVector ++ fresh.result()).distinct else Nil
         out += TxSignal(txId, p.commitLsn, complete = true, keys = all)
         // settling deletes the stall timer — otherwise every settled tx
         // fires a no-op timer one timeout later (a timer storm at scale)
@@ -173,7 +190,7 @@ object TxReplayNative {
         keys.clear()
       } else {
         val f = fresh.result()
-        if (f.nonEmpty) keys.appendList(f.distinct.toArray)
+        if (trackKeys && f.nonEmpty) keys.appendList(f.distinct.toArray)
         st.update(p)
       }
       out.result().iterator
@@ -228,6 +245,57 @@ object TxReplayNative {
       (unannounced.result() ++
         release.map(s => Release(s.txId, s.commitLsn, s.keys, purge = s.abandoned)))
         .iterator
+    }
+  }
+
+  /** Opt-in stage 2½ for bulk-update workloads (`keyShards`): distributed
+    * key memory keyed by (txId, shard). A transaction touching millions of
+    * keys (a bulk UPDATE — real CDC produces these) would otherwise carry
+    * its whole key set in ONE ListState entry of the completeness stage,
+    * one signal row through the shuffle, and one entry of the
+    * parallelism-1 sequencer's state while stalled — this stage spreads it
+    * over `keyShards` state-store entries across partitions, and the
+    * signal/sequencer path carries pure metadata. Key sightings arrive
+    * directly from the event-metadata stream (deduplicated here via
+    * MapState); a release arrives as `keyShards` control records and fans
+    * out flush markers from the shard's stored set. The price is a third
+    * keyed shuffle of 2-long metadata records — which is why the unsharded
+    * fold (keys on the complete signal) stays the default.
+    *
+    * Ordering is safe without timestamps: a release follows completeness,
+    * so every key sighting of the tx was processed by stage 1 in the same
+    * or an earlier micro-batch, and this stage handles a batch's rows
+    * order-independently (keys collected before the release applies).
+    * After a normal release the shard's state clears entirely — the
+    * transport contract says a complete tx has no stragglers; after a
+    * purge (abandoned tx) a tombstone absorbs the stragglers that
+    * motivated the purge in the first place.
+    */
+  class ShardFanout extends StatefulProcessor[(Long, Int), ShardCmd, FlushMarker] {
+    @transient private var seen: MapState[Long, Boolean] = _
+    @transient private var done: ValueState[java.lang.Boolean] = _
+    override def init(o: OutputMode, t: TimeMode): Unit = {
+      seen = getHandle.getMapState[Long, Boolean]("keys",
+        Encoders.scalaLong, Encoders.scalaBoolean, TTLConfig.NONE)
+      done = getHandle.getValueState[java.lang.Boolean]("done",
+        Encoders.BOOLEAN, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(k: (Long, Int), rows: Iterator[ShardCmd],
+                                 tv: TimerValues): Iterator[FlushMarker] = {
+      if (Option(done.get()).exists(_.booleanValue)) return Iterator.empty
+      val all = rows.toVector
+      val fresh = all.filter(!_.release).map(_.key).distinct
+      all.find(_.release) match {
+        case None =>
+          fresh.foreach(kk => if (!seen.containsKey(kk)) seen.updateValue(kk, true))
+          Iterator.empty
+        case Some(r) =>
+          val keys = (seen.iterator().map(_._1).toVector ++ fresh).distinct
+          seen.clear()
+          if (r.purge) done.update(java.lang.Boolean.TRUE) // straggler absorber
+          keys.iterator.map(kk => FlushMarker(kk, r.txId, r.commitLsn, r.purge))
+      }
     }
   }
 
@@ -346,8 +414,10 @@ object TxReplayNative {
     * design, and later transactions emit as if it never happened.
     */
   def docs(left: DataFrame, right: DataFrame, ends: DataFrame,
-           stallTimeoutMs: Option[Long] = None): DataFrame = {
+           stallTimeoutMs: Option[Long] = None,
+           keyShards: Option[Int] = None): DataFrame = {
     require(stallTimeoutMs.forall(_ > 0), "stallTimeoutMs must be positive")
+    require(keyShards.forall(_ > 0), "keyShards must be positive")
     val spark = left.sparkSession
     import spark.implicits._
 
@@ -363,17 +433,32 @@ object TxReplayNative {
 
     val signals = metaL.union(metaR).union(metaE)
       .groupByKey(_.txId)
-      .transformWithState(new Completeness(stallTimeoutMs),
+      .transformWithState(new Completeness(stallTimeoutMs, trackKeys = keyShards.isEmpty),
         if (stallTimeoutMs.isDefined) TimeMode.ProcessingTime() else TimeMode.None(),
         OutputMode.Append())
 
     val released = signals.groupByKey(_ => 0L)
       .transformWithState(new Sequencer, TimeMode.None(), OutputMode.Append())
 
-    // release → per-key flush markers: a narrow flatMap over the key set
-    // the completeness stage collected — no third event shuffle
-    val markers = released.flatMap(r =>
-      r.keys.map(k => FlushMarker(k, r.txId, r.commitLsn, r.purge)))
+    // release → per-key flush markers. Default: a narrow flatMap over the
+    // key set the completeness stage collected — no third shuffle. With
+    // `keyShards`: key memory lives in the sharded stage instead (see
+    // ShardFanout) — sightings shuffle there as 2-long metadata records
+    // and a release reaches every shard as `keyShards` control rows.
+    val markers = keyShards match {
+      case None =>
+        released.flatMap(r =>
+          r.keys.map(k => FlushMarker(k, r.txId, r.commitLsn, r.purge)))
+      case Some(s) =>
+        val sightings = metaL.union(metaR).map(m =>
+          ShardCmd(m.txId, (((m.key % s) + s) % s).toInt, m.key,
+            release = false, 0L, purge = false))
+        val controls = released.flatMap(r => (0 until s).map(sh =>
+          ShardCmd(r.txId, sh, -1L, release = true, r.commitLsn, r.purge)))
+        sightings.union(controls)
+          .groupByKey(c => (c.txId, c.shard))
+          .transformWithState(new ShardFanout, TimeMode.None(), OutputMode.Append())
+    }
 
     val lt = left.schema("row").dataType
     val rt = right.schema("row").dataType

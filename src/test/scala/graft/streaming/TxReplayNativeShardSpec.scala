@@ -1,0 +1,173 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.TestSpark
+import graft.tx.{LeftEv, LineRow, OrderRow, RightEv, TxEnd, TxReplay}
+
+/** The sharded key fan-out (`keyShards`) must change NOTHING about the
+  * emission sequence — same docs, same per-key commit order, same stall
+  * behavior — while key memory lives in the (txId, shard)-keyed
+  * ShardFanout state instead of riding the complete signal through the
+  * parallelism-1 sequencer. Includes the bulk-transaction fixture the
+  * sharding exists for: one tx touching tens of thousands of keys, where
+  * the unsharded fold would put the whole key set in one signal row and
+  * one sequencer state entry.
+  */
+class TxReplayNativeShardSpec extends AnyFunSuite with Matchers {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def withRocksDb[T](f: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try f finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  private def toNative(l: Seq[LeftEv], r: Seq[RightEv], e: Seq[TxEnd]): Seq[NativeEv] =
+    l.map(x => NativeEv("l", x.key, -1L, x.op, x.lsn, x.tx_id, x.row, null, -1L, -1L, -1L)) ++
+    r.map(x => NativeEv("r", x.key, x.line_id, x.op, x.lsn, x.tx_id, null, x.row, -1L, -1L, -1L)) ++
+    e.map(x => NativeEv("t", -1L, -1L, null, -1L, x.tx_id, null, null,
+      x.commit_lsn, x.expected_left, x.expected_right))
+
+  private def runSharded(name: String, batches: Seq[Seq[NativeEv]],
+                         shards: Int): Seq[Seq[Row]] = withRocksDb {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[NativeEv]
+    val df = in.toDF()
+    val left = df.filter(col("stream") === "l")
+      .select(col("key"), col("op"), col("lsn"), col("tx_id"), col("orow").as("row"))
+    val right = df.filter(col("stream") === "r")
+      .select(col("key"), col("line_id"), col("op"), col("lsn"), col("tx_id"),
+        col("lrow").as("row"))
+    val ends = df.filter(col("stream") === "t")
+      .select(col("tx_id"), col("commit_lsn"), col("expected_left"), col("expected_right"))
+    val q = TxReplayNative.docs(left, right, ends, keyShards = Some(shards))
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory(s"graft-$name").toString)
+      .start()
+    try {
+      var seen = 0
+      batches.map { b =>
+        if (b.nonEmpty) in.addData(b)
+        q.processAllAvailable()
+        val all = spark.table(name).collect().toSeq
+        val fresh = all.drop(seen)
+        seen = all.size
+        fresh
+      }
+    } finally q.stop()
+  }
+
+  private def docKey(r: Row): (Long, Long, String, Seq[(Long, Int)], Boolean) = (
+    r.getAs[Long]("key"),
+    r.getAs[Long]("commit_lsn"),
+    r.getStruct(r.fieldIndex("row")).toString,
+    Option(r.getSeq[Row](r.fieldIndex("lines")))
+      .map(_.map(l => (l.getLong(0), l.getStruct(1).getInt(0))))
+      .getOrElse(Seq.empty),
+    r.getAs[Boolean]("deleted"))
+
+  test("sharded fan-out preserves the contiguity stall and commit order") {
+    val b1 = toNative(
+      Seq(LeftEv(1, "c", 1, 1, OrderRow(1, "a")),
+          LeftEv(2, "c", 10, 2, OrderRow(2, "b"))),
+      Seq(RightEv(2, 1, "c", 11, 2, LineRow(1, 1, 1.0))),
+      // tx1 announces 1+1 but its right event is missing: complete tx2
+      // (commit 200 > 100) must NOT emit yet
+      Seq(TxEnd(1, 100, 1, 1), TxEnd(2, 200, 1, 1)))
+    val b2 = toNative(
+      Seq.empty, Seq(RightEv(1, 1, "c", 2, 1, LineRow(9, 9, 9.0))), Seq.empty)
+    val out = runSharded("shard_stall", Seq(b1, b2), shards = 4)
+    out(0) shouldBe empty
+    out(1).map(_.getAs[Long]("commit_lsn")).sorted shouldBe Seq(100L, 200L)
+  }
+
+  test("random histories: sharded == unsharded == one-shot batch replay") {
+    for (seed <- 11 to 12) {
+      val rnd = new scala.util.Random(seed)
+      val nKeys = 2 + rnd.nextInt(3)
+      val nTx = 3 + rnd.nextInt(3)
+      var lsn = 0L
+      val left = Seq.newBuilder[LeftEv]
+      val right = Seq.newBuilder[RightEv]
+      val ends = Seq.newBuilder[TxEnd]
+      val inserted = scala.collection.mutable.Set[Long]()
+      for (tx <- 1 to nTx) {
+        var nl = 0L; var nr = 0L
+        for (key <- 1L to nKeys) {
+          if (rnd.nextBoolean()) {
+            lsn += 1
+            if (!inserted(key)) { left += LeftEv(key, "c", lsn, tx, OrderRow(key.toInt, s"a$tx")); inserted += key }
+            else left += LeftEv(key, "u", lsn, tx, OrderRow(key.toInt, s"a$tx"))
+            nl += 1
+          }
+          if (inserted(key)) for (_ <- 1 to rnd.nextInt(3)) {
+            lsn += 1
+            val lid = rnd.nextInt(4) + 1
+            right += RightEv(key, lid, if (rnd.nextInt(4) == 0) "d" else "c", lsn, tx,
+              LineRow(lid, tx, tx * 1.0))
+            nr += 1
+          }
+        }
+        ends += TxEnd(tx, 1000L + ((tx * 7) % nTx) * 10 + tx, nl, nr)
+      }
+      val (l, r, e) = (left.result(), right.result(), ends.result())
+      val oneShot = TxReplay.replay(l.toDF(), r.toDF(), e.toDF())
+        .collect().map(docKey).toSet
+      val lS = l.groupBy(_ => rnd.nextInt(3))
+      val rS = r.groupBy(_ => rnd.nextInt(3))
+      var endBatch = 0
+      val eS = e.sortBy(_.commit_lsn).map { end =>
+        endBatch = math.max(endBatch, rnd.nextInt(3))
+        end -> endBatch
+      }.groupMap(_._2)(_._1)
+      val batches = (0 until 3).map(b => toNative(
+        lS.getOrElse(b, Seq.empty), rS.getOrElse(b, Seq.empty),
+        eS.getOrElse(b, Seq.empty)))
+      val streamed = runSharded(s"shard_eq_$seed", batches, shards = 3)
+        .flatten.map(docKey)
+      withClue(s"seed=$seed duplicate-free: ") {
+        streamed.distinct.size shouldBe streamed.size
+      }
+      withClue(s"seed=$seed sharded == one-shot replay: ") {
+        streamed.toSet shouldBe oneShot
+      }
+    }
+  }
+
+  test("bulk transaction: tens of thousands of keys flush once each and state drains") {
+    val nKeys = 50000
+    // tx 1: bulk insert touching every key (one header + one line each —
+    // INNER semantics need a line for a doc); tx 2: a small follow-up
+    // update proving post-release shard state cleared (no key re-flushes
+    // from tx 1)
+    val b1 = toNative(
+      (1L to nKeys).map(k => LeftEv(k, "c", k, 1, OrderRow(k.toInt, "bulk"))),
+      (1L to nKeys).map(k => RightEv(k, 1, "c", nKeys + k, 1, LineRow(1, 1, 1.0))),
+      Seq(TxEnd(1, 1000000, nKeys.toLong, nKeys.toLong)))
+    val b2 = toNative(
+      Seq(LeftEv(7, "u", 2L * nKeys + 1L, 2, OrderRow(7, "after"))),
+      Seq.empty,
+      Seq(TxEnd(2, 1000100, 1, 0)))
+    val out = runSharded("shard_bulk", Seq(b1, b2), shards = 8)
+    out(0).size shouldBe nKeys // one doc per key for the bulk tx
+    out(0).map(_.getAs[Long]("key")).distinct.size shouldBe nKeys
+    out(0).foreach(_.getAs[Long]("commit_lsn") shouldBe 1000000L)
+    // the follow-up releases exactly its own key — nothing replays from tx 1
+    out(1).map(r => (r.getAs[Long]("key"), r.getAs[Long]("commit_lsn"))) shouldBe
+      Seq((7L, 1000100L))
+  }
+}
