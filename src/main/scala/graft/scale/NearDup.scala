@@ -387,19 +387,38 @@ object NearDup {
     * under weighted sampling (the keep-and-reweight alternative to hard
     * removal when duplicates carry signal, e.g. popularity).
     *
-    * One shuffle: a count window partitioned by `cluster_root` — the
-    * [[resolveCanonical]] shape; no groupBy + join-back, so the cluster
-    * dimension never needs to broadcast (at corpus scale it is
-    * corpus-sized: most clusters are singletons).
+    * Default plan — one shuffle: a count window partitioned by
+    * `cluster_root` — the [[resolveCanonical]] shape; no groupBy +
+    * join-back, so the cluster dimension never needs to broadcast (at
+    * corpus scale it is corpus-sized: most clusters are singletons).
+    *
+    * `skewSafe = true` — two shuffles, but every stage splits under a
+    * pathological MEGA-cluster (millions of copies of one page; real
+    * crawls produce these). The window funnels a cluster's every row into
+    * ONE task and AQE cannot split a window partition; the alternative
+    * counts via groupBy (map-side combine: the hot cluster's rows
+    * pre-aggregate inside each map task, so the shuffle carries partial
+    * counts, not rows) and joins the size back on `cluster_root` (a
+    * shuffle join AQE's skew-join CAN split, duplicating the 1-row build
+    * side). Same output bit-for-bit (NearDupSpec pins it); choose it when
+    * the label distribution is not singleton-dominated.
     *
     * Input: `labels` = (id, cluster_root) from either clustering routine.
     * Output: (id, cluster_root, cluster_size, weight).
     */
-  def softDedupWeights(labels: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster_root")
-    labels.select(col("id"), col("cluster_root"))
-      .withColumn("cluster_size", count(lit(1)).over(w))
-      .withColumn("weight", round(lit(1.0) / col("cluster_size"), 6))
+  def softDedupWeights(labels: DataFrame, skewSafe: Boolean = false): DataFrame = {
+    val ids = labels.select(col("id"), col("cluster_root"))
+    val sized =
+      if (skewSafe) {
+        val sizes = ids.groupBy("cluster_root")
+          .agg(count(lit(1)).as("cluster_size"))
+        ids.join(sizes, Seq("cluster_root")).select(
+          col("id"), col("cluster_root"), col("cluster_size"))
+      } else {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster_root")
+        ids.withColumn("cluster_size", count(lit(1)).over(w))
+      }
+    sized.withColumn("weight", round(lit(1.0) / col("cluster_size"), 6))
   }
 
   /** EXACT n-gram-Jaccard similarity join via prefix filtering: canonical

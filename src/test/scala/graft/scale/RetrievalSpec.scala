@@ -219,4 +219,20 @@ class RetrievalSpec extends AnyFunSuite with Matchers {
     byCluster(4L) shouldBe 1.0 +- 1e-6
     byCluster(6L) shouldBe 1.0 +- 1e-12
   }
+
+  test("soft dedup weights: the skew-safe plan equals the window plan") {
+    // one mega-cluster (the case skewSafe exists for) + singletons
+    val labels = ((1L to 5000L).map(i => (i, 1L)) ++
+      (6000L to 6050L).map(i => (i, i))).toDF("id", "cluster_root")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    val window = NearDup.softDedupWeights(labels).collect().map(key).toSet
+    val skewSafe = NearDup.softDedupWeights(labels, skewSafe = true).collect().map(key).toSet
+    skewSafe shouldBe window
+    skewSafe.count(_._2 == 1L) shouldBe 5000
+    // the skew-safe plan carries no window exec — nothing AQE can't split
+    val plan = NearDup.softDedupWeights(labels, skewSafe = true)
+      .queryExecution.executedPlan.toString
+    plan should not include "Window"
+  }
 }
