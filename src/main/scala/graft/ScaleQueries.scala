@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 
 import graft.Ordered._
 import graft.scale.{Bpe, Classifier, Decontam, Dsir, Embeddings, LangModel, Multimodal, NearDup, Packing, Retrieval, Sampling, Similarity, Sketches, SpanDedup, TextOps}
-import graft.streaming.StreamingRetrieval
+import graft.streaming.{SegmentStore, StreamingRetrieval}
 
 /** Driver-verifiable queries for the training-data-pipeline operators
   * (`graft.scale`) over the `documents` table, each with a DuckDB oracle
@@ -864,6 +864,36 @@ object ScaleQueries {
       // build would re-run the corpus signature pipeline per consumer.
       val index = NearDup.buildMinHashIndex(corpus, "doc_id", "text").cache()
       NearDup.incrementalMinHashDedup(index, delta, "doc_id", "text", threshold = 0.7)
+        .ordered("id")
+    }),
+
+    // The MinHash index under the LSM upsert/delete contract
+    // (StreamingDedupIndex, batch-composed): the corpus is indexed at
+    // batch 0, every %23 corpus doc is re-sent with appended text at
+    // batch 1 (latest version wins — its signatures are rebuilt), every
+    // %31 corpus doc is deleted at batch 2 (stops claiming dup_of
+    // verdicts). The same delta as q_dedup_incremental then probes the
+    // LIVE view and must equal exact-Jaccard dedup against the surviving
+    // latest-version corpus (the oracle).
+    "q_dedup_index_upsert" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+      val seg0 = NearDup.buildMinHashIndex(corpus, "doc_id", "text")
+        .withColumn("batch", lit(0L))
+      val updated = corpus.filter(col("doc_id") % 23 === 0)
+        .withColumn("text", concat(col("text"), lit(" refreshed v2")))
+      val seg1 = NearDup.buildMinHashIndex(updated, "doc_id", "text")
+        .withColumn("batch", lit(1L))
+      val dels = corpus.filter(col("doc_id") % 31 === 0)
+        .select(col("doc_id").as("id"), lit(2L).as("batch"))
+      // cache(): the live view stands in for the persisted index — the
+      // probe reads it twice (band scan + verify-by-id)
+      val live = SegmentStore.liveRows(seg0.unionByName(seg1), dels, "id")
+        .drop("batch").cache()
+      val delta = docs.filter(col("doc_id") % 3 === 0)
+        .unionByName(docs.filter(col("doc_id") % 7 === 1)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      NearDup.incrementalMinHashDedup(live, delta, "doc_id", "text", threshold = 0.7)
         .ordered("id")
     }),
 
@@ -2315,6 +2345,42 @@ object ScaleQueries {
     // ANY corpus doc, but only SMALLER-ID delta docs; dup_of = min match.
     "q_dedup_incremental" ->
       """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+        |delta AS (
+        | SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+        | UNION ALL
+        | SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 7 = 1),
+        |sh_c AS (
+        | SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks)-2),
+        |     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+        | FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus)),
+        |sh_d AS (
+        | SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks)-2),
+        |     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+        | FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM delta)),
+        |pairs AS (
+        | SELECT d.doc_id AS id, o.doc_id AS other_id,
+        |  CAST(len(list_intersect(d.shingles, o.shingles)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(d.shingles, o.shingles))) AS jac
+        | FROM sh_d d CROSS JOIN sh_c o
+        | UNION ALL
+        | SELECT d.doc_id AS id, o.doc_id AS other_id,
+        |  CAST(len(list_intersect(d.shingles, o.shingles)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(d.shingles, o.shingles))) AS jac
+        | FROM sh_d d JOIN sh_d o ON o.doc_id < d.doc_id),
+        |best AS (
+        | SELECT id, min(other_id) AS dup_of, arg_min(jac, other_id) AS jac
+        | FROM pairs WHERE jac >= 0.7 GROUP BY id)
+        |SELECT delta.doc_id AS id, best.dup_of, best.jac,
+        | best.dup_of IS NULL AS is_new
+        |FROM delta LEFT JOIN best ON best.id = delta.doc_id
+        |ORDER BY id""".stripMargin,
+
+    // identical to q_dedup_incremental except the corpus CTE: %31 docs
+    // deleted, %23 docs carry their batch-1 (latest) text
+    "q_dedup_index_upsert" ->
+      """WITH corpus AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 23 = 0 THEN text || ' refreshed v2' ELSE text END AS text
+        | FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 31 <> 0),
         |delta AS (
         | SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
         | UNION ALL

@@ -1,0 +1,205 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.Comparator
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** The LSM lifecycle shared by every stream-maintained index artifact
+  * ([[StreamingRetrieval]]'s BM25 postings, [[StreamingDedupIndex]]'s
+  * MinHash signatures): micro-batches append one delta-sized segment each,
+  * a manifest tracks the live segment set, and at a threshold the whole
+  * set compacts into one segment with dead rows physically dropped —
+  * update/delete follow the reference's upsert-kafka contract
+  * (`debezium-kafka-flink-sql-ingest/.../KafkaUpsertJob.java:23-38`:
+  * latest value per key wins, tombstone = delete), resolved at probe time
+  * from per-id batch maxima plus a churn-sized delete-marker table.
+  *
+  * On-disk layout (underscore names are invisible to parquet partition
+  * discovery, so a plain `spark.read.parquet(dir)` of an append-only
+  * index keeps working):
+  * {{{
+  *   dir/seg=a<batchId>/   appended rows (index schema + batch LONG)
+  *   dir/seg=c<batchId>/   compacted rows (same schema)
+  *   dir/_dels/b<batchId>/ delete markers (<idCol>, batch)
+  *   dir/_manifest         "<lastBatch>\n<live segs>\n<live dels>"
+  * }}}
+  *
+  * Exactly-once: segment and marker dirs are named by micro-batch id and
+  * written with Overwrite, and the manifest records the last committed
+  * batch — a redelivered batch is skipped outright, so a crash between a
+  * segment write and the manifest commit replays cleanly (the
+  * [[TxReplayStream]] idempotence rule). The manifest write is a
+  * tmp-file + atomic move; dirs it no longer references are pruned on the
+  * next commit.
+  */
+object SegmentStore {
+
+  case class Manifest(lastBatch: Long, segs: Seq[String], dels: Seq[String])
+
+  private def manifestPath(dir: String): Path = Paths.get(dir, "_manifest")
+
+  def readManifest(dir: String): Manifest = {
+    val p = manifestPath(dir)
+    if (!Files.exists(p)) return Manifest(-1L, Nil, Nil)
+    val lines = Files.readAllLines(p)
+    def names(i: Int): Seq[String] =
+      if (lines.size <= i || lines.get(i).isEmpty) Nil
+      else lines.get(i).split(",").toSeq
+    Manifest(lines.get(0).trim.toLong, names(1), names(2))
+  }
+
+  private def writeManifest(dir: String, m: Manifest): Unit = {
+    val tmp = Paths.get(dir, "_manifest.tmp")
+    Files.createDirectories(Paths.get(dir))
+    Files.writeString(tmp, s"${m.lastBatch}\n${m.segs.mkString(",")}\n${m.dels.mkString(",")}")
+    Files.move(tmp, manifestPath(dir), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.sorted(Comparator.reverseOrder[Path]()).forEach(Files.delete(_))
+      finally s.close()
+    }
+
+  /** Drop dirs the committed manifest no longer references (compacted-away
+    * segments, cleared delete markers, leftovers of a crashed attempt).
+    */
+  private def prune(dir: String, m: Manifest): Unit = {
+    val keepSegs = m.segs.toSet
+    val keepDels = m.dels.toSet
+    val base = Paths.get(dir)
+    val ls = Files.list(base)
+    try ls.forEach { p =>
+      val n = p.getFileName.toString
+      if (n.startsWith("seg=") && !keepSegs.contains(n)) deleteRecursively(p)
+    } finally ls.close()
+    val delBase = base.resolve("_dels")
+    if (Files.exists(delBase)) {
+      val dls = Files.list(delBase)
+      try dls.forEach { p =>
+        if (!keepDels.contains(p.getFileName.toString)) deleteRecursively(p)
+      } finally dls.close()
+    }
+  }
+
+  private def delSchema(idCol: String) = StructType(Seq(
+    StructField(idCol, LongType), StructField("batch", LongType)))
+
+  private def emptyDf(spark: SparkSession, schema: StructType): DataFrame =
+    spark.createDataFrame(java.util.List.of[org.apache.spark.sql.Row](), schema)
+
+  /** Live segment rows under the committed manifest, per-row `batch`
+    * included; `schema` is returned for an index with no segments yet.
+    */
+  def readSegments(spark: SparkSession, dir: String, schema: StructType): DataFrame = {
+    val m = readManifest(dir)
+    if (m.segs.isEmpty) emptyDf(spark, schema)
+    else spark.read.parquet(m.segs.map(s => s"$dir/$s"): _*)
+  }
+
+  /** Live delete markers — schema (`idCol`, batch). */
+  def readDels(spark: SparkSession, dir: String, idCol: String): DataFrame = {
+    val m = readManifest(dir)
+    if (m.dels.isEmpty) emptyDf(spark, delSchema(idCol))
+    else spark.read.parquet(m.dels.map(d => s"$dir/_dels/$d"): _*)
+  }
+
+  /** The two liveness predicates, as joins against churn-sized side tables
+    * derived from the per-id version list `versions` ((idCol, batch),
+    * distinct): a row is live iff it belongs to its id's LATEST version
+    * (latest-wins upsert) and no delete marker is newer than it
+    * (delete-then-reinsert resurrects). No broadcast hints — churn is
+    * usually small and AQE broadcasts it, but its size is data-dependent.
+    */
+  def liveFilter(rows: DataFrame, versions: DataFrame, dels: DataFrame,
+                 idCol: String): DataFrame = {
+    val multi = versions.groupBy(idCol)
+      .agg(max("batch").as("live_b"), count(lit(1)).as("nv"))
+      .filter(col("nv") > 1).select(idCol, "live_b")
+    val delMax = dels.groupBy(idCol).agg(max("batch").as("del_b"))
+    rows.join(multi, Seq(idCol), "left")
+      .filter(col("live_b").isNull || col("batch") === col("live_b"))
+      .join(delMax, Seq(idCol), "left")
+      .filter(col("del_b").isNull || col("del_b") <= col("batch"))
+      .drop("live_b", "del_b")
+  }
+
+  /** Resolve segment rows to the live set: superseded versions and deleted
+    * ids dropped, `batch` column retained. The compaction input/output
+    * shape; probes that can reduce by a broadcast FIRST (e.g. BM25's query
+    * tokens) should apply [[liveFilter]] to the reduced side instead.
+    */
+  def liveRows(segs: DataFrame, dels: DataFrame, idCol: String): DataFrame =
+    liveFilter(segs, segs.select(idCol, "batch").distinct(), dels, idCol)
+
+  /** Apply one micro-batch of changes to the index at `dir`. Rows with
+    * `opCol` = "d" are deletes (payload ignored), all others upserts; at
+    * most one row per id per batch (the upsert-kafka granularity).
+    * `buildSegment` turns the batch's upsert rows into index rows (the
+    * store appends the `batch` column); `inputIdCol` names the id in the
+    * BATCH rows, `idCol` the id in the SEGMENT rows (delete markers are
+    * normalized to the latter). Batches at or below the manifest's
+    * committed id are skipped (redelivery).
+    */
+  def processBatch(docs: DataFrame, batchId: Long, dir: String,
+                   inputIdCol: String, idCol: String, opCol: Option[String],
+                   compactSegments: Int,
+                   buildSegment: DataFrame => DataFrame): Unit = {
+    require(compactSegments >= 2, s"compactSegments must be >= 2, got $compactSegments")
+    val spark = docs.sparkSession
+    val m = readManifest(dir)
+    if (batchId <= m.lastBatch) return // redelivered, already committed
+
+    val batch = docs.cache()
+    try {
+      val upserts = opCol.fold(batch)(c => batch.filter(col(c) =!= "d"))
+      val deletes = opCol.fold(batch.limit(0))(c => batch.filter(col(c) === "d"))
+
+      var segs = m.segs
+      var dels = m.dels
+      if (upserts.limit(1).count() > 0) {
+        val name = s"seg=a$batchId"
+        buildSegment(upserts).withColumn("batch", lit(batchId))
+          .write.mode(SaveMode.Overwrite).parquet(s"$dir/$name")
+        segs :+= name
+      }
+      if (deletes.limit(1).count() > 0) {
+        val name = s"b$batchId"
+        deletes.select(col(inputIdCol).as(idCol), lit(batchId).as("batch"))
+          .write.mode(SaveMode.Overwrite).parquet(s"$dir/_dels/$name")
+        dels :+= name
+      }
+
+      val next =
+        if (segs.size < compactSegments) Manifest(batchId, segs, dels)
+        else {
+          // threshold compaction: resolve liveness over the whole segment
+          // set once, write ONE segment, clear the delete markers (their
+          // dead rows are physically gone). Named by batch id — same
+          // Overwrite idempotence as appends.
+          val name = s"seg=c$batchId"
+          val all = spark.read.parquet(segs.map(s => s"$dir/$s"): _*)
+          val delRows =
+            if (dels.isEmpty) emptyDf(spark, delSchema(idCol))
+            else spark.read.parquet(dels.map(d => s"$dir/_dels/$d"): _*)
+          liveRows(all, delRows, idCol)
+            .write.mode(SaveMode.Overwrite).parquet(s"$dir/$name")
+          // everything deleted → a file-less dir that cannot be reread;
+          // commit an empty segment list instead (prune removes the dir)
+          val hasFiles = {
+            val ls = Files.list(Paths.get(dir, name))
+            try ls.anyMatch(p => p.getFileName.toString.endsWith(".parquet"))
+            finally ls.close()
+          }
+          Manifest(batchId, if (hasFiles) Seq(name) else Nil, Nil)
+        }
+      writeManifest(dir, next)
+      prune(dir, next)
+    } finally batch.unpersist()
+  }
+}

@@ -1,9 +1,6 @@
 package graft.streaming
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-import java.util.Comparator
-
-import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -13,108 +10,34 @@ import graft.scale.Retrieval
 
 /** Streaming maintenance of the BM25 postings index — the retrieval-family
   * analogue of [[StreamingNearDup]]'s online candidate state, with the
-  * same LSM lifecycle as [[TxReplayStream]]'s bucket segments: documents
-  * arrive as a stream of UPSERTS and DELETES, each micro-batch appends one
-  * delta-sized postings segment ([[Retrieval.buildBm25Index]] over just
-  * the batch), and when the live segment count reaches a threshold the
-  * whole set is compacted into one segment with dead rows (superseded
-  * document versions, deleted documents) physically dropped. Per-batch
-  * write cost is the batch's own vocabulary; segment count — and with it
-  * partition-discovery and per-probe overhead — is bounded by the
-  * compaction threshold, not by the stream's lifetime.
+  * [[SegmentStore]] LSM lifecycle: documents arrive as a stream of
+  * UPSERTS and DELETES, each micro-batch appends one delta-sized postings
+  * segment ([[Retrieval.buildBm25Index]] over just the batch), and when
+  * the live segment count reaches a threshold the whole set is compacted
+  * into one segment with dead rows (superseded document versions, deleted
+  * documents) physically dropped. Per-batch write cost is the batch's own
+  * vocabulary; segment count — and with it partition-discovery and
+  * per-probe overhead — is bounded by the compaction threshold, not by
+  * the stream's lifetime.
   *
-  * Update/delete semantics (the reference's upsert-kafka contract —
-  * `debezium-kafka-flink-sql-ingest/.../KafkaUpsertJob.java:23-38`:
-  * latest value per key wins, tombstone = delete): re-sending a `doc_id`
-  * replaces its previous version, an `op = "d"` row removes it. Both are
-  * visible to the NEXT probe, not only after compaction: every postings
-  * row carries the batch that wrote it, probes resolve
-  * latest-version-wins from per-doc batch maxima, and explicit deletes
-  * ride a small side table of (doc_id, batch) markers anti-filtered at
+  * Updates and deletes are visible to the NEXT probe, not only after
+  * compaction: every postings row carries the batch that wrote it, and
+  * [[bm25TopKLive]] resolves latest-version-wins plus delete markers at
   * probe time — the Lucene live-docs pattern. Compaction merely reclaims
   * the space; it never changes an answer (StreamingRetrievalSpec pins
-  * probe equality across a compaction boundary).
-  *
-  * Scale shape: the delete-marker table holds only EXPLICIT deletes and
-  * superseded-version resolution touches only documents with >1 live
-  * version — both churn-sized, not corpus-sized, and joined without
-  * forced broadcasts (AQE decides; the no-data-dependent-broadcast
-  * lesson). A probe pays the same two corpus passes as
+  * probe equality across a compaction boundary). The delete-marker table
+  * holds only EXPLICIT deletes and superseded-version resolution touches
+  * only documents with >1 live version — both churn-sized, not
+  * corpus-sized. A probe pays the same two corpus passes as
   * [[Retrieval.bm25TopKIndexed]]: the broadcast-reduced candidate
   * semi-join and the column-pruned (doc_id, dl, batch) stats pass.
-  *
-  * Exactly-once: segment and delete-marker dirs are named by micro-batch
-  * id and written with Overwrite, and the manifest records the last
-  * committed batch — a redelivered batch is skipped outright, so a crash
-  * between the segment write and the manifest commit replays cleanly
-  * (the [[TxReplayStream]] idempotence rule). The manifest itself is a
-  * tmp-write + atomic-move; files it no longer references are pruned on
-  * the next commit.
-  *
-  * On-disk layout (underscore names are invisible to parquet discovery,
-  * so `spark.read.parquet(indexDir)` keeps working for append-only
-  * streams — with updates or deletes, probe through [[bm25TopKLive]]):
-  * {{{
-  *   indexDir/seg=a<batchId>/   appended postings (token, doc_id, dl, tf, batch)
-  *   indexDir/seg=c<batchId>/   compacted postings (same schema)
-  *   indexDir/_dels/b<batchId>/ delete markers (doc_id, batch)
-  *   indexDir/_manifest         "<lastBatch>\n<live segs>\n<live dels>"
-  * }}}
   */
 object StreamingRetrieval {
 
-  private[streaming] case class Manifest(lastBatch: Long, segs: Seq[String], dels: Seq[String])
+  /** Committed manifest of the index at `indexDir`. */
+  def readManifest(indexDir: String): SegmentStore.Manifest =
+    SegmentStore.readManifest(indexDir)
 
-  private def manifestPath(indexDir: String): Path = Paths.get(indexDir, "_manifest")
-
-  private[streaming] def readManifest(indexDir: String): Manifest = {
-    val p = manifestPath(indexDir)
-    if (!Files.exists(p)) return Manifest(-1L, Nil, Nil)
-    val lines = Files.readAllLines(p)
-    def names(i: Int): Seq[String] =
-      if (lines.size <= i || lines.get(i).isEmpty) Nil
-      else lines.get(i).split(",").toSeq
-    Manifest(lines.get(0).trim.toLong, names(1), names(2))
-  }
-
-  private def writeManifest(indexDir: String, m: Manifest): Unit = {
-    val tmp = Paths.get(indexDir, "_manifest.tmp")
-    Files.createDirectories(Paths.get(indexDir))
-    Files.writeString(tmp, s"${m.lastBatch}\n${m.segs.mkString(",")}\n${m.dels.mkString(",")}")
-    Files.move(tmp, manifestPath(indexDir), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-  }
-
-  private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p)) {
-      val s = Files.walk(p)
-      try s.sorted(Comparator.reverseOrder[Path]()).forEach(Files.delete(_))
-      finally s.close()
-    }
-
-  /** Drop dirs the committed manifest no longer references (compacted-away
-    * segments, cleared delete markers, leftovers of a crashed attempt).
-    */
-  private def prune(indexDir: String, m: Manifest): Unit = {
-    val keepSegs = m.segs.toSet
-    val keepDels = m.dels.toSet
-    val base = Paths.get(indexDir)
-    val ls = Files.list(base)
-    try ls.forEach { p =>
-      val n = p.getFileName.toString
-      if (n.startsWith("seg=") && !keepSegs.contains(n)) deleteRecursively(p)
-    } finally ls.close()
-    val delBase = base.resolve("_dels")
-    if (Files.exists(delBase)) {
-      val dls = Files.list(delBase)
-      try dls.forEach { p =>
-        if (!keepDels.contains(p.getFileName.toString)) deleteRecursively(p)
-      } finally dls.close()
-    }
-  }
-
-  private val delSchema = StructType(Seq(
-    StructField("doc_id", LongType), StructField("batch", LongType)))
   private val segSchema = StructType(Seq(
     StructField("token", StringType), StructField("doc_id", LongType),
     StructField("dl", DoubleType), StructField("tf", LongType),
@@ -124,38 +47,12 @@ object StreamingRetrieval {
     * schema (token, doc_id, dl, tf, batch). Pass to [[liveRows]] /
     * [[bm25TopKLive]] together with [[readDels]].
     */
-  def readSegments(spark: SparkSession, indexDir: String): DataFrame = {
-    val m = readManifest(indexDir)
-    if (m.segs.isEmpty) spark.createDataFrame(java.util.List.of[org.apache.spark.sql.Row](), segSchema)
-    else spark.read.parquet(m.segs.map(s => s"$indexDir/$s"): _*)
-  }
+  def readSegments(spark: SparkSession, indexDir: String): DataFrame =
+    SegmentStore.readSegments(spark, indexDir, segSchema)
 
   /** Live delete markers — schema (doc_id, batch). */
-  def readDels(spark: SparkSession, indexDir: String): DataFrame = {
-    val m = readManifest(indexDir)
-    if (m.dels.isEmpty) spark.createDataFrame(java.util.List.of[org.apache.spark.sql.Row](), delSchema)
-    else spark.read.parquet(m.dels.map(d => s"$indexDir/_dels/$d"): _*)
-  }
-
-  /** The two liveness predicates, as joins against churn-sized side
-    * tables derived from the per-doc version list `versions`
-    * ((doc_id, batch), distinct): a row is live iff it belongs to its
-    * document's LATEST version (latest-wins upsert) and no delete marker
-    * is newer than it (delete-then-reinsert resurrects). No broadcast
-    * hints — churn is usually small and AQE broadcasts it, but its size
-    * is data-dependent.
-    */
-  private def liveFilter(rows: DataFrame, versions: DataFrame, dels: DataFrame): DataFrame = {
-    val multi = versions.groupBy("doc_id")
-      .agg(max("batch").as("live_b"), count(lit(1)).as("nv"))
-      .filter(col("nv") > 1).select("doc_id", "live_b")
-    val delMax = dels.groupBy("doc_id").agg(max("batch").as("del_b"))
-    rows.join(multi, Seq("doc_id"), "left")
-      .filter(col("live_b").isNull || col("batch") === col("live_b"))
-      .join(delMax, Seq("doc_id"), "left")
-      .filter(col("del_b").isNull || col("del_b") <= col("batch"))
-      .drop("live_b", "del_b")
-  }
+  def readDels(spark: SparkSession, indexDir: String): DataFrame =
+    SegmentStore.readDels(spark, indexDir, "doc_id")
 
   /** Resolve segment rows to the live document set: one postings row per
     * (latest-version doc, token), batch column retained. This is the
@@ -163,7 +60,7 @@ object StreamingRetrieval {
     * which reduces by the query tokens BEFORE paying the liveness joins.
     */
   def liveRows(segs: DataFrame, dels: DataFrame): DataFrame =
-    liveFilter(segs, segs.select("doc_id", "batch").distinct(), dels)
+    SegmentStore.liveRows(segs, dels, "doc_id")
 
   /** [[Retrieval.bm25TopKIndexed]] over the live view of an upsert/delete
     * index: same scoring arithmetic and the same linear no-cache plan,
@@ -189,13 +86,14 @@ object StreamingRetrieval {
     // liveFilter) df — the indexed probe's stats scan, liveness-aware
     val docLevel = segs.select("doc_id", "dl", "batch").distinct()
     val versions = docLevel.select("doc_id", "batch")
-    val liveDocs = liveFilter(docLevel, versions, dels)
+    val liveDocs = SegmentStore.liveFilter(docLevel, versions, dels, "doc_id")
     val stats = liveDocs
       .agg(count(lit(1)).cast(DoubleType).as("n_docs"), avg("dl").as("avgdl"))
 
     // candidate pass: broadcast token reduction FIRST, liveness after —
     // the joins against churn-sized multi/delMax touch only candidates
-    val cand1 = liveFilter(segs.join(broadcast(qtokens), Seq("token")), versions, dels)
+    val cand1 = SegmentStore.liveFilter(
+      segs.join(broadcast(qtokens), Seq("token")), versions, dels, "doc_id")
       .withColumn("df", count(lit(1)).over(Window.partitionBy("token")))
     val scored = cand1.crossJoin(broadcast(stats))
       .filter(col("df") <= lit(maxDfFrac) * col("n_docs"))
@@ -230,60 +128,10 @@ object StreamingRetrieval {
   def processBatch(docs: DataFrame, batchId: Long, indexDir: String,
                    idCol: String = "doc_id", textCol: String = "text",
                    opCol: Option[String] = None,
-                   compactSegments: Int = 8): Unit = {
-    require(compactSegments >= 2, s"compactSegments must be >= 2, got $compactSegments")
-    val spark = docs.sparkSession
-    val m = readManifest(indexDir)
-    if (batchId <= m.lastBatch) return // redelivered, already committed
-
-    val batch = docs.cache()
-    try {
-      val upserts = opCol.fold(batch)(c => batch.filter(col(c) =!= "d"))
-      val deletes = opCol.fold(batch.limit(0))(c => batch.filter(col(c) === "d"))
-
-      var segs = m.segs
-      var dels = m.dels
-      if (upserts.limit(1).count() > 0) {
-        val name = s"seg=a$batchId"
-        Retrieval.buildBm25Index(upserts, idCol, textCol)
-          .withColumn("batch", lit(batchId))
-          .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/$name")
-        segs :+= name
-      }
-      if (deletes.limit(1).count() > 0) {
-        val name = s"b$batchId"
-        deletes.select(col(idCol).as("doc_id"), lit(batchId).as("batch"))
-          .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/_dels/$name")
-        dels :+= name
-      }
-
-      val next =
-        if (segs.size < compactSegments) Manifest(batchId, segs, dels)
-        else {
-          // threshold compaction: resolve liveness over the whole segment
-          // set once, write ONE segment, clear the delete markers (their
-          // dead rows are physically gone). Named by batch id — same
-          // Overwrite idempotence as appends.
-          val name = s"seg=c$batchId"
-          val all = spark.read.parquet(segs.map(s => s"$indexDir/$s"): _*)
-          val delRows =
-            if (dels.isEmpty) spark.createDataFrame(java.util.List.of[org.apache.spark.sql.Row](), delSchema)
-            else spark.read.parquet(dels.map(d => s"$indexDir/_dels/$d"): _*)
-          liveRows(all, delRows)
-            .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/$name")
-          // everything deleted → a file-less dir that cannot be reread;
-          // commit an empty segment list instead (prune removes the dir)
-          val hasFiles = {
-            val ls = Files.list(Paths.get(indexDir, name))
-            try ls.anyMatch(p => p.getFileName.toString.endsWith(".parquet"))
-            finally ls.close()
-          }
-          Manifest(batchId, if (hasFiles) Seq(name) else Nil, Nil)
-        }
-      writeManifest(indexDir, next)
-      prune(indexDir, next)
-    } finally batch.unpersist()
-  }
+                   compactSegments: Int = 8): Unit =
+    SegmentStore.processBatch(docs, batchId, indexDir, idCol, "doc_id", opCol,
+      compactSegments,
+      upserts => Retrieval.buildBm25Index(upserts, idCol, textCol))
 
   /** Attach index maintenance to a document-change stream. Returns the
     * started query; probe at any batch boundary with [[bm25TopKLive]] (or
