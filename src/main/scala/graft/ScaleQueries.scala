@@ -897,6 +897,32 @@ object ScaleQueries {
         .ordered("id")
     }),
 
+    // The IVF embedding index under the LSM upsert/delete contract
+    // (StreamingAnnIndex, batch-composed): the corpus is assigned at
+    // batch 0 against frozen centroids (%10=3), every %17 vector is
+    // re-sent REVERSED at batch 1 (direction changes → it re-buckets from
+    // its new values), every %13 vector is deleted at batch 2. External
+    // query vectors (label 0, original values) probe the live view and
+    // must equal an IVF probe of the surviving latest-version corpus.
+    "q_ann_index_upsert" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("embedding"),
+          col("label"))
+      val centroids = e.filter(col("vec_id") % 10 === 3).select("vec_id", "embedding")
+      val seg0 = Similarity.assignBuckets(e.select("vec_id", "embedding"), centroids)
+        .withColumn("batch", lit(0L))
+      val seg1 = Similarity.assignBuckets(
+        e.filter(col("vec_id") % 17 === 0)
+          .select(col("vec_id"), reverse(col("embedding")).as("embedding")), centroids)
+        .withColumn("batch", lit(1L))
+      val dels = e.filter(col("vec_id") % 13 === 0)
+        .select(col("vec_id"), lit(2L).as("batch"))
+      val queries = e.filter(col("label") === 0).select("vec_id", "embedding")
+      graft.streaming.StreamingAnnIndex.ivfTopKLive(
+        seg0.unionByName(seg1), dels, centroids, queries, k = 3, nprobe = 1)
+        .ordered("q_id", "rank")
+    }),
+
     // SemDeDup (cluster-then-prune semantic dedup): nearest-centroid
     // assignment + within-cluster cosine pruning, smallest id survives.
     // Direction-identical scaled copies (injected, cos = 1.0) are the
@@ -2410,6 +2436,38 @@ object ScaleQueries {
         | best.dup_of IS NULL AS is_new
         |FROM delta LEFT JOIN best ON best.id = delta.doc_id
         |ORDER BY id""".stripMargin,
+
+    // IVF probe over the surviving latest-version corpus: %13 vectors
+    // gone, %17 vectors reversed (re-assigned from their new direction);
+    // queries keep their original values
+    "q_ann_index_upsert" ->
+      s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+        |corpus AS (SELECT vec_id,
+        |  CASE WHEN vec_id % 17 = 0
+        |   THEN list_transform(generate_series(1, len(v)), i -> v[len(v)-i+1])
+        |   ELSE v END AS v
+        | FROM base WHERE vec_id % 13 <> 0),
+        |cent AS (SELECT vec_id AS centroid_id, v AS cv FROM base WHERE vec_id % 10 = 3),
+        |assign AS (
+        | SELECT vec_id, v, centroid_id AS bucket FROM (
+        |  SELECT c.vec_id, c.v, ct.centroid_id,
+        |   row_number() OVER (PARTITION BY c.vec_id
+        |     ORDER BY ${cosSql("c.v", "ct.cv")} DESC, ct.centroid_id) AS rn
+        |  FROM corpus c CROSS JOIN cent ct) WHERE rn = 1),
+        |probes AS (
+        | SELECT vec_id AS q_id, v AS qv, centroid_id AS bucket FROM (
+        |  SELECT b.vec_id, b.v, ct.centroid_id,
+        |   row_number() OVER (PARTITION BY b.vec_id
+        |     ORDER BY ${cosSql("b.v", "ct.cv")} DESC, ct.centroid_id) AS rn
+        |  FROM base b CROSS JOIN cent ct WHERE b.label = 0) WHERE rn = 1),
+        |p AS (
+        | SELECT q.q_id, c.vec_id AS neighbor_id,
+        |  ${cosSql("q.qv", "c.v")} AS cos
+        | FROM probes q JOIN assign c ON q.bucket = c.bucket AND q.q_id <> c.vec_id)
+        |SELECT q_id, neighbor_id, cos, CAST(rank AS INTEGER) AS rank FROM (
+        | SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank
+        | FROM p)
+        |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
 
     // Nearest-centroid assignment (rounded cosine, ties → smallest
     // centroid), then within-bucket smaller-id pruning at cos >= 0.99.

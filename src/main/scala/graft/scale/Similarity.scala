@@ -194,6 +194,42 @@ object Similarity {
       .select("q_id", "neighbor_id", "cos", "rank")
   }
 
+  /** IVF probe against a PREBUILT [[assignBuckets]] artifact — the shape a
+    * 100 TB deployment runs: the corpus assignment (vec_id, bucket, vec,
+    * norm) is built once per corpus snapshot (one broadcast-centroid
+    * pass), persisted partitioned by bucket, and probed by EXTERNAL query
+    * vectors (rows of (`idCol`, `vecCol`) — need not be indexed
+    * themselves). Each query routes to its `nprobe` nearest centroids
+    * (one |queries|×K broadcast pass) and scans only those buckets'
+    * index rows; the probe side is small by contract, so the bucket join
+    * never shuffles the index. Same rounding/tie rules as [[ivfTopKProbe]].
+    */
+  def ivfTopKIndexed(index: DataFrame, centroids: DataFrame, queries: DataFrame,
+                     k: Int, nprobe: Int = 1,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val qvecs = normed(queries, idCol, vecCol, "q")
+    val cent = normed(centroids, idCol, vecCol, "cent")
+      .withColumnRenamed("cent_id", "centroid_id")
+    val pw = Window.partitionBy("q_id").orderBy(col("ccos").desc, col("centroid_id"))
+    val probes = qvecs.join(broadcast(cent))
+      .withColumn("ccos",
+        pairCos(col("q_vec"), col("cent_vec"), col("q_norm"), col("cent_norm")))
+      .withColumn("crank", row_number().over(pw))
+      .filter(col("crank") <= nprobe)
+      .select(col("q_id"), col("centroid_id").as("bucket"), col("q_vec"), col("q_norm"))
+    val scored = probes
+      .join(index.select(col("vec_id").as("neighbor_id"), col("bucket"),
+        col("vec").as("c_vec"), col("norm").as("c_norm")), Seq("bucket"))
+      .filter(col("q_id") =!= col("neighbor_id"))
+      .withColumn("cos", pairCos(col("q_vec"), col("c_vec"), col("q_norm"), col("c_norm")))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "neighbor_id", "cos", "rank")
+  }
+
   /** IVF-flat probe: top-k within the query's own bucket (nprobe = 1).
     * Approximate by construction — the recall/cost trade-off is the bucket
     * count; exactness is what `bruteForceTopK` is for.
