@@ -1065,6 +1065,49 @@ object ScaleQueries {
         .ordered("q_id", "rank")
     }),
 
+    // The round-8 capstone: hybrid RRF retrieval over TWO LIVE indexes of
+    // the SAME mutating corpus — the %23 docs are updated in batch 1
+    // (text appended, embedding reversed), the %31 docs deleted in batch
+    // 2, and the same probe documents (%97) retrieve lexically through
+    // the live BM25 segments and semantically through the live IVF
+    // segments; the fused ranking must equal RRF over fresh probes of the
+    // surviving latest-version corpus. Every stage is the LSM liveness
+    // contract + candidate-sized fusion.
+    "q_live_fused" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val seg0 = Retrieval.buildBm25Index(docs, "doc_id", "text")
+        .withColumn("batch", lit(0L))
+      val seg1 = Retrieval.buildBm25Index(
+        docs.filter(col("doc_id") % 23 === 0)
+          .withColumn("text", concat(col("text"), lit(" refreshed v2"))),
+        "doc_id", "text").withColumn("batch", lit(1L))
+      val delsT = docs.filter(col("doc_id") % 31 === 0)
+        .select(col("doc_id"), lit(2L).as("batch"))
+      val probes = docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("q_id"),
+          explode(array_distinct(slice(split(col("text"), " "), 1, 4))).as("term"))
+      val lex = StreamingRetrieval.bm25TopKLive(seg0.unionByName(seg1), delsT,
+        probes, "q_id", "term", k = 10)
+
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("embedding"))
+      val centroids = e.filter(col("vec_id") % 10 === 3)
+      val aseg0 = Similarity.assignBuckets(e, centroids).withColumn("batch", lit(0L))
+      val aseg1 = Similarity.assignBuckets(
+        e.filter(col("vec_id") % 23 === 0)
+          .select(col("vec_id"), reverse(col("embedding")).as("embedding")),
+        centroids).withColumn("batch", lit(1L))
+      val delsE = e.filter(col("vec_id") % 31 === 0)
+        .select(col("vec_id"), lit(2L).as("batch"))
+      val sem = graft.streaming.StreamingAnnIndex.ivfTopKLive(
+        aseg0.unionByName(aseg1), delsE, centroids,
+        e.filter(col("vec_id") % 97 === 0), k = 10, nprobe = 1)
+        .withColumnRenamed("neighbor_id", "doc_id")
+
+      Retrieval.rrfFuse(Seq(lex, sem), k = 10)
+        .ordered("q_id", "rank")
+    }),
+
     // Gopher-style rule gate: hard per-doc bounds from postings statistics
     // alone — one (doc, token) hash-agg + per-doc rollup, no second text
     // scan. Thresholds chosen so each rule splits this corpus.
@@ -2675,6 +2718,66 @@ object ScaleQueries {
         | SELECT q_id, doc_id,
         |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, doc_id) AS rank
         | FROM p2) WHERE rank <= 10),
+        |fused AS (SELECT q_id, doc_id,
+        |  round(sum(1.0::DOUBLE / (60 + rank)), 6) AS rrf
+        | FROM (SELECT * FROM lex UNION ALL SELECT * FROM sem) GROUP BY 1, 2)
+        |SELECT q_id, doc_id, rrf, CAST(rank AS INTEGER) AS rank FROM (
+        | SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, doc_id) AS rank
+        | FROM fused)
+        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+
+    // fused live retrieval: BM25 over the surviving text corpus + IVF
+    // over the surviving embedding corpus (same %23 update / %31 delete
+    // history), RRF over the two top-10 lists
+    "q_live_fused" ->
+      s"""WITH corpus AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 23 = 0 THEN text || ' refreshed v2' ELSE text END AS text
+        | FROM documents WHERE doc_id % 31 <> 0),
+        |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM corpus),
+        |post AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl FROM corpus),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |q AS (SELECT doc_id AS q_id,
+        |  unnest(list_distinct((string_split(text, ' '))[1:4])) AS token
+        | FROM documents WHERE doc_id % 97 = 0),
+        |dfq AS (SELECT token, count(*) AS df FROM post
+        | WHERE token IN (SELECT DISTINCT token FROM q) GROUP BY 1),
+        |bscored AS (SELECT q.q_id, p.doc_id,
+        |  round(sum(ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+        |    * p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))), 4) AS score
+        | FROM post p JOIN q ON p.token = q.token JOIN dfq f ON p.token = f.token
+        | JOIN dl ON p.doc_id = dl.doc_id CROSS JOIN stats s
+        | GROUP BY 1, 2),
+        |lex AS (SELECT q_id, doc_id, rank FROM (
+        | SELECT q_id, doc_id,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank
+        | FROM bscored) WHERE rank <= 10),
+        |base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |vcorpus AS (SELECT vec_id,
+        |  CASE WHEN vec_id % 23 = 0
+        |   THEN list_transform(generate_series(1, len(v)), i -> v[len(v)-i+1])
+        |   ELSE v END AS v
+        | FROM base WHERE vec_id % 31 <> 0),
+        |cent AS (SELECT vec_id AS centroid_id, v AS cv FROM base WHERE vec_id % 10 = 3),
+        |assign AS (
+        | SELECT vec_id, v, centroid_id AS bucket FROM (
+        |  SELECT c.vec_id, c.v, ct.centroid_id,
+        |   row_number() OVER (PARTITION BY c.vec_id
+        |     ORDER BY ${cosSql("c.v", "ct.cv")} DESC, ct.centroid_id) AS rn
+        |  FROM vcorpus c CROSS JOIN cent ct) WHERE rn = 1),
+        |vprobes AS (
+        | SELECT vec_id AS q_id, v AS qv, centroid_id AS bucket FROM (
+        |  SELECT b.vec_id, b.v, ct.centroid_id,
+        |   row_number() OVER (PARTITION BY b.vec_id
+        |     ORDER BY ${cosSql("b.v", "ct.cv")} DESC, ct.centroid_id) AS rn
+        |  FROM base b CROSS JOIN cent ct WHERE b.vec_id % 97 = 0) WHERE rn = 1),
+        |sem AS (SELECT q_id, doc_id, rank FROM (
+        | SELECT p.q_id, p.neighbor_id AS doc_id,
+        |  row_number() OVER (PARTITION BY p.q_id ORDER BY p.cos DESC, p.neighbor_id) AS rank
+        | FROM (SELECT q.q_id, c.vec_id AS neighbor_id,
+        |   ${cosSql("q.qv", "c.v")} AS cos
+        |  FROM vprobes q JOIN assign c ON q.bucket = c.bucket AND q.q_id <> c.vec_id) p)
+        | WHERE rank <= 10),
         |fused AS (SELECT q_id, doc_id,
         |  round(sum(1.0::DOUBLE / (60 + rank)), 6) AS rrf
         | FROM (SELECT * FROM lex UNION ALL SELECT * FROM sem) GROUP BY 1, 2)
