@@ -35,6 +35,20 @@ class IvfRecallSpec extends AnyFunSuite with Matchers {
     perQuery.agg(avg(perQuery.columns.head)).collect()(0).getDouble(0)
   }
 
+  test("the indexed probe over a prebuilt assignment equals the inline probe") {
+    // same queries, sourced as external vectors instead of corpus ids —
+    // the persisted-artifact path must route and rank identically
+    def key(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val index = Similarity.assignBuckets(e, centroids)
+    for (np <- Seq(1, 2)) {
+      val inline = key(Similarity.ivfTopKProbe(e, centroids, queries, K, nprobe = np))
+      val indexed = key(Similarity.ivfTopKIndexed(index, centroids,
+        queries.select("vec_id", "embedding"), K, nprobe = np))
+      withClue(s"nprobe=$np: ") { indexed shouldBe inline }
+    }
+  }
+
   test("nprobe=1 is exactly the single-bucket ivfTopK") {
     val a = Similarity.ivfTopK(e, centroids, queries, K)
     val b = Similarity.ivfTopKProbe(e, centroids, queries, K, nprobe = 1)
