@@ -90,6 +90,18 @@ object SegmentStore {
   private def delSchema(idCol: String) = StructType(Seq(
     StructField(idCol, LongType), StructField("batch", LongType)))
 
+  /** A written segment dir can be FILE-LESS: Spark writes no parquet part
+    * files when the plan produced zero rows (buildSegment may drop every
+    * input row — e.g. MinHash shingling filters short docs), and a
+    * file-less dir cannot be re-read. Registering one in the manifest
+    * would poison every later readSegments.
+    */
+  private[streaming] def hasParquetFiles(dir: Path): Boolean = {
+    val ls = Files.list(dir)
+    try ls.anyMatch(p => p.getFileName.toString.endsWith(".parquet"))
+    finally ls.close()
+  }
+
   private def emptyDf(spark: SparkSession, schema: StructType): DataFrame =
     spark.createDataFrame(java.util.List.of[org.apache.spark.sql.Row](), schema)
 
@@ -166,7 +178,9 @@ object SegmentStore {
         val name = s"seg=a$batchId"
         buildSegment(upserts).withColumn("batch", lit(batchId))
           .write.mode(SaveMode.Overwrite).parquet(s"$dir/$name")
-        segs :+= name
+        // buildSegment may have dropped every row → file-less dir; leave
+        // it out of the manifest (prune removes the dir on commit)
+        if (hasParquetFiles(Paths.get(dir, name))) segs :+= name
       }
       if (deletes.limit(1).count() > 0) {
         val name = s"b$batchId"
@@ -175,9 +189,16 @@ object SegmentStore {
         dels :+= name
       }
 
+      // dels count toward the trigger too: a delete-heavy stream adds
+      // marker dirs (probe-side delMax inputs) without adding segments
+      // and must still reach compaction, which clears them
       val next =
-        if (segs.size < compactSegments) Manifest(batchId, segs, dels)
-        else {
+        if (segs.size + dels.size < compactSegments) Manifest(batchId, segs, dels)
+        else if (segs.isEmpty) {
+          // markers with no segments are inert (a marker only suppresses
+          // STRICTLY OLDER batches' rows, and none exist) — clear them
+          Manifest(batchId, Nil, Nil)
+        } else {
           // threshold compaction: resolve liveness over the whole segment
           // set once, write ONE segment, clear the delete markers (their
           // dead rows are physically gone). Named by batch id — same
@@ -191,12 +212,8 @@ object SegmentStore {
             .write.mode(SaveMode.Overwrite).parquet(s"$dir/$name")
           // everything deleted → a file-less dir that cannot be reread;
           // commit an empty segment list instead (prune removes the dir)
-          val hasFiles = {
-            val ls = Files.list(Paths.get(dir, name))
-            try ls.anyMatch(p => p.getFileName.toString.endsWith(".parquet"))
-            finally ls.close()
-          }
-          Manifest(batchId, if (hasFiles) Seq(name) else Nil, Nil)
+          Manifest(batchId,
+            if (hasParquetFiles(Paths.get(dir, name))) Seq(name) else Nil, Nil)
         }
       writeManifest(dir, next)
       prune(dir, next)

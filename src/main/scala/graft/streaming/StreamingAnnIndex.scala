@@ -1,7 +1,5 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths}
-
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -99,7 +97,11 @@ object StreamingAnnIndex {
                    idCol: String = "vec_id", vecCol: String = "embedding",
                    opCol: Option[String] = None,
                    compactSegments: Int = 8): Unit = {
-    if (!Files.exists(Paths.get(indexDir, "_centroids")))
+    // (re)write the centroids until the FIRST batch commits — keying the
+    // freeze on the manifest, not on dir existence, so a crash between a
+    // _centroids write and the first manifest commit cannot freeze stale
+    // centroids under assignments built from a different argument on retry
+    if (SegmentStore.readManifest(indexDir).lastBatch < 0L)
       centroids.select(col(idCol).as("vec_id"),
         col(vecCol).cast(ArrayType(DoubleType)).as("embedding"))
         .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/_centroids")

@@ -266,10 +266,10 @@ object TxReplayNative {
     * so every key sighting of the tx was processed by stage 1 in the same
     * or an earlier micro-batch, and this stage handles a batch's rows
     * order-independently (keys collected before the release applies).
-    * After a normal release the shard's state clears entirely — the
-    * transport contract says a complete tx has no stragglers; after a
-    * purge (abandoned tx) a tombstone absorbs the stragglers that
-    * motivated the purge in the first place.
+    * Every release — normal or purge — clears the shard's key set and
+    * leaves a tombstone, so a duplicate or straggler sighting arriving
+    * later is absorbed instead of re-creating state no release will ever
+    * drain.
     */
   class ShardFanout extends StatefulProcessor[(Long, Int), ShardCmd, FlushMarker] {
     @transient private var seen: MapState[Long, Boolean] = _
@@ -293,7 +293,12 @@ object TxReplayNative {
         case Some(r) =>
           val keys = (seen.iterator().map(_._1).toVector ++ fresh).distinct
           seen.clear()
-          if (r.purge) done.update(java.lang.Boolean.TRUE) // straggler absorber
+          // tombstone on EVERY release, not just purge: a duplicate or
+          // straggler sighting in a later batch would otherwise silently
+          // re-create MapState that no release will ever drain (same
+          // straggler-absorbing tombstone the completeness stage sets on
+          // normal settle)
+          done.update(java.lang.Boolean.TRUE)
           keys.iterator.map(kk => FlushMarker(kk, r.txId, r.commitLsn, r.purge))
       }
     }

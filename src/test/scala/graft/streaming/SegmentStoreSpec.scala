@@ -1,0 +1,120 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.TestSpark
+
+/** Lifecycle edges of the shared LSM store that the per-index specs don't
+  * reach: an append whose buildSegment yields NO part files must not be
+  * registered (a file-less dir poisons every later read — whether an
+  * empty write leaves a schema-only part file or nothing is plan-shape
+  * dependent, so the store checks the dir, not the plan), and delete-only
+  * batches must count toward the compaction trigger so a delete-heavy
+  * stream cannot accumulate marker dirs (and probe-side delMax join
+  * input) without bound.
+  */
+class SegmentStoreSpec extends AnyFunSuite with Matchers {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val segSchema = StructType(Seq(
+    StructField("id", LongType), StructField("v", LongType)))
+  private val segSchemaB = StructType(segSchema.fields :+ StructField("batch", LongType))
+
+  // a 0-partition plan runs zero write tasks → the dir gets only _SUCCESS,
+  // no part files — the deterministic file-less case (an AQE-coalesced
+  // empty join can land the same way)
+  private def fileLess(ups: DataFrame): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], segSchema)
+
+  private def identityBuild(ups: DataFrame): DataFrame =
+    ups.select(col("id"), col("id").as("v"))
+
+  private def send(dir: String, b: Long, rows: Seq[(Long, String)],
+                   build: DataFrame => DataFrame): Unit =
+    SegmentStore.processBatch(rows.toDF("id", "op"), b, dir, "id", "id",
+      Some("op"), compactSegments = 3, build)
+
+  test("an append whose build drops every row stays probe-able") {
+    // this Spark leaves a schema-only part file even for a 0-partition
+    // plan, so the segment lands readable — the contract is that the
+    // index survives an all-rows-dropped build either way
+    val dir = Files.createTempDirectory("graft-lsm-fileless").toString
+    send(dir, 0, Seq((1L, "u")), fileLess)
+    SegmentStore.readManifest(dir).lastBatch shouldBe 0L
+    SegmentStore.liveRows(SegmentStore.readSegments(spark, dir, segSchemaB),
+      SegmentStore.readDels(spark, dir, "id"), "id").count() shouldBe 0L
+
+    // a later real batch appends and reads back normally
+    send(dir, 1, Seq((2L, "u")), identityBuild)
+    SegmentStore.liveRows(SegmentStore.readSegments(spark, dir, segSchemaB),
+      SegmentStore.readDels(spark, dir, "id"), "id")
+      .select("id").as[Long].collect().toSeq shouldBe Seq(2L)
+  }
+
+  test("a file-less segment dir is never registered (hasParquetFiles guard)") {
+    // a writer that leaves no part files (empty plan on an object store,
+    // external tampering, future Spark behavior) must not poison the
+    // manifest — the guard checks the DIR, not the plan
+    val base = Files.createTempDirectory("graft-lsm-guard")
+    val fl = base.resolve("seg=a0")
+    Files.createDirectories(fl)
+    Files.writeString(fl.resolve("_SUCCESS"), "")
+    SegmentStore.hasParquetFiles(fl) shouldBe false
+    val ok = base.resolve("seg=a1")
+    Files.createDirectories(ok)
+    Files.writeString(ok.resolve("part-00000-x.snappy.parquet"), "")
+    SegmentStore.hasParquetFiles(ok) shouldBe true
+  }
+
+  test("delete-only batches tip the compaction trigger; markers stay bounded") {
+    val dir = Files.createTempDirectory("graft-lsm-del-heavy").toString
+    def total(): Int = {
+      val m = SegmentStore.readManifest(dir)
+      m.segs.size + m.dels.size
+    }
+    send(dir, 0, Seq((1L, "u"), (2L, "u")), identityBuild)
+    send(dir, 1, Seq((1L, "d")), identityBuild)
+    total() shouldBe 2 // below threshold: 1 segment + 1 marker
+    send(dir, 2, Seq((2L, "d")), identityBuild)
+    // segs(1) + dels(2) hit the threshold 3 → compaction ran on a
+    // fully-dead set: markers cleared, nothing live
+    val m2 = SegmentStore.readManifest(dir)
+    m2.dels shouldBe empty
+    SegmentStore.liveRows(SegmentStore.readSegments(spark, dir, segSchemaB),
+      SegmentStore.readDels(spark, dir, "id"), "id").count() shouldBe 0L
+    // however the stream continues, live segs + markers stay bounded
+    (3L to 8L).foreach { b =>
+      send(dir, b, Seq((90L + b, "d")), identityBuild)
+      total() should be < 3
+    }
+    // and a reinsert after all that is live
+    send(dir, 9, Seq((1L, "u")), identityBuild)
+    SegmentStore.liveRows(SegmentStore.readSegments(spark, dir, segSchemaB),
+      SegmentStore.readDels(spark, dir, "id"), "id")
+      .select("id").as[Long].collect().toSet shouldBe Set(1L)
+  }
+
+  test("markers with no live segments clear at the threshold (inert branch)") {
+    val dir = Files.createTempDirectory("graft-lsm-inert").toString
+    // no segment ever lands (file-less builds); delete markers alone must
+    // still clear — a marker only suppresses STRICTLY OLDER rows, and
+    // none exist
+    send(dir, 0, Seq((1L, "d")), fileLess)
+    send(dir, 1, Seq((2L, "d")), fileLess)
+    SegmentStore.readManifest(dir).dels should have size 2
+    send(dir, 2, Seq((3L, "d")), fileLess)
+    val m = SegmentStore.readManifest(dir)
+    m.lastBatch shouldBe 2L
+    m.segs shouldBe empty
+    m.dels shouldBe empty
+    SegmentStore.readDels(spark, dir, "id").count() shouldBe 0L
+  }
+}

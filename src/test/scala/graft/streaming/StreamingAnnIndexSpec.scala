@@ -60,10 +60,14 @@ class StreamingAnnIndexSpec extends AnyFunSuite with Matchers {
     val expect = rebuilt(survivors)
     topk(StreamingAnnIndex.ivfTopKLive(spark, indexDir, queries, k = 3, nprobe = 1)) shouldBe expect
 
-    // batch 3 tips over the threshold → compaction; the answer holds and
-    // only survivors' latest versions remain physically
+    // batch 2's delete marker already tipped segs+dels over the threshold
+    // → compaction ran there (markers count toward the trigger so a
+    // delete-heavy stream can't accumulate them); batch 3 appends on top.
+    // The answer holds and only survivors' latest versions remain
+    // physically.
+    StreamingAnnIndex.readManifest(indexDir).segs shouldBe Seq("seg=c2")
     send(3, Seq((100000L, Seq.fill(64)(0.01), "u")).toDF("vec_id", "embedding", "op"))
-    StreamingAnnIndex.readManifest(indexDir).segs should have size 1
+    StreamingAnnIndex.readManifest(indexDir).segs shouldBe Seq("seg=c2", "seg=a3")
     val afterCompact = topk(StreamingAnnIndex.ivfTopKLive(spark, indexDir, queries, k = 3, nprobe = 1))
     val expect3 = rebuilt(survivors.unionByName(
       Seq((100000L, Seq.fill(64)(0.01))).toDF("vec_id", "embedding")))
@@ -74,5 +78,27 @@ class StreamingAnnIndexSpec extends AnyFunSuite with Matchers {
 
     // the artifact carries its own centroids
     StreamingAnnIndex.readCentroids(spark, indexDir).count() shouldBe centroids.count()
+  }
+
+  test("a crashed first attempt cannot freeze stale centroids") {
+    // simulate a crash between the _centroids write and the first manifest
+    // commit: the dir holds centroids A but NO committed batch; the retry
+    // passes centroids B — the artifact must route with B, matching the
+    // assignments it is about to build
+    val indexDir = Files.createTempDirectory("graft-ann-crash").toString
+    val a = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0))).toDF("vec_id", "embedding")
+    val b = Seq((1L, Seq(0.5, 0.5)), (2L, Seq(-0.5, 0.5))).toDF("vec_id", "embedding")
+    a.write.parquet(s"$indexDir/_centroids") // the crashed attempt's leftovers
+    val docs = Seq((10L, Seq(0.4, 0.6), "u")).toDF("vec_id", "embedding", "op")
+    StreamingAnnIndex.processBatch(docs, 0, indexDir, b, opCol = Some("op"))
+    StreamingAnnIndex.readCentroids(spark, indexDir)
+      .orderBy("vec_id").collect().map(_.getSeq[Double](1)).toSeq shouldBe
+      Seq(Seq(0.5, 0.5), Seq(-0.5, 0.5))
+    // once a batch has committed, later calls with different centroids do
+    // NOT silently re-route the artifact — the parameter is frozen
+    StreamingAnnIndex.processBatch(docs, 1, indexDir, a, opCol = Some("op"))
+    StreamingAnnIndex.readCentroids(spark, indexDir)
+      .orderBy("vec_id").collect().map(_.getSeq[Double](1)).toSeq shouldBe
+      Seq(Seq(0.5, 0.5), Seq(-0.5, 0.5))
   }
 }

@@ -67,11 +67,13 @@ class StreamingDedupIndexSpec extends AnyFunSuite with Matchers {
     val live = StreamingDedupIndex.liveIndex(spark, indexDir)
     live.select("id").as[Long].collect().toSet shouldBe Set(1L, 3L)
 
-    // batches 2-3 tip the set over the threshold → compaction; verdicts hold
+    // batch 2 tips segs+dels over the threshold (markers count toward the
+    // trigger) → compaction; batch 3 appends on top; verdicts hold
     send(2, Seq((4L, tB, "u")))
+    StreamingDedupIndex.readManifest(indexDir).segs shouldBe Seq("seg=c2")
+    StreamingDedupIndex.readManifest(indexDir).dels shouldBe empty
     send(3, Seq((5L, "gray silver gold bronze copper iron tin lead zinc nickel", "u")))
-    StreamingDedupIndex.readManifest(indexDir).segs should have size 1
-    StreamingDedupIndex.readManifest(indexDir).segs.head should startWith("seg=c")
+    StreamingDedupIndex.readManifest(indexDir).segs shouldBe Seq("seg=c2", "seg=a3")
     val v3 = probeMap(indexDir, delta)
     v3 shouldBe rebuilt(Seq((1L, tD), (3L, tC), (4L, tB),
       (5L, "gray silver gold bronze copper iron tin lead zinc nickel")), delta)

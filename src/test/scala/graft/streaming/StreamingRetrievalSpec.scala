@@ -122,11 +122,13 @@ class StreamingRetrievalSpec extends AnyFunSuite with Matchers {
     live.filter(col("doc_id") === 1L).select("token").as[String].collect().toSet shouldBe
       Set("zeta", "beta", "pad")
 
-    // delete-then-reinsert resurrects; then tip over the threshold
+    // delete-then-reinsert resurrects; then tip over the threshold —
+    // batch 1's delete marker counts toward the trigger, so batch 2's
+    // third segment (3 segs + 1 del = threshold 4) compacts
     send(2, Seq((2L, "alpha reborn pad", "u")))
-    send(3, Seq((4L, "beta tail pad", "u"))) // 4th segment → compaction
-    liveSegs(indexDir).size shouldBe 1
-    liveSegs(indexDir).head should startWith("seg=c")
+    liveSegs(indexDir) shouldBe Seq("seg=c2")
+    send(3, Seq((4L, "beta tail pad", "u")))
+    liveSegs(indexDir) shouldBe Seq("seg=c2", "seg=a3")
     StreamingRetrieval.readManifest(indexDir).dels shouldBe empty // markers cleared
     val finalCorpus = Seq((1L, "zeta beta pad"), (3L, "beta other pad"),
       (2L, "alpha reborn pad"), (4L, "beta tail pad"))

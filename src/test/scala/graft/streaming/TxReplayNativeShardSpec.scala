@@ -170,4 +170,26 @@ class TxReplayNativeShardSpec extends AnyFunSuite with Matchers {
     out(1).map(r => (r.getAs[Long]("key"), r.getAs[Long]("commit_lsn"))) shouldBe
       Seq((7L, 1000100L))
   }
+
+  test("a straggler sighting after a normal release is absorbed by the tombstone") {
+    // tx 1 completes and releases in batch 1; batch 2 redelivers one of
+    // its event rows (an at-least-once transport duplicate). The shard
+    // tombstone — set on EVERY release, not just purge — must absorb it:
+    // no re-emission, no re-created shard state a release would never
+    // drain, and a later transaction is unaffected.
+    val b1 = toNative(
+      Seq(LeftEv(1, "c", 1, 1, OrderRow(1, "a"))),
+      Seq(RightEv(1, 1, "c", 2, 1, LineRow(1, 1, 1.0))),
+      Seq(TxEnd(1, 100, 1, 1)))
+    val b2 = toNative( // duplicate of tx 1's left event, after release
+      Seq(LeftEv(1, "c", 1, 1, OrderRow(1, "a"))), Seq.empty, Seq.empty)
+    val b3 = toNative(
+      Seq(LeftEv(1, "u", 10, 2, OrderRow(1, "b"))), Seq.empty,
+      Seq(TxEnd(2, 200, 1, 0)))
+    val out = runSharded("shard_straggler", Seq(b1, b2, b3), shards = 4)
+    out(0).map(_.getAs[Long]("commit_lsn")) shouldBe Seq(100L)
+    out(1) shouldBe empty // straggler absorbed, nothing re-emitted
+    out(2).map(r => (r.getAs[Long]("key"), r.getAs[Long]("commit_lsn"))) shouldBe
+      Seq((1L, 200L))
+  }
 }
