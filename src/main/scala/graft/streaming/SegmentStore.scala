@@ -32,12 +32,26 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * batch — a redelivered batch is skipped outright, so a crash between a
   * segment write and the manifest commit replays cleanly (the
   * [[TxReplayStream]] idempotence rule). The manifest write is a
-  * tmp-file + atomic move; dirs it no longer references are pruned on the
-  * next commit.
+  * tmp-file + atomic move.
+  *
+  * Concurrent probes vs maintenance: a probe plans against the manifest
+  * it read, then scans the referenced dirs LAZILY — on a cluster that
+  * scan can run long after the read. Deleting a compacted-away dir at
+  * commit would fail such a probe mid-scan with a missing-file error, so
+  * dirs a commit stops referencing are instead parked in the manifest's
+  * `pending` list and physically deleted only `pruneGraceBatches`
+  * commits later — any probe that began within the grace window keeps
+  * its files. Dirs never referenced by ANY committed manifest (crashed
+  * attempts, skipped file-less builds) were never probe-visible and are
+  * removed immediately.
   */
 object SegmentStore {
 
-  case class Manifest(lastBatch: Long, segs: Seq[String], dels: Seq[String])
+  /** `pending`: (relative dir, batch at which it became dead) — dead but
+    * retained for in-flight probes until the grace window passes.
+    */
+  case class Manifest(lastBatch: Long, segs: Seq[String], dels: Seq[String],
+                      pending: Seq[(String, Long)] = Nil)
 
   private def manifestPath(dir: String): Path = Paths.get(dir, "_manifest")
 
@@ -48,13 +62,19 @@ object SegmentStore {
     def names(i: Int): Seq[String] =
       if (lines.size <= i || lines.get(i).isEmpty) Nil
       else lines.get(i).split(",").toSeq
-    Manifest(lines.get(0).trim.toLong, names(1), names(2))
+    // line 4 (absent in pre-round-9 manifests): pending dirs as name@batch
+    val pending = names(3).map { s =>
+      val at = s.lastIndexOf('@')
+      (s.substring(0, at), s.substring(at + 1).toLong)
+    }
+    Manifest(lines.get(0).trim.toLong, names(1), names(2), pending)
   }
 
   private def writeManifest(dir: String, m: Manifest): Unit = {
     val tmp = Paths.get(dir, "_manifest.tmp")
     Files.createDirectories(Paths.get(dir))
-    Files.writeString(tmp, s"${m.lastBatch}\n${m.segs.mkString(",")}\n${m.dels.mkString(",")}")
+    Files.writeString(tmp, s"${m.lastBatch}\n${m.segs.mkString(",")}\n${m.dels.mkString(",")}\n" +
+      m.pending.map { case (n, b) => s"$n@$b" }.mkString(","))
     Files.move(tmp, manifestPath(dir), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
   }
@@ -66,12 +86,18 @@ object SegmentStore {
       finally s.close()
     }
 
-  /** Drop dirs the committed manifest no longer references (compacted-away
-    * segments, cleared delete markers, leftovers of a crashed attempt).
+  /** Drop dirs the committed manifest references neither as live nor as
+    * pending-delete: expired grace-window entries (the caller already
+    * removed them from `pending`) and never-committed leftovers of a
+    * crashed attempt — the latter were never probe-visible, so immediate
+    * removal is safe.
     */
   private def prune(dir: String, m: Manifest): Unit = {
-    val keepSegs = m.segs.toSet
-    val keepDels = m.dels.toSet
+    val pendSegs = m.pending.collect { case (n, _) if !n.startsWith("_dels/") => n }
+    val pendDels = m.pending.collect { case (n, _) if n.startsWith("_dels/") =>
+      n.stripPrefix("_dels/") }
+    val keepSegs = m.segs.toSet ++ pendSegs
+    val keepDels = m.dels.toSet ++ pendDels
     val base = Paths.get(dir)
     val ls = Files.list(base)
     try ls.forEach { p =>
@@ -158,11 +184,19 @@ object SegmentStore {
     * normalized to the latter). Batches at or below the manifest's
     * committed id are skipped (redelivery).
     */
+  /** @param pruneGraceBatches how many further commits a dead dir stays on
+    *   disk before physical deletion. A probe plans against a manifest
+    *   snapshot and scans lazily; any probe that began within the last
+    *   `pruneGraceBatches` commits keeps its files. 0 restores immediate
+    *   pruning (safe only when probes never overlap maintenance).
+    */
   def processBatch(docs: DataFrame, batchId: Long, dir: String,
                    inputIdCol: String, idCol: String, opCol: Option[String],
                    compactSegments: Int,
-                   buildSegment: DataFrame => DataFrame): Unit = {
+                   buildSegment: DataFrame => DataFrame,
+                   pruneGraceBatches: Int = 2): Unit = {
     require(compactSegments >= 2, s"compactSegments must be >= 2, got $compactSegments")
+    require(pruneGraceBatches >= 0, s"pruneGraceBatches must be >= 0, got $pruneGraceBatches")
     val spark = docs.sparkSession
     val m = readManifest(dir)
     if (batchId <= m.lastBatch) return // redelivered, already committed
@@ -215,8 +249,18 @@ object SegmentStore {
           Manifest(batchId,
             if (hasParquetFiles(Paths.get(dir, name))) Seq(name) else Nil, Nil)
         }
-      writeManifest(dir, next)
-      prune(dir, next)
+      // dirs this commit stops referencing were visible to probes of the
+      // OLD manifest → park them in the grace window instead of deleting;
+      // entries whose window has passed are deleted now (prune removes
+      // whatever the written manifest no longer mentions)
+      val newlyDead =
+        (m.segs.filterNot(next.segs.contains) ++
+          m.dels.filterNot(next.dels.contains).map("_dels/" + _)).map((_, batchId))
+      val (expired, parked) = (m.pending ++ newlyDead)
+        .partition { case (_, deadAt) => deadAt <= batchId - pruneGraceBatches }
+      writeManifest(dir, next.copy(pending = parked))
+      expired.foreach { case (n, _) => deleteRecursively(Paths.get(dir, n)) }
+      prune(dir, next.copy(pending = parked))
     } finally batch.unpersist()
   }
 }

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import java.nio.file.Files
+import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
@@ -100,6 +100,37 @@ class SegmentStoreSpec extends AnyFunSuite with Matchers {
     SegmentStore.liveRows(SegmentStore.readSegments(spark, dir, segSchemaB),
       SegmentStore.readDels(spark, dir, "id"), "id")
       .select("id").as[Long].collect().toSet shouldBe Set(1L)
+  }
+
+  test("a probe planned against an old manifest survives compaction (prune grace)") {
+    val dir = Files.createTempDirectory("graft-lsm-grace").toString
+    send(dir, 0, Seq((1L, "u"), (2L, "u")), identityBuild)
+    send(dir, 1, Seq((3L, "u")), identityBuild)
+    // a probe in flight: planned against the 2-segment manifest, scan
+    // deferred — on a cluster this runs long after the manifest read
+    val inFlight = SegmentStore.readSegments(spark, dir, segSchemaB)
+    SegmentStore.readManifest(dir).segs shouldBe Seq("seg=a0", "seg=a1")
+
+    // maintenance compacts underneath it (3rd segment hits threshold 3)
+    send(dir, 2, Seq((4L, "u")), identityBuild)
+    val m2 = SegmentStore.readManifest(dir)
+    m2.segs shouldBe Seq("seg=c2")
+    m2.pending.map(_._1).toSet shouldBe Set("seg=a0", "seg=a1")
+    // the in-flight probe still completes — its dirs are parked, not gone
+    inFlight.count() shouldBe 3L
+    Files.exists(Paths.get(dir, "seg=a0")) shouldBe true
+
+    // two commits later the grace window passes and the dirs are deleted
+    send(dir, 3, Seq((5L, "u")), identityBuild)
+    Files.exists(Paths.get(dir, "seg=a0")) shouldBe true // dead@2, 2 > 3-2
+    send(dir, 4, Seq((6L, "u")), identityBuild)
+    Files.exists(Paths.get(dir, "seg=a0")) shouldBe false
+    Files.exists(Paths.get(dir, "seg=a1")) shouldBe false
+    SegmentStore.readManifest(dir).pending.map(_._1) should not contain "seg=a0"
+    // live answers were right the whole time
+    SegmentStore.liveRows(SegmentStore.readSegments(spark, dir, segSchemaB),
+      SegmentStore.readDels(spark, dir, "id"), "id")
+      .select("id").as[Long].collect().toSet shouldBe Set(1L, 2L, 3L, 4L, 5L, 6L)
   }
 
   test("markers with no live segments clear at the threshold (inert branch)") {
