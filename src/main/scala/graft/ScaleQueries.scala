@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 import org.apache.spark.sql.expressions.Window
 
 import graft.Ordered._
-import graft.scale.{Bpe, Classifier, Decontam, Dsir, Embeddings, LangModel, Multimodal, NearDup, Packing, Retrieval, Sampling, Similarity, Sketches, SpanDedup, TextOps}
+import graft.scale.{Bpe, Chunking, Classifier, Decontam, Dsir, Embeddings, LangModel, Multimodal, NearDup, Packing, Retrieval, Sampling, Similarity, Sketches, SpanDedup, TextOps}
 import graft.streaming.{SegmentStore, StreamingRetrieval}
 
 /** Driver-verifiable queries for the training-data-pipeline operators
@@ -990,6 +990,48 @@ object ScaleQueries {
         Tables.documents(s, d).select(col("doc_id"), three.as("text")),
         "doc_id", "text")
         .ordered("id")
+    }),
+
+    // Sliding-window chunking: every document explodes into overlapping
+    // 32-token windows at stride 16 (the HF convention: the last window
+    // always reaches the tail). One narrow map-only pass — no shuffle.
+    "q_chunking" -> ((s, d) => {
+      Chunking.chunkDocuments(Tables.documents(s, d).select("doc_id", "text"),
+        "doc_id", "text", window = 32, stride = 16)
+        .ordered("doc_id", "chunk_id")
+    }),
+
+    // Chunk-level exact dedup rolled up to documents: a 16-token
+    // boilerplate banner is prepended to EVERY document, so each doc's
+    // first chunk is corpus-wide identical — only one copy survives and
+    // every doc's kept_frac reflects it. Chunk text never shuffles, only
+    // its 128-bit fingerprint.
+    "q_chunk_dedup" -> ((s, d) => {
+      val boiler = "please subscribe to our newsletter for the very latest updates and exclusive offers every single week"
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), concat_ws(" ", lit(boiler), col("text")).as("text"))
+      Chunking.chunkDedupStats(docs, "doc_id", "text", window = 16, stride = 8)
+        .ordered("doc_id")
+    }),
+
+    // Chunk-granular retrieval: BM25 over 32/16 chunks (each chunk a
+    // retrieval unit keyed by doc_id·2²⁰+chunk_id), top-20 chunks per
+    // probe, then documents re-rank as their best chunk — the passage-
+    // retrieval shape where a long document must not dilute its best
+    // passage's score.
+    "q_chunk_retrieval" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val chunks = Chunking.chunkDocuments(docs, "doc_id", "text",
+        window = 32, stride = 16)
+        .select(Chunking.chunkKey(col("doc_id"), col("chunk_id")).as("ck"),
+          col("chunk"))
+      val probes = docs.filter(col("doc_id") % 101 === 0)
+        .select(col("doc_id").as("q_id"),
+          explode(array_distinct(slice(split(col("text"), " "), 5, 4))).as("term"))
+      val chunkHits = Retrieval.bm25TopK(chunks, "ck", "chunk",
+        probes, "q_id", "term", k = 20)
+      Chunking.chunkHitsToDocs(chunkHits, k = 5)
+        .ordered("q_id", "rank")
     }),
 
     // BM25 retrieval over the inverted index: probe queries = every 97th
@@ -2645,6 +2687,76 @@ object ScaleQueries {
     // BM25 with the Robertson/Lucene idf; constant folding mirrors the
     // Spark expression tree ((0.25 + 0.75*dl/avgdl), tf*2.2) so both
     // engines evaluate the identical double arithmetic before the round.
+    "q_chunking" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n FROM documents),
+        |c AS (SELECT doc_id, toks, n,
+        |  CAST(unnest(generate_series(0, CASE WHEN n <= 32 THEN 0
+        |    ELSE CAST(ceil((n - 32) / 16.0) AS INTEGER) END)) AS INTEGER) AS chunk_id
+        | FROM t)
+        |SELECT doc_id, chunk_id, chunk_id * 16 AS tok_start,
+        |  least(chunk_id * 16 + 32, n) AS tok_end,
+        |  array_to_string(toks[chunk_id * 16 + 1:least(chunk_id * 16 + 32, n)], ' ') AS chunk
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q_chunk_dedup" ->
+      """WITH d2 AS (SELECT doc_id,
+        |  'please subscribe to our newsletter for the very latest updates and exclusive offers every single week ' || text AS text
+        | FROM documents),
+        |t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n FROM d2),
+        |c AS (SELECT doc_id, toks, n,
+        |  CAST(unnest(generate_series(0, CASE WHEN n <= 16 THEN 0
+        |    ELSE CAST(ceil((n - 16) / 8.0) AS INTEGER) END)) AS INTEGER) AS chunk_id
+        | FROM t),
+        |ch AS (SELECT doc_id, chunk_id,
+        |  array_to_string(toks[chunk_id * 8 + 1:least(chunk_id * 8 + 16, n)], ' ') AS chunk
+        | FROM c),
+        |w AS (SELECT chunk, min(doc_id * 1048576 + chunk_id) AS wk FROM ch GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_chunks,
+        |  CAST(sum(CASE WHEN doc_id * 1048576 + chunk_id = wk THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  round(CAST(sum(CASE WHEN doc_id * 1048576 + chunk_id = wk THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 4) AS kept_frac
+        |FROM ch JOIN w USING (chunk) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_chunk_retrieval" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n FROM documents),
+        |c AS (SELECT doc_id, toks, n,
+        |  CAST(unnest(generate_series(0, CASE WHEN n <= 32 THEN 0
+        |    ELSE CAST(ceil((n - 32) / 16.0) AS INTEGER) END)) AS INTEGER) AS chunk_id
+        | FROM t),
+        |chunks AS (SELECT doc_id * 1048576 + chunk_id AS ck,
+        |  array_to_string(toks[chunk_id * 16 + 1:least(chunk_id * 16 + 32, n)], ' ') AS chunk
+        | FROM c),
+        |ctoks AS (SELECT ck, unnest(string_split(chunk, ' ')) AS token FROM chunks),
+        |post AS (SELECT ck, token, count(*) AS tf FROM ctoks GROUP BY 1, 2),
+        |cdl AS (SELECT ck, CAST(len(string_split(chunk, ' ')) AS DOUBLE) AS dl FROM chunks),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM cdl),
+        |q AS (SELECT doc_id AS q_id,
+        |  unnest(list_distinct((string_split(text, ' '))[5:8])) AS token
+        | FROM documents WHERE doc_id % 101 = 0),
+        |dfq AS (SELECT token, count(*) AS df FROM post
+        | WHERE token IN (SELECT DISTINCT token FROM q) GROUP BY 1),
+        |scored AS (SELECT q.q_id, p.ck,
+        |  round(sum(ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+        |    * p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))), 4) AS score
+        | FROM post p JOIN q ON p.token = q.token JOIN dfq f ON p.token = f.token
+        | JOIN cdl dl ON p.ck = dl.ck CROSS JOIN stats s
+        | GROUP BY 1, 2),
+        |chits AS (SELECT q_id, ck, score FROM (
+        | SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, ck) AS r
+        | FROM scored) WHERE r <= 20),
+        |perdoc AS (SELECT q_id, ck // 1048576 AS doc_id, ck % 1048576 AS best_chunk, score,
+        |  row_number() OVER (PARTITION BY q_id, ck // 1048576
+        |    ORDER BY score DESC, ck % 1048576) AS rn
+        | FROM chits)
+        |SELECT q_id, doc_id, best_chunk, score, CAST(rank AS INTEGER) AS rank FROM (
+        | SELECT q_id, doc_id, best_chunk, score,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank
+        | FROM perdoc WHERE rn = 1)
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
     "q_bm25_topk" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
         |post AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
