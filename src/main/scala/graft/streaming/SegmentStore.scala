@@ -49,9 +49,14 @@ object SegmentStore {
 
   /** `pending`: (relative dir, batch at which it became dead) — dead but
     * retained for in-flight probes until the grace window passes.
+    * `param`: an opaque pointer to the index family's frozen derivation
+    * parameter (e.g. [[StreamingAnnIndex]]'s centroid generation), swapped
+    * atomically WITH the segment set by [[rewrite]] so a probe can never
+    * pair one generation's parameter with another generation's rows.
     */
   case class Manifest(lastBatch: Long, segs: Seq[String], dels: Seq[String],
-                      pending: Seq[(String, Long)] = Nil)
+                      pending: Seq[(String, Long)] = Nil,
+                      param: Option[String] = None)
 
   private def manifestPath(dir: String): Path = Paths.get(dir, "_manifest")
 
@@ -67,14 +72,18 @@ object SegmentStore {
       val at = s.lastIndexOf('@')
       (s.substring(0, at), s.substring(at + 1).toLong)
     }
-    Manifest(lines.get(0).trim.toLong, names(1), names(2), pending)
+    // line 5: the opaque derivation-parameter pointer
+    val param =
+      if (lines.size <= 4 || lines.get(4).isEmpty) None else Some(lines.get(4))
+    Manifest(lines.get(0).trim.toLong, names(1), names(2), pending, param)
   }
 
   private def writeManifest(dir: String, m: Manifest): Unit = {
     val tmp = Paths.get(dir, "_manifest.tmp")
     Files.createDirectories(Paths.get(dir))
     Files.writeString(tmp, s"${m.lastBatch}\n${m.segs.mkString(",")}\n${m.dels.mkString(",")}\n" +
-      m.pending.map { case (n, b) => s"$n@$b" }.mkString(","))
+      m.pending.map { case (n, b) => s"$n@$b" }.mkString(",") +
+      "\n" + m.param.getOrElse(""))
     Files.move(tmp, manifestPath(dir), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
   }
@@ -226,7 +235,7 @@ object SegmentStore {
       // dels count toward the trigger too: a delete-heavy stream adds
       // marker dirs (probe-side delMax inputs) without adding segments
       // and must still reach compaction, which clears them
-      val next =
+      val next0 =
         if (segs.size + dels.size < compactSegments) Manifest(batchId, segs, dels)
         else if (segs.isEmpty) {
           // markers with no segments are inert (a marker only suppresses
@@ -249,6 +258,7 @@ object SegmentStore {
           Manifest(batchId,
             if (hasParquetFiles(Paths.get(dir, name))) Seq(name) else Nil, Nil)
         }
+      val next = next0.copy(param = m.param) // the frozen parameter rides along
       // dirs this commit stops referencing were visible to probes of the
       // OLD manifest → park them in the grace window instead of deleting;
       // entries whose window has passed are deleted now (prune removes
@@ -262,5 +272,57 @@ object SegmentStore {
       expired.foreach { case (n, _) => deleteRecursively(Paths.get(dir, n)) }
       prune(dir, next.copy(pending = parked))
     } finally batch.unpersist()
+  }
+
+  /** Offline full rewrite of the index under a NEW derivation parameter —
+    * the re-parameterization half of the lifecycle (threshold compaction
+    * handles volume; this handles e.g. [[StreamingAnnIndex]]'s centroid
+    * refresh, where every row must be re-derived because the routing
+    * parameter moved). Resolves the live rows once, re-derives them with
+    * `buildRows` (which receives rows WITH their `batch` column and must
+    * return schema-complete segment rows, `batch` included), writes ONE
+    * segment, and commits segments + `newParam` in a single atomic
+    * manifest swap — a probe can never pair the new parameter with old
+    * rows or vice versa. Delete markers are cleared (their dead rows are
+    * physically gone, as in compaction); `extraDead` names additional
+    * dirs (e.g. the old parameter artifact) to park in the same grace
+    * window as the replaced segments.
+    *
+    * `lastBatch` is NOT advanced — a rewrite is not a data batch, and the
+    * stream's redelivery contract stays untouched. Single-writer like
+    * [[processBatch]]: the caller serializes rewrites with the stream
+    * (e.g. from inside the same foreachBatch). A crashed rewrite leaves
+    * an unreferenced dir that the next commit prunes; a retry picks a
+    * fresh segment name.
+    */
+  def rewrite(spark: SparkSession, dir: String, schema: StructType,
+              idCol: String, buildRows: DataFrame => DataFrame,
+              newParam: Option[String], extraDead: Seq[String] = Nil,
+              pruneGraceBatches: Int = 2): Unit = {
+    require(pruneGraceBatches >= 0, s"pruneGraceBatches must be >= 0, got $pruneGraceBatches")
+    val m = readManifest(dir)
+    require(m.lastBatch >= 0L, s"rewrite needs a committed index at $dir")
+    val live = liveRows(readSegments(spark, dir, schema),
+      readDels(spark, dir, idCol), idCol)
+    // unique name per attempt: repeated rewrites at the same commit point
+    // (or a retry after a crash) must never overwrite a dir a live or
+    // parked manifest entry still references
+    val taken = (m.segs ++ m.pending.map(_._1)).toSet
+    var n = 0
+    def candidate = s"seg=r${m.lastBatch}x$n"
+    while (taken.contains(candidate) || Files.exists(Paths.get(dir, candidate))) n += 1
+    val name = candidate
+    buildRows(live).write.mode(SaveMode.Overwrite).parquet(s"$dir/$name")
+    val next = Manifest(m.lastBatch,
+      if (hasParquetFiles(Paths.get(dir, name))) Seq(name) else Nil, Nil,
+      param = newParam.orElse(m.param))
+    val newlyDead =
+      (m.segs.filterNot(next.segs.contains) ++ m.dels.map("_dels/" + _) ++
+        extraDead).map((_, m.lastBatch))
+    val (expired, parked) = (m.pending ++ newlyDead)
+      .partition { case (_, deadAt) => deadAt <= m.lastBatch - pruneGraceBatches }
+    writeManifest(dir, next.copy(pending = parked))
+    expired.foreach { case (nm, _) => deleteRecursively(Paths.get(dir, nm)) }
+    prune(dir, next.copy(pending = parked))
   }
 }

@@ -53,11 +53,21 @@ object StreamingAnnIndex {
   def readDels(spark: SparkSession, indexDir: String): DataFrame =
     SegmentStore.readDels(spark, indexDir, "vec_id")
 
-  /** The frozen centroids the index was built with, as persisted by the
-    * first committed batch — columns (vec_id, embedding ARRAY<DOUBLE>).
+  /** Relative dir of the centroid generation the manifest points at:
+    * `_centroids` (flat — generation 0, the first committed batch's
+    * write) until a [[refreshCentroids]] bumps the manifest's `param` to
+    * `g<N>` → `_centroids_g<N>`. Sibling dirs, never nested: a parquet
+    * dir must not grow subdirectories under it.
+    */
+  private def centroidsDir(m: SegmentStore.Manifest): String =
+    m.param.fold("_centroids")(g => s"_centroids_$g")
+
+  /** The centroids the CURRENT index generation was built with — columns
+    * (vec_id, embedding ARRAY<DOUBLE>). Resolved through the manifest's
+    * parameter pointer, so assignments and routing always match.
     */
   def readCentroids(spark: SparkSession, indexDir: String): DataFrame =
-    spark.read.parquet(s"$indexDir/_centroids")
+    spark.read.parquet(s"$indexDir/${centroidsDir(SegmentStore.readManifest(indexDir))}")
 
   /** [[Similarity.ivfTopKIndexed]] over the live view of an upsert/delete
     * index: query vectors route through the persisted centroids; the
@@ -108,6 +118,52 @@ object StreamingAnnIndex {
     SegmentStore.processBatch(docs, batchId, indexDir, idCol, "vec_id", opCol,
       compactSegments,
       upserts => Similarity.assignBuckets(upserts, centroids, idCol, vecCol))
+  }
+
+  /** Re-center the index's frozen routing parameter on the CURRENT live
+    * corpus — the drift answer for a long-running stream. The centroids a
+    * batch-0 training run froze describe batch-0's distribution; months of
+    * upserts can leave most of the corpus far from every centroid
+    * (degenerate buckets → recall collapse on the drifted mass). This runs
+    * `lloydIters` Lloyd rounds ([[Similarity.kmeansIterate]]) seeded from
+    * the CURRENT centroids over the live vectors, persists the result as
+    * the next centroid generation (`_centroids_g<N>`), and re-derives
+    * every live row's bucket in one [[SegmentStore.rewrite]] — segments
+    * and the generation pointer swap in a single atomic manifest commit,
+    * so a probe either routes old-against-old or new-against-new, never
+    * mixed. Per-row `batch` versions are preserved, so upsert/delete
+    * semantics continue unchanged across the refresh.
+    *
+    * Offline and corpus-sized BY DESIGN (one |live|×K assignment pass per
+    * Lloyd round plus the rewrite) — the amortized cost of keeping every
+    * per-batch append delta-sized; run it on the cadence drift warrants
+    * (weekly, or when bucket-occupancy skew crosses a threshold), NOT per
+    * batch. Single-writer: serialize with the maintenance stream (call it
+    * between batches or from inside the same foreachBatch).
+    *
+    * Returns the refreshed centroids (vec_id, embedding).
+    */
+  def refreshCentroids(spark: SparkSession, indexDir: String,
+                       lloydIters: Int = 1, tol: Double = 1e-4,
+                       pruneGraceBatches: Int = 2): DataFrame = {
+    val m = SegmentStore.readManifest(indexDir)
+    require(m.lastBatch >= 0L, s"no committed index at $indexDir")
+    val live = SegmentStore.liveRows(readSegments(spark, indexDir),
+      readDels(spark, indexDir), "vec_id")
+    val corpus = live.select(col("vec_id"), col("vec").as("embedding"))
+    val refreshed = Similarity.kmeansIterate(corpus,
+      readCentroids(spark, indexDir), maxIters = lloydIters, tol = tol)
+      .select(col("centroid_id").as("vec_id"), col("embedding"))
+    val gen = m.param.fold(1)(p => p.stripPrefix("g").toInt + 1)
+    refreshed.write.mode(SaveMode.Overwrite).parquet(s"$indexDir/_centroids_g$gen")
+    val cents = spark.read.parquet(s"$indexDir/_centroids_g$gen")
+    SegmentStore.rewrite(spark, indexDir, segSchema, "vec_id",
+      rows => Similarity.assignBuckets(
+          rows.select(col("vec_id"), col("vec").as("embedding")), cents)
+        .join(rows.select("vec_id", "batch"), Seq("vec_id")),
+      newParam = Some(s"g$gen"), extraDead = Seq(centroidsDir(m)),
+      pruneGraceBatches = pruneGraceBatches)
+    cents
   }
 
   /** Attach index maintenance to a vector-change stream. */

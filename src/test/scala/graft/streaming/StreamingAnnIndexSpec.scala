@@ -80,6 +80,82 @@ class StreamingAnnIndexSpec extends AnyFunSuite with Matchers {
     StreamingAnnIndex.readCentroids(spark, indexDir).count() shouldBe centroids.count()
   }
 
+  test("centroid refresh re-centers a drifted corpus and swaps generations atomically") {
+    val indexDir = Files.createTempDirectory("graft-ann-refresh").toString
+    // trained-at-batch-0 world: two clusters on the +x and +y axes
+    val centroids = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val anchors = Seq(
+      (1L, Seq(1.0, 0.01)), (2L, Seq(1.0, -0.01)), (3L, Seq(0.99, 0.0)),
+      (4L, Seq(0.01, 1.0)), (5L, Seq(-0.01, 1.0)), (6L, Seq(0.0, 0.99)))
+    def send(b: Long, rows: Seq[(Long, Seq[Double])], op: String = "u"): Unit =
+      StreamingAnnIndex.processBatch(
+        rows.toDF("vec_id", "embedding").withColumn("op", lit(op)),
+        b, indexDir, centroids, opCol = Some("op"), compactSegments = 8)
+    send(0, anchors)
+
+    // months later the +y mass has drifted into ONE blob in the third
+    // quadrant (ids 4-6 moved there, 14-16 arrived there) — a blob that
+    // STRADDLES the old 225° bucket boundary: its 217-221° side lands in
+    // bucket 1, its 227-233° side in bucket 0
+    val drifters = Seq(
+      (4L, Seq(-0.799, -0.602)), (5L, Seq(-0.777, -0.629)), (6L, Seq(-0.755, -0.656)),
+      (14L, Seq(-0.682, -0.731)), (15L, Seq(-0.656, -0.755)), (16L, Seq(-0.602, -0.799)))
+    send(1, drifters)
+    // the probe sits at 226°, just inside the blob's bucket-0 side
+    val q = Seq((100L, Seq(-0.695, -0.719))).toDF("vec_id", "embedding")
+    val live = anchors.take(3) ++ drifters
+
+    def probeIds(nprobe: Int): Set[Long] =
+      StreamingAnnIndex.ivfTopKLive(spark, indexDir, q, k = 3, nprobe = nprobe)
+        .select("neighbor_id").as[Long].collect().toSet
+    val trueTop3 = Similarity.bruteForceTopK(live.toDF("vec_id", "embedding"), q, k = 3)
+      .select("neighbor_id").as[Long].collect().toSet
+    trueTop3 shouldBe Set(14L, 15L, 6L) // 227°, 229°, 221° — both sides
+
+    // the frozen parameter can no longer describe the corpus: at nprobe=1
+    // the probe routes into old bucket 0 and sees only that SIDE of the
+    // blob — 6 (at 5° away) is invisible behind the stale boundary
+    probeIds(1) shouldBe Set(14L, 15L, 16L)
+
+    // refresh: Lloyd from the current centroids migrates one centroid
+    // over the whole blob (the anchors hold the other)
+    val refreshed = StreamingAnnIndex.refreshCentroids(spark, indexDir, lloydIters = 8)
+    refreshed.count() shouldBe 2L
+
+    // generation swapped atomically: manifest param → g1, rows are one
+    // rewrite segment, probes now see the true neighbors at nprobe=1
+    val m1 = StreamingAnnIndex.readManifest(indexDir)
+    m1.param shouldBe Some("g1")
+    m1.segs shouldBe Seq("seg=r1x0")
+    probeIds(1) shouldBe trueTop3
+
+    // live probe ≡ fresh rebuild with the refreshed centroids
+    topk(StreamingAnnIndex.ivfTopKLive(spark, indexDir, q, k = 3, nprobe = 1)) shouldBe
+      topk(Similarity.ivfTopKIndexed(
+        Similarity.assignBuckets(live.toDF("vec_id", "embedding"), refreshed),
+        refreshed, q, k = 3))
+
+    // the stream continues on the refreshed generation: upserts and
+    // deletes apply, the parameter pointer rides along, and the old
+    // generation's dirs are physically gone once the grace window passes
+    send(2, Seq((16L, Seq(-0.683, -0.730)))) // 16 moves right next to q
+    send(3, Seq((15L, Seq(0.0, 0.0))), op = "d")
+    StreamingAnnIndex.readManifest(indexDir).param shouldBe Some("g1")
+    java.nio.file.Files.exists(
+      java.nio.file.Paths.get(indexDir, "_centroids")) shouldBe false
+    val after = StreamingAnnIndex
+      .ivfTopKLive(spark, indexDir, q, k = 3, nprobe = 2)
+      .select("neighbor_id").as[Long].collect().toSet
+    after should contain(16L)
+    after should not contain 15L
+    // readCentroids resolves through the pointer — identical to the
+    // refresh's return
+    StreamingAnnIndex.readCentroids(spark, indexDir)
+      .orderBy("vec_id").collect().map(_.getSeq[Double](1)) shouldBe
+      refreshed.orderBy("vec_id").collect().map(_.getSeq[Double](1))
+  }
+
   test("a crashed first attempt cannot freeze stale centroids") {
     // simulate a crash between the _centroids write and the first manifest
     // commit: the dir holds centroids A but NO committed batch; the retry
