@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 
 import graft.Ordered._
 import graft.scale.{Bpe, Chunking, Classifier, Decontam, Dsir, Embeddings, LangModel, Multimodal, NearDup, Packing, Retrieval, Sampling, Similarity, Sketches, SpanDedup, TextOps}
-import graft.streaming.{SegmentStore, StreamingRetrieval}
+import graft.streaming.{SegmentStore, StreamingChunkIndex, StreamingRetrieval}
 
 /** Driver-verifiable queries for the training-data-pipeline operators
   * (`graft.scale`) over the `documents` table, each with a DuckDB oracle
@@ -1031,6 +1031,31 @@ object ScaleQueries {
       val chunkHits = Retrieval.bm25TopK(chunks, "ck", "chunk",
         probes, "q_id", "term", k = 20)
       Chunking.chunkHitsToDocs(chunkHits, k = 5)
+        .ordered("q_id", "rank")
+    }),
+
+    // Chunk-granular retrieval over a LIVE upsert/delete index
+    // (StreamingChunkIndex's contract, batch-composed): batch 0 indexes
+    // the chunked corpus, batch 1 re-sends every %23 doc TRUNCATED to 40
+    // tokens — it chunks into fewer windows, and doc-level latest-wins
+    // liveness must kill the old tail chunks (a chunk-keyed contract
+    // would leave them as phantom passages) — batch 2 deletes every %31
+    // doc. Must equal chunk retrieval over the surviving corpus.
+    "q_chunk_index_upsert" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val shortened = array_join(slice(split(col("text"), " "), 1, 40), " ")
+      val seg0 = StreamingChunkIndex.buildChunkSegment(docs, "doc_id", "text",
+        window = 32, stride = 16).withColumn("batch", lit(0L))
+      val seg1 = StreamingChunkIndex.buildChunkSegment(
+        docs.filter(col("doc_id") % 23 === 0).select(col("doc_id"), shortened.as("text")),
+        "doc_id", "text", window = 32, stride = 16).withColumn("batch", lit(1L))
+      val dels = docs.filter(col("doc_id") % 31 === 0)
+        .select(col("doc_id"), lit(2L).as("batch"))
+      val probes = docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("q_id"),
+          explode(array_distinct(slice(split(col("text"), " "), 5, 4))).as("term"))
+      StreamingChunkIndex.chunkTopKLiveDocs(seg0.unionByName(seg1), dels,
+        probes, "q_id", "term", kChunks = 20, kDocs = 5)
         .ordered("q_id", "rank")
     }),
 
@@ -2736,6 +2761,47 @@ object ScaleQueries {
         |q AS (SELECT doc_id AS q_id,
         |  unnest(list_distinct((string_split(text, ' '))[5:8])) AS token
         | FROM documents WHERE doc_id % 101 = 0),
+        |dfq AS (SELECT token, count(*) AS df FROM post
+        | WHERE token IN (SELECT DISTINCT token FROM q) GROUP BY 1),
+        |scored AS (SELECT q.q_id, p.ck,
+        |  round(sum(ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+        |    * p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))), 4) AS score
+        | FROM post p JOIN q ON p.token = q.token JOIN dfq f ON p.token = f.token
+        | JOIN cdl dl ON p.ck = dl.ck CROSS JOIN stats s
+        | GROUP BY 1, 2),
+        |chits AS (SELECT q_id, ck, score FROM (
+        | SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, ck) AS r
+        | FROM scored) WHERE r <= 20),
+        |perdoc AS (SELECT q_id, ck // 1048576 AS doc_id, ck % 1048576 AS best_chunk, score,
+        |  row_number() OVER (PARTITION BY q_id, ck // 1048576
+        |    ORDER BY score DESC, ck % 1048576) AS rn
+        | FROM chits)
+        |SELECT q_id, doc_id, best_chunk, score, CAST(rank AS INTEGER) AS rank FROM (
+        | SELECT q_id, doc_id, best_chunk, score,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank
+        | FROM perdoc WHERE rn = 1)
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    "q_chunk_index_upsert" ->
+      """WITH d2 AS (SELECT doc_id, CASE WHEN doc_id % 23 = 0
+        |  THEN array_to_string((string_split(text, ' '))[1:40], ' ') ELSE text END AS text
+        | FROM documents WHERE doc_id % 31 <> 0),
+        |t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n FROM d2),
+        |c AS (SELECT doc_id, toks, n,
+        |  CAST(unnest(generate_series(0, CASE WHEN n <= 32 THEN 0
+        |    ELSE CAST(ceil((n - 32) / 16.0) AS INTEGER) END)) AS INTEGER) AS chunk_id
+        | FROM t),
+        |chunks AS (SELECT doc_id * 1048576 + chunk_id AS ck,
+        |  array_to_string(toks[chunk_id * 16 + 1:least(chunk_id * 16 + 32, n)], ' ') AS chunk
+        | FROM c),
+        |ctoks AS (SELECT ck, unnest(string_split(chunk, ' ')) AS token FROM chunks),
+        |post AS (SELECT ck, token, count(*) AS tf FROM ctoks GROUP BY 1, 2),
+        |cdl AS (SELECT ck, CAST(len(string_split(chunk, ' ')) AS DOUBLE) AS dl FROM chunks),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM cdl),
+        |q AS (SELECT doc_id AS q_id,
+        |  unnest(list_distinct((string_split(text, ' '))[5:8])) AS token
+        | FROM documents WHERE doc_id % 97 = 0),
         |dfq AS (SELECT token, count(*) AS df FROM post
         | WHERE token IN (SELECT DISTINCT token FROM q) GROUP BY 1),
         |scored AS (SELECT q.q_id, p.ck,
