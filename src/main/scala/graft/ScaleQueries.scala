@@ -1306,6 +1306,40 @@ object ScaleQueries {
         .ordered("q_id", "rank")
     }),
 
+    // Seventh composed pipeline — the CHUNK-centric curation chain:
+    // boilerplate-noised corpus → chunk-dedup gate (a doc survives only if
+    // ≥85% of its 16/8 chunks are corpus-wide first occurrences) →
+    // chunk-granular retrieval decontam (eval probes retrieve top-3 docs
+    // BY BEST PASSAGE over the gated corpus; retrieved docs are dropped) →
+    // per-source token budget. After the two chunk explodes (map-only) the
+    // only corpus-sized work is one fingerprint groupBy and one postings
+    // semi-join; decontam and the rollup are candidate-sized.
+    "q_corpus_pipeline7" -> ((s, d) => {
+      val boiler = "please subscribe to our newsletter for the very latest updates and exclusive offers every single week"
+      val docs = Tables.documents(s, d).select("doc_id", "source", "text")
+      val noised = docs.select(col("doc_id"), col("source"),
+        concat_ws(" ", lit(boiler), col("text")).as("text"))
+      val kept = Chunking.chunkDedupStats(noised, "doc_id", "text",
+        window = 16, stride = 8)
+        .filter(col("kept_frac") >= 0.85).select("doc_id")
+      val gated = noised.join(kept, Seq("doc_id"))
+      val probes = docs.filter(col("doc_id") % 89 === 0)
+        .select(col("doc_id").as("q_id"),
+          explode(array_distinct(slice(split(col("text"), " "), 5, 4))).as("term"))
+      val chunks = Chunking.chunkDocuments(gated, "doc_id", "text",
+        window = 32, stride = 16)
+        .select(Chunking.chunkKey(col("doc_id"), col("chunk_id")).as("ck"),
+          col("chunk"))
+      val contaminated = Chunking.chunkHitsToDocs(
+        Retrieval.bm25TopK(chunks, "ck", "chunk", probes, "q_id", "term", k = 20),
+        k = 3).select("doc_id").distinct()
+      gated.join(contaminated, Seq("doc_id"), "left_anti")
+        .withColumn("n_tokens", size(TextOps.tokens(col("text"))).cast(LongType))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+        .ordered("source")
+    }),
+
     // Soft dedup: q_dedup_clusters' planted-duplicate corpus, but members
     // are kept and down-weighted 1/cluster_size instead of dropped — one
     // count window over the cluster label, no cluster-dimension join.
@@ -2781,6 +2815,64 @@ object ScaleQueries {
         |  row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank
         | FROM perdoc WHERE rn = 1)
         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    "q_corpus_pipeline7" ->
+      """WITH noised AS (SELECT doc_id, source,
+        |  'please subscribe to our newsletter for the very latest updates and exclusive offers every single week ' || text AS text
+        | FROM documents),
+        |t1 AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n FROM noised),
+        |c1 AS (SELECT doc_id, toks, n,
+        |  CAST(unnest(generate_series(0, CASE WHEN n <= 16 THEN 0
+        |    ELSE CAST(ceil((n - 16) / 8.0) AS INTEGER) END)) AS INTEGER) AS chunk_id
+        | FROM t1),
+        |ch1 AS (SELECT doc_id, chunk_id,
+        |  array_to_string(toks[chunk_id * 8 + 1:least(chunk_id * 8 + 16, n)], ' ') AS chunk
+        | FROM c1),
+        |w1 AS (SELECT chunk, min(doc_id * 1048576 + chunk_id) AS wk FROM ch1 GROUP BY 1),
+        |gatekeep AS (SELECT doc_id FROM ch1 JOIN w1 USING (chunk) GROUP BY doc_id
+        | HAVING round(CAST(sum(CASE WHEN doc_id * 1048576 + chunk_id = wk THEN 1 ELSE 0 END) AS DOUBLE)
+        |   / count(*), 4) >= 0.85),
+        |gated AS (SELECT n.* FROM noised n JOIN gatekeep USING (doc_id)),
+        |t2 AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n FROM gated),
+        |c2 AS (SELECT doc_id, toks, n,
+        |  CAST(unnest(generate_series(0, CASE WHEN n <= 32 THEN 0
+        |    ELSE CAST(ceil((n - 32) / 16.0) AS INTEGER) END)) AS INTEGER) AS chunk_id
+        | FROM t2),
+        |chunks AS (SELECT doc_id * 1048576 + chunk_id AS ck,
+        |  array_to_string(toks[chunk_id * 16 + 1:least(chunk_id * 16 + 32, n)], ' ') AS chunk
+        | FROM c2),
+        |ctoks AS (SELECT ck, unnest(string_split(chunk, ' ')) AS token FROM chunks),
+        |post AS (SELECT ck, token, count(*) AS tf FROM ctoks GROUP BY 1, 2),
+        |cdl AS (SELECT ck, CAST(len(string_split(chunk, ' ')) AS DOUBLE) AS dl FROM chunks),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM cdl),
+        |q AS (SELECT doc_id AS q_id,
+        |  unnest(list_distinct((string_split(text, ' '))[5:8])) AS token
+        | FROM documents WHERE doc_id % 89 = 0),
+        |dfq AS (SELECT token, count(*) AS df FROM post
+        | WHERE token IN (SELECT DISTINCT token FROM q) GROUP BY 1),
+        |scored AS (SELECT q.q_id, p.ck,
+        |  round(sum(ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+        |    * p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))), 4) AS score
+        | FROM post p JOIN q ON p.token = q.token JOIN dfq f ON p.token = f.token
+        | JOIN cdl dl ON p.ck = dl.ck CROSS JOIN stats s
+        | GROUP BY 1, 2),
+        |chits AS (SELECT q_id, ck, score FROM (
+        | SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, ck) AS r
+        | FROM scored) WHERE r <= 20),
+        |perdoc AS (SELECT q_id, ck // 1048576 AS doc_id, score,
+        |  row_number() OVER (PARTITION BY q_id, ck // 1048576
+        |    ORDER BY score DESC, ck % 1048576) AS rn
+        | FROM chits),
+        |contam AS (SELECT DISTINCT doc_id FROM (
+        | SELECT doc_id,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank
+        | FROM perdoc WHERE rn = 1) WHERE rank <= 3)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |FROM gated WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     "q_chunk_index_upsert" ->
       """WITH d2 AS (SELECT doc_id, CASE WHEN doc_id % 23 = 0
