@@ -301,4 +301,35 @@ class PlanShapeSpec extends AnyFunSuite with Matchers {
       bcasts.foreach(s => s should include("% 10) = 3"))
     }
   }
+
+  test("chunkDocuments: map-only — zero exchanges, one codegen span") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val plan = finalPlan(graft.scale.Chunking.chunkDocuments(
+      docs, "doc_id", "text", 32, 16))
+    withClue(plan) {
+      plan should not include "Exchange"
+      // the whole explode+slice chain fuses into a single codegen stage
+      plan.linesIterator.count(_.contains("*(2)")) shouldBe 0
+    }
+  }
+
+  test("chunkDedupStats: only fingerprints and the doc rollup shuffle, never chunk text") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val plan = finalPlan(graft.scale.Chunking.chunkDedupStats(
+      docs, "doc_id", "text", 16, 8))
+    withClue(plan) {
+      val shuffles = plan.linesIterator
+        .filter(_.contains("Exchange hashpartitioning")).toSeq
+      shuffles should have size 2
+      // winner election shuffles the 128-bit fingerprint, the rollup the
+      // doc id — a partition key carrying chunk TEXT would ship the
+      // window/stride-multiplied corpus through the exchange
+      shuffles.count(_.contains("hashpartitioning(fp")) shouldBe 1
+      shuffles.count(_.contains("hashpartitioning(doc_id")) shouldBe 1
+      // winner election is partial-aggregated map-side (skew-safe against
+      // a corpus-wide boilerplate chunk: no single-partition fp window)
+      plan should include("partial_min(struct(doc_id")
+    }
+  }
 }
