@@ -1,0 +1,57 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.{Sessions, Tables}
+import graft.scale.Similarity
+
+/** Measures the centroid-refresh contract: refresh cost is ONE
+  * corpus-sized rebuild (kmeans rounds + re-assignment), linear in the
+  * live corpus, and probe cost is unchanged across the generation swap —
+  * the amortized price of keeping per-batch appends delta-sized on a
+  * drifting stream. Run:
+  * `sbt "Test/runMain graft.streaming.RefreshProfile [sfDirs...]"`.
+  */
+object RefreshProfile {
+  def main(args: Array[String]): Unit = {
+    val spark = Sessions.build("refresh-profile")
+    val sfs = if (args.nonEmpty) args.toSeq
+      else Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
+    sfs.foreach { sf =>
+      val e = Tables.embeddings(spark, sf)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val centroids = e.filter(col("vec_id") % 101 === 0).select("vec_id", "embedding")
+      val queries = e.filter(col("vec_id") % 211 === 0).select("vec_id", "embedding")
+      val n = e.count()
+      val k = centroids.count()
+      val dir = Files.createTempDirectory(s"graft-refresh-prof").toString
+      StreamingAnnIndex.processBatch(
+        e.withColumn("op", lit("u")), 0L, dir, centroids, opCol = Some("op"))
+
+      def time[A](f: => A): (A, Double) = {
+        val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+      }
+      val (_, probeBefore) = time(
+        StreamingAnnIndex.ivfTopKLive(spark, dir, queries, k = 5, nprobe = 1)
+          .write.format("noop").mode("overwrite").save())
+      val (_, refreshT) = time(
+        StreamingAnnIndex.refreshCentroids(spark, dir, lloydIters = 1))
+      val (_, probeAfter) = time(
+        StreamingAnnIndex.ivfTopKLive(spark, dir, queries, k = 5, nprobe = 1)
+          .write.format("noop").mode("overwrite").save())
+      // the comparison bar: a from-scratch inline rebuild of the same
+      // artifact (one Lloyd round + assignment + write), no index reuse
+      val (_, rebuildT) = time {
+        val cents = Similarity.kmeansIterate(e, centroids, maxIters = 1)
+          .select(col("centroid_id").as("vec_id"), col("embedding"))
+        Similarity.assignBuckets(e, cents)
+          .write.mode("overwrite").parquet(s"$dir-rebuild")
+      }
+      println(f"REFRESH $sf: n=$n k=$k refresh=$refreshT%.2f s " +
+        f"rebuild=$rebuildT%.2f s probe_before=$probeBefore%.2f s probe_after=$probeAfter%.2f s")
+    }
+    spark.stop()
+  }
+}
