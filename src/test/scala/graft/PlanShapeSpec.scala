@@ -302,6 +302,41 @@ class PlanShapeSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("chunk-index probe: postings reduce via broadcast before any exchange; stats pass is column-pruned") {
+    import org.apache.spark.sql.functions.{array_distinct, col, explode, lit, slice, split}
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val idxDir = java.nio.file.Files.createTempDirectory("chunk_index_plan").toString
+    graft.streaming.StreamingChunkIndex.processBatch(
+      docs.withColumn("op", lit("u")), 0L, idxDir, window = 32, stride = 16,
+      opCol = Some("op"))
+    val probes = docs.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id").as("q_id"),
+        explode(array_distinct(slice(split(col("text"), " "), 5, 4))).as("term"))
+    val plan = finalPlan(graft.streaming.StreamingChunkIndex.chunkTopKLiveDocs(
+      spark, idxDir, probes, "q_id", "term", kChunks = 20, kDocs = 5))
+    withClue(plan) {
+      // every exchange whose lineage reads the index either sits above the
+      // broadcast token reduction (candidate-sized rows) or belongs to the
+      // doc-level stats pass — which must scan WITHOUT the token/tf
+      // columns (a full-schema stats scan would shuffle the postings raw)
+      (subtrees(plan, "Exchange") ++ subtrees(plan, "BroadcastExchange"))
+        .filter(_.contains(idxDir))
+        .foreach { s =>
+          if (!s.contains("BroadcastHashJoin"))
+            s.linesIterator
+              .filter(l => l.contains("FileScan") && l.contains(idxDir))
+              .foreach(l => l should not include "token")
+        }
+      // the index side of the token reduction is streamed, never broadcast:
+      // broadcasts carry only probe terms or churn-sized liveness tables
+      subtrees(plan, "BroadcastExchange")
+        .filter(_.contains(idxDir))
+        .foreach(s => s.linesIterator
+          .filter(l => l.contains("FileScan") && l.contains(idxDir))
+          .foreach(l => l should not include "token"))
+    }
+  }
+
   test("chunkDocuments: map-only — zero exchanges, one codegen span") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, sf).select("doc_id", "text")

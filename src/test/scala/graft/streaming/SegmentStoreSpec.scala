@@ -102,6 +102,42 @@ class SegmentStoreSpec extends AnyFunSuite with Matchers {
       .select("id").as[Long].collect().toSet shouldBe Set(1L)
   }
 
+  test("rewrite swaps rows and param atomically; a crashed attempt's dir never resurfaces") {
+    val dir = Files.createTempDirectory("graft-lsm-rewrite").toString
+    send(dir, 0, Seq((1L, "u"), (2L, "u")), identityBuild)
+    send(dir, 1, Seq((2L, "d")), identityBuild) // delete marker on 2
+
+    // a CRASHED earlier rewrite attempt left an unreferenced dir at the
+    // name the retry would otherwise pick
+    Seq((99L, 99L, 0L)).toDF("id", "v", "batch")
+      .write.parquet(s"${dir}/seg=r1x0")
+
+    // the retry re-derives every live row (here: v doubled) under a new
+    // parameter; delete markers are cleared (their rows are gone)
+    SegmentStore.rewrite(spark, dir, segSchemaB, "id",
+      rows => rows.select(col("id"), (col("v") * 2).as("v"), col("batch")),
+      newParam = Some("gen-2"))
+    val m = SegmentStore.readManifest(dir)
+    m.lastBatch shouldBe 1L // a rewrite is not a data batch
+    m.segs shouldBe Seq("seg=r1x1") // crashed attempt's name skipped
+    m.dels shouldBe Nil
+    m.param shouldBe Some("gen-2")
+    Files.exists(Paths.get(dir, "seg=r1x0")) shouldBe false // never committed → pruned now
+    SegmentStore.liveRows(SegmentStore.readSegments(spark, dir, segSchemaB),
+      SegmentStore.readDels(spark, dir, "id"), "id")
+      .select("id", "v").as[(Long, Long)].collect().toSeq shouldBe Seq((1L, 2L))
+
+    // the stream continues: redelivery contract intact (batch 1 skipped),
+    // the param rides along through ordinary commits
+    send(dir, 1, Seq((7L, "u")), identityBuild)
+    SegmentStore.readManifest(dir).segs shouldBe Seq("seg=r1x1")
+    send(dir, 2, Seq((7L, "u")), identityBuild)
+    SegmentStore.readManifest(dir).param shouldBe Some("gen-2")
+    SegmentStore.liveRows(SegmentStore.readSegments(spark, dir, segSchemaB),
+      SegmentStore.readDels(spark, dir, "id"), "id")
+      .select("id").as[Long].collect().toSet shouldBe Set(1L, 7L)
+  }
+
   test("a probe planned against an old manifest survives compaction (prune grace)") {
     val dir = Files.createTempDirectory("graft-lsm-grace").toString
     send(dir, 0, Seq((1L, "u"), (2L, "u")), identityBuild)
