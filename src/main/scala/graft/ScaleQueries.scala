@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 
 import graft.Ordered._
 import graft.scale.{Bpe, Chunking, Classifier, Decontam, Dsir, Embeddings, LangModel, Multimodal, NearDup, Packing, Retrieval, Sampling, Similarity, Sketches, SpanDedup, TextOps}
-import graft.streaming.{SegmentStore, StreamingChunkIndex, StreamingRetrieval}
+import graft.streaming.{CorpusMonitor, SegmentStore, StreamingChunkIndex, StreamingRetrieval}
 
 /** Driver-verifiable queries for the training-data-pipeline operators
   * (`graft.scale`) over the `documents` table, each with a DuckDB oracle
@@ -990,6 +990,18 @@ object ScaleQueries {
         Tables.documents(s, d).select(col("doc_id"), three.as("text")),
         "doc_id", "text")
         .ordered("id")
+    }),
+
+    // Corpus drift audit: per-source quality profile (token/quality
+    // moments) judged against the whole-corpus baseline — mean shift in
+    // units of baseline sd, the CorpusMonitor arithmetic over a static
+    // table. One partial-aggregated pass + a 1-row broadcast baseline.
+    "q_corpus_profile" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("source", "text")
+      CorpusMonitor.drift(
+        CorpusMonitor.profile(docs, "text", groupBy = Seq("source")),
+        CorpusMonitor.profile(docs, "text"), z = 2.0)
+        .ordered("source")
     }),
 
     // Sliding-window chunking: every document explodes into overlapping
@@ -2815,6 +2827,39 @@ object ScaleQueries {
         |  row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank
         | FROM perdoc WHERE rn = 1)
         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    "q_corpus_profile" ->
+      s"""WITH t AS (SELECT source,
+        |  CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |    / len(string_split(text, ' ')) * 0.4
+        |   + CAST(len(list_filter(string_split(text, ' '),
+        |      x -> list_contains($markersSql, x))) AS DOUBLE)
+        |    / len(string_split(text, ' ')) * 0.3
+        |   + least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.3 AS quality
+        | FROM documents),
+        |per AS (SELECT source, count(*) AS n_docs,
+        |  round(avg(n_tokens), 6) AS mean_tokens,
+        |  round(coalesce(stddev_samp(n_tokens), 0), 6) AS sd_tokens,
+        |  round(avg(quality), 6) AS mean_quality,
+        |  round(coalesce(stddev_samp(quality), 0), 6) AS sd_quality
+        | FROM t GROUP BY 1),
+        |base AS (SELECT
+        |  round(avg(n_tokens), 6) AS b_mean_tokens,
+        |  round(coalesce(stddev_samp(n_tokens), 0), 6) AS b_sd_tokens,
+        |  round(avg(quality), 6) AS b_mean_quality,
+        |  round(coalesce(stddev_samp(quality), 0), 6) AS b_sd_quality
+        | FROM t)
+        |SELECT source, n_docs, mean_tokens, sd_tokens, mean_quality, sd_quality,
+        |  round(CASE WHEN b_sd_tokens > 0 THEN abs(mean_tokens - b_mean_tokens) / b_sd_tokens
+        |    WHEN abs(mean_tokens - b_mean_tokens) > 0 THEN 'infinity'::DOUBLE ELSE 0 END, 4) AS z_tokens,
+        |  round(CASE WHEN b_sd_quality > 0 THEN abs(mean_quality - b_mean_quality) / b_sd_quality
+        |    WHEN abs(mean_quality - b_mean_quality) > 0 THEN 'infinity'::DOUBLE ELSE 0 END, 4) AS z_quality,
+        |  round(CASE WHEN b_sd_tokens > 0 THEN abs(mean_tokens - b_mean_tokens) / b_sd_tokens
+        |    WHEN abs(mean_tokens - b_mean_tokens) > 0 THEN 'infinity'::DOUBLE ELSE 0 END, 4) > 2.0
+        |  OR round(CASE WHEN b_sd_quality > 0 THEN abs(mean_quality - b_mean_quality) / b_sd_quality
+        |    WHEN abs(mean_quality - b_mean_quality) > 0 THEN 'infinity'::DOUBLE ELSE 0 END, 4) > 2.0 AS drift
+        |FROM per CROSS JOIN base ORDER BY source""".stripMargin,
 
     "q_corpus_pipeline7" ->
       """WITH noised AS (SELECT doc_id, source,
