@@ -1066,7 +1066,12 @@ object ScaleQueries {
       val probes = docs.filter(col("doc_id") % 97 === 0)
         .select(col("doc_id").as("q_id"),
           explode(array_distinct(slice(split(col("text"), " "), 5, 4))).as("term"))
-      StreamingChunkIndex.chunkTopKLiveDocs(seg0.unionByName(seg1), dels,
+      // the index is a MATERIALIZED artifact in the streaming contract
+      // (segments on disk; probes re-scan files, not the build plan) —
+      // the cache stands in for that materialization so the stats and
+      // candidate passes don't each re-run the postings build
+      val segs = seg0.unionByName(seg1).cache()
+      StreamingChunkIndex.chunkTopKLiveDocs(segs, dels,
         probes, "q_id", "term", kChunks = 20, kDocs = 5)
         .ordered("q_id", "rank")
     }),
@@ -1120,7 +1125,11 @@ object ScaleQueries {
         .select(col("doc_id").as("q_id"),
           explode(array_distinct(slice(split(col("text"), " "), 1, 4))).as("term"))
         .unionByName(Seq((-1L, "refreshed")).toDF("q_id", "term"))
-      StreamingRetrieval.bm25TopKLive(seg0.unionByName(seg1), dels,
+      // cache = the streaming contract's materialized segment files (the
+      // stats and candidate passes would otherwise each re-run the
+      // inline postings builds)
+      val segs = seg0.unionByName(seg1).cache()
+      StreamingRetrieval.bm25TopKLive(segs, dels,
         probes, "q_id", "term", k = 10)
         .ordered("q_id", "rank")
     }),
