@@ -76,11 +76,15 @@ object CorpusMonitor {
 
   /** Profile one micro-batch, judge it against the baseline, and append
     * the verdict row to the monitor log at `dir` (idempotent per batch).
+    * A batch with no documents is skipped — zero docs has no moments to
+    * judge (a delete-only CDC batch reaches a text monitor empty), and a
+    * null-profile row would poison every later log read.
     */
   def processBatch(docs: DataFrame, batchId: Long, dir: String,
                    baseline: DataFrame, textCol: String, z: Double): Unit =
-    drift(profile(docs, textCol), baseline, z)
-      .write.mode(SaveMode.Overwrite).parquet(s"$dir/batch=$batchId")
+    if (docs.limit(1).count() > 0)
+      drift(profile(docs, textCol), baseline, z)
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/batch=$batchId")
 
   /** The monitor log: one verdict row per profiled batch, `batch` read
     * back from the partition dir name (cast to LONG — partition-value
