@@ -283,6 +283,28 @@ class TxReplaySpec extends AnyFunSuite with Matchers {
   }
 
   // ---- Degenerate inputs: the engine must return empty, never throw ----
+  // The reference emits only from processed record PAIRS
+  // (OrderWithLines.updateFromDataChangeEventPair): a brand-new order whose
+  // transaction carries no line events produces no pairs and therefore NO
+  // document — but it does not stall anything, and once ANY later
+  // transaction touches the key the buffered header becomes the as-of
+  // state (left_lsn < probe_lsn) and emission resumes. Pinned explicitly
+  // because downstream consumers (e.g. the CDC→search composition) must
+  // not expect a doc per committed tx.
+  test("a new order with no line events emits nothing until a later tx touches the key") {
+    val left = Seq(LeftEv(1, "c", 1, 1, OrderRow(7, "addr-a")))
+    val ends1 = Seq(TxEnd(1, 100, 1, 0))
+    run(left, Seq.empty, ends1) shouldBe empty
+
+    // tx 2 adds the first line → ONE doc, header from tx 1, both txs settled
+    val right = Seq(RightEv(1, 10, "c", 2, 2, LineRow(5, 1, 9.99)))
+    val out = run(left, right, ends1 ++ Seq(TxEnd(2, 200, 0, 1)))
+    out.map(r => (r.getLong(r.fieldIndex("key")),
+      r.getLong(r.fieldIndex("commit_lsn")))) shouldBe Array((1L, 200L))
+    header(out(0)) shouldBe ((7, "addr-a"))
+    lines(out(0)) shouldBe Seq((10L, 5, 1, 9.99))
+  }
+
   test("degenerate inputs: no ENDs, stalled watermark, floor above history, empty streams") {
     val left = Seq(LeftEv(1, "c", 1, 1, OrderRow(7, "addr")))
     val right = Seq(RightEv(1, 1, "c", 2, 1, LineRow(1, 1, 1.0)))
