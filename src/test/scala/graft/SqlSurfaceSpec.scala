@@ -73,4 +73,30 @@ class SqlSurfaceSpec extends AnyFunSuite with Matchers {
       .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
     sqlRes shouldBe api
   }
+
+  test("sliding-window chunking via spark.sql equals the library operator") {
+    Tables.documents(spark, sf).createOrReplaceTempView("documents_v")
+    val sqlRes = spark.sql(
+      """WITH t AS (SELECT doc_id, split(text, ' ') AS toks,
+        |  size(split(text, ' ')) AS n FROM documents_v),
+        |c AS (SELECT doc_id, toks, n,
+        |  explode(sequence(0, CASE WHEN n <= 32 THEN 0
+        |    ELSE cast(ceil((n - 32) / 16.0) AS INT) END)) AS chunk_id
+        | FROM t)
+        |SELECT doc_id, chunk_id, chunk_id * 16 AS tok_start,
+        |  least(chunk_id * 16 + 32, n) AS tok_end,
+        |  array_join(slice(toks, chunk_id * 16 + 1,
+        |    least(chunk_id * 16 + 32, n) - chunk_id * 16), ' ') AS chunk
+        |FROM c""".stripMargin)
+    val api = graft.scale.Chunking.chunkDocuments(
+      Tables.documents(spark, sf).select("doc_id", "text"),
+      "doc_id", "text", window = 32, stride = 16)
+    val cols = api.columns.sorted.toIndexedSeq
+    import org.apache.spark.sql.functions.col
+    sqlRes.select(cols.map(col): _*).exceptAll(api.select(cols.map(col): _*))
+      .isEmpty shouldBe true
+    api.select(cols.map(col): _*).exceptAll(sqlRes.select(cols.map(col): _*))
+      .isEmpty shouldBe true
+    api.count() should be > 0L
+  }
 }
