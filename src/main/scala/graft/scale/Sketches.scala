@@ -82,23 +82,29 @@ object Sketches {
       lit(width.toLong))
 
   /** Build the sketch: one row per non-empty (depth, bucket) with the
-    * occurrence count. NULL values are skipped (mirrors count semantics).
+    * occurrence count — or one sketch PER GROUP when `groupCols` is
+    * non-empty (a per-source frequency table is groupCols = Seq("source");
+    * each group's rows form an independent, independently-mergeable
+    * sketch). NULL values are skipped (mirrors count semantics).
     */
-  def cmsBuild(df: DataFrame, valueCol: String, depth: Int, width: Int): DataFrame = {
+  def cmsBuild(df: DataFrame, valueCol: String, depth: Int, width: Int,
+               groupCols: Seq[String] = Nil): DataFrame = {
     require(depth >= 1 && width >= 2, s"cms d=$depth w=$width out of range")
     df.filter(col(valueCol).isNotNull)
-      .select(posexplode(transform(sequence(lit(0), lit(depth - 1)),
-        i => cmsBucket(i, col(valueCol), width))))
-      .toDF("depth", "bucket")
-      .groupBy("depth", "bucket")
+      .select(groupCols.map(col) :+
+        posexplode(transform(sequence(lit(0), lit(depth - 1)),
+          i => cmsBucket(i, col(valueCol), width))).as(Seq("depth", "bucket")): _*)
+      .groupBy((groupCols :+ "depth" :+ "bucket").map(col): _*)
       .agg(count(lit(1)).as("cnt"))
   }
 
-  /** Merge shard sketches built with identical (d, w): elementwise sum.
-    * merge(cms(A), cms(B)) == cms(A ⊎ B) exactly (counts are linear).
+  /** Merge shard sketches built with identical (d, w) and group columns:
+    * elementwise sum. merge(cms(A), cms(B)) == cms(A ⊎ B) exactly
+    * (counts are linear).
     */
-  def cmsMerge(sketches: DataFrame): DataFrame =
-    sketches.groupBy("depth", "bucket").agg(sum("cnt").as("cnt"))
+  def cmsMerge(sketches: DataFrame, groupCols: Seq[String] = Nil): DataFrame =
+    sketches.groupBy((groupCols :+ "depth" :+ "bucket").map(col): _*)
+      .agg(sum("cnt").as("cnt"))
 
   /** Estimate each item's frequency: min over depths of its bucket count.
     * The sketch is tiny (≤ d·w rows) — broadcast it so the probe is a
@@ -110,14 +116,14 @@ object Sketches {
     * reported as the "frequency" of NULL. Output: itemCol, n_est.
     */
   def cmsLookup(sketch: DataFrame, items: DataFrame, itemCol: String,
-                depth: Int, width: Int): DataFrame =
+                depth: Int, width: Int, groupCols: Seq[String] = Nil): DataFrame =
     items
       .filter(col(itemCol).isNotNull)
-      .select(col(itemCol), posexplode(transform(sequence(lit(0), lit(depth - 1)),
-        i => cmsBucket(i, col(itemCol), width))))
-      .toDF(itemCol, "depth", "bucket")
-      .join(broadcast(sketch), Seq("depth", "bucket"), "left")
+      .select(groupCols.map(col) :+ col(itemCol) :+
+        posexplode(transform(sequence(lit(0), lit(depth - 1)),
+          i => cmsBucket(i, col(itemCol), width))).as(Seq("depth", "bucket")): _*)
+      .join(broadcast(sketch), groupCols ++ Seq("depth", "bucket"), "left")
       .na.fill(0L, Seq("cnt"))
-      .groupBy(itemCol)
+      .groupBy((groupCols :+ itemCol).map(col): _*)
       .agg(min("cnt").as("n_est"))
 }

@@ -37,8 +37,14 @@ import graft.scale.{Sketches, TextOps}
   */
 object StreamingSketch {
 
+  /** `groupCols`: maintain one independent sketch per group (e.g.
+    * Seq("source") tracks per-source vocabularies and frequencies); Nil =
+    * one corpus-global sketch. The group columns must be present on every
+    * batch's rows.
+    */
   case class Config(textCol: String = "text", kmvK: Int = 64,
-                    cmsDepth: Int = 4, cmsWidth: Int = 256)
+                    cmsDepth: Int = 4, cmsWidth: Int = 256,
+                    groupCols: Seq[String] = Nil)
 
   private def manifestPath(dir: String): Path = Paths.get(dir, "_manifest")
 
@@ -56,8 +62,9 @@ object StreamingSketch {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
-  /** The committed KMV state — one row (kmv ARRAY<LONG>, n_est); empty
-    * frame before the first commit.
+  /** The committed KMV state — (groupCols*, kmv ARRAY<LONG>, n_est), one
+    * row per group (one row total when ungrouped). Before the first
+    * commit: a 0-row (kmv, n_est) frame.
     */
   def readKmv(spark: SparkSession, dir: String, cfg: Config = Config()): DataFrame = {
     val b = committedBatch(dir)
@@ -81,7 +88,7 @@ object StreamingSketch {
   def tokenFrequency(spark: SparkSession, dir: String, items: DataFrame,
                      itemCol: String, cfg: Config = Config()): DataFrame =
     Sketches.cmsLookup(readCms(spark, dir), items, itemCol,
-      cfg.cmsDepth, cfg.cmsWidth)
+      cfg.cmsDepth, cfg.cmsWidth, cfg.groupCols)
 
   /** Fold one micro-batch of documents into the sketch state (tokens via
     * [[TextOps.tokens]] over `cfg.textCol`). Redelivered batches are
@@ -93,18 +100,21 @@ object StreamingSketch {
     val spark = docs.sparkSession
     val prev = committedBatch(dir)
     if (batchId <= prev) return // redelivered, already folded
-    val toks = docs.select(explode(TextOps.tokens(col(cfg.textCol))).as("token"))
-    val batchKmv = Sketches.kmvDistinct(toks, Nil, "token", cfg.kmvK)
-      .select("kmv")
-    val batchCms = Sketches.cmsBuild(toks, "token", cfg.cmsDepth, cfg.cmsWidth)
+    val toks = docs.select(cfg.groupCols.map(col) :+
+      explode(TextOps.tokens(col(cfg.textCol))).as("token"): _*)
+    val batchKmv = Sketches.kmvDistinct(toks, cfg.groupCols, "token", cfg.kmvK)
+      .select((cfg.groupCols :+ "kmv").map(col): _*)
+    val batchCms = Sketches.cmsBuild(toks, "token", cfg.cmsDepth, cfg.cmsWidth,
+      cfg.groupCols)
     val (kmv, cms) =
       if (prev < 0) (batchKmv, batchCms)
       else (
         Sketches.kmvMergeSketches(
           spark.read.parquet(s"$dir/v$prev/kmv").unionByName(batchKmv),
-          Nil, cfg.kmvK),
+          cfg.groupCols, cfg.kmvK),
         Sketches.cmsMerge(
-          spark.read.parquet(s"$dir/v$prev/cms").unionByName(batchCms)))
+          spark.read.parquet(s"$dir/v$prev/cms").unionByName(batchCms),
+          cfg.groupCols))
     kmv.write.mode(SaveMode.Overwrite).parquet(s"$dir/v$batchId/kmv")
     cms.write.mode(SaveMode.Overwrite).parquet(s"$dir/v$batchId/cms")
     commit(dir, batchId)

@@ -62,4 +62,37 @@ class StreamingSketchSpec extends AnyFunSuite with Matchers {
       .map(p => p.substring(p.lastIndexOf('/') + 1)).filter(_.startsWith("v")).sorted
     vs.toSeq shouldBe Seq("v1", "v2")
   }
+
+  test("per-group config: one independent sketch per source, streamed ≡ batch") {
+    val gcfg = StreamingSketch.Config(kmvK = 16, cmsDepth = 3, cmsWidth = 64,
+      groupCols = Seq("source"))
+    val docs = Tables.documents(spark, sf).select("doc_id", "source", "text")
+    val dir = Files.createTempDirectory("graft-sketch-grp").toString
+    StreamingSketch.processBatch(docs.filter(col("doc_id") % 2 === 0), 0L, dir, gcfg)
+    StreamingSketch.processBatch(docs.filter(col("doc_id") % 2 === 1), 1L, dir, gcfg)
+
+    val toks = docs.select(col("source"),
+      explode(TextOps.tokens(col("text"))).as("token"))
+    val batchKmv = Sketches.kmvDistinct(toks, Seq("source"), "token", gcfg.kmvK)
+      .select("source", "kmv").as[(String, Seq[Long])].collect().toMap
+    val streamedKmv = StreamingSketch.readKmv(spark, dir, gcfg)
+      .select("source", "kmv").as[(String, Seq[Long])].collect().toMap
+    streamedKmv shouldBe batchKmv
+    streamedKmv.size should be > 1 // genuinely per-group
+
+    // per-group CMS: a token hot in one source must not inflate another
+    // source's estimate (independent sketches, not one global table)
+    val batchCms = Sketches.cmsBuild(toks, "token", gcfg.cmsDepth, gcfg.cmsWidth,
+      Seq("source"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)) -> r.getLong(3)).toMap
+    StreamingSketch.readCms(spark, dir)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)) -> r.getLong(3))
+      .toMap shouldBe batchCms
+    val perSrc = StreamingSketch.tokenFrequency(spark, dir,
+      toks.select("source", "token").distinct(), "token", gcfg)
+    perSrc.columns.toSet shouldBe Set("source", "token", "n_est")
+    // estimates never undercount within their own group
+    perSrc.join(toks.groupBy("source", "token").count(), Seq("source", "token"))
+      .filter(col("n_est") < col("count")).count() shouldBe 0L
+  }
 }
