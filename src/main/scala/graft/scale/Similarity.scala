@@ -78,7 +78,21 @@ object Similarity {
     * narrow pass over the corpus.
     */
   def assignBuckets(corpus: DataFrame, centroids: DataFrame,
-                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    assignBucketsScored(corpus, centroids, idCol, vecCol).drop("acos")
+
+  /** [[assignBuckets]] keeping the winning rounded cosine as `acos` — the
+    * per-vector assignment-QUALITY signal. Its batch mean is what a
+    * drift-triggered index refresh watches
+    * ([[graft.streaming.StreamingAnnIndex.maybeRefreshOnDrift]]): a corpus
+    * drifting away from frozen centroids shows up as the arriving
+    * vectors' mean assignment cosine sagging below the freeze-time
+    * baseline, long before recall visibly collapses. Same cost as
+    * [[assignBuckets]] — the max cosine is already computed for the
+    * argmax; this just keeps it.
+    */
+  def assignBucketsScored(corpus: DataFrame, centroids: DataFrame,
+                          idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val n = corpus.sparkSession.sessionState.conf.numShufflePartitions
     val c = normed(corpus, idCol, vecCol, "v").repartition(n, col("v_id"))
     val cent = normed(centroids, idCol, vecCol, "cent")
@@ -88,7 +102,8 @@ object Similarity {
         pairCos(col("v_vec"), col("cent_vec"), col("v_norm"), col("cent_norm")))
       .groupBy(col("v_id").as("vec_id"))
       .agg(max_by(col("centroid_id"), struct(col("ccos"), -col("centroid_id"))).as("bucket"),
-        first(col("v_vec")).as("vec"), first(col("v_norm")).as("norm"))
+        first(col("v_vec")).as("vec"), first(col("v_norm")).as("norm"),
+        max(col("ccos")).as("acos"))
   }
 
   /** Deterministic pseudo-random hyperplane weights (xorshift over a fixed

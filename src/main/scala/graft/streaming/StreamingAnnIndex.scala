@@ -62,6 +62,16 @@ object StreamingAnnIndex {
   private def centroidsDir(m: SegmentStore.Manifest): String =
     m.param.fold("_centroids")(g => s"_centroids_$g")
 
+  /** Sibling of [[centroidsDir]] for the generation's assignment-quality
+    * baseline (1 row: mean/sd of the corpus's assignment cosine at freeze
+    * time, plus the row count it was computed over) — what
+    * [[maybeRefreshOnDrift]] judges each batch against. Rides the same
+    * manifest `param` pointer, so baseline and centroids can never mix
+    * generations.
+    */
+  private def baselineDir(m: SegmentStore.Manifest): String =
+    m.param.fold("_abase")(g => s"_abase_$g")
+
   /** The centroids the CURRENT index generation was built with — columns
     * (vec_id, embedding ARRAY<DOUBLE>). Resolved through the manifest's
     * parameter pointer, so assignments and routing always match.
@@ -97,10 +107,13 @@ object StreamingAnnIndex {
 
   /** Apply one micro-batch of vector changes to the index at `indexDir`
     * (`opCol` rows with "d" delete, others upsert; redelivered batches are
-    * skipped). The first committed batch persists `centroids`; later
-    * batches use the argument for assignment — pass the same centroids
-    * for the artifact to stay coherent (read them back with
-    * [[readCentroids]]).
+    * skipped). The first committed batch persists `centroids`; EVERY later
+    * batch resolves its assignment centroids through the manifest's
+    * generation pointer ([[readCentroids]]) and ignores the argument — so
+    * assignments and probe routing always share one generation, including
+    * after a [[refreshCentroids]] bumped the pointer mid-stream (a frozen
+    * caller argument would otherwise bucket post-refresh upserts with the
+    * superseded generation while probes route with the new one).
     */
   def processBatch(docs: DataFrame, batchId: Long, indexDir: String,
                    centroids: DataFrame,
@@ -111,13 +124,18 @@ object StreamingAnnIndex {
     // freeze on the manifest, not on dir existence, so a crash between a
     // _centroids write and the first manifest commit cannot freeze stale
     // centroids under assignments built from a different argument on retry
-    if (SegmentStore.readManifest(indexDir).lastBatch < 0L)
+    val committed = SegmentStore.readManifest(indexDir).lastBatch >= 0L
+    if (!committed)
       centroids.select(col(idCol).as("vec_id"),
         col(vecCol).cast(ArrayType(DoubleType)).as("embedding"))
         .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/_centroids")
+    val assignCents =
+      if (!committed) centroids
+      else readCentroids(docs.sparkSession, indexDir)
+        .select(col("vec_id").as(idCol), col("embedding").as(vecCol))
     SegmentStore.processBatch(docs, batchId, indexDir, idCol, "vec_id", opCol,
       compactSegments,
-      upserts => Similarity.assignBuckets(upserts, centroids, idCol, vecCol))
+      upserts => Similarity.assignBuckets(upserts, assignCents, idCol, vecCol))
   }
 
   /** Re-center the index's frozen routing parameter on the CURRENT live
@@ -157,13 +175,132 @@ object StreamingAnnIndex {
     val gen = m.param.fold(1)(p => p.stripPrefix("g").toInt + 1)
     refreshed.write.mode(SaveMode.Overwrite).parquet(s"$indexDir/_centroids_g$gen")
     val cents = spark.read.parquet(s"$indexDir/_centroids_g$gen")
+    // the rewrite's scored assignment feeds BOTH the new segment rows and
+    // the new generation's assignment-quality baseline — cached so the
+    // corpus×K pass runs once; released after the rewrite commits
+    var scoredRef: DataFrame = null
     SegmentStore.rewrite(spark, indexDir, segSchema, "vec_id",
-      rows => Similarity.assignBuckets(
-          rows.select(col("vec_id"), col("vec").as("embedding")), cents)
-        .join(rows.select("vec_id", "batch"), Seq("vec_id")),
-      newParam = Some(s"g$gen"), extraDead = Seq(centroidsDir(m)),
+      rows => {
+        val scored = Similarity.assignBucketsScored(
+          rows.select(col("vec_id"), col("vec").as("embedding")), cents).cache()
+        scoredRef = scored
+        writeBaseline(scored, s"$indexDir/_abase_g$gen")
+        scored.drop("acos").join(rows.select("vec_id", "batch"), Seq("vec_id"))
+      },
+      newParam = Some(s"g$gen"),
+      extraDead = Seq(centroidsDir(m), baselineDir(m)),
       pruneGraceBatches = pruneGraceBatches)
+    if (scoredRef != null) scoredRef.unpersist()
     cents
+  }
+
+  private def writeBaseline(scored: DataFrame, dir: String): Unit =
+    scored.agg(
+      round(avg("acos"), 6).as("mean_acos"),
+      round(coalesce(nanvl(stddev("acos"), lit(0.0)), lit(0.0)), 6).as("sd_acos"),
+      count(lit(1)).as("n"))
+      .write.mode(SaveMode.Overwrite).parquet(dir)
+
+  /** The current generation's assignment-quality baseline (1 row:
+    * mean_acos, sd_acos, n), creating it when absent — an index built
+    * before any policy was attached gets its baseline bootstrapped from
+    * the CURRENT live corpus scored against the current centroids (one
+    * corpus×K pass, once per generation).
+    */
+  def readRefreshBaseline(spark: SparkSession, indexDir: String): DataFrame = {
+    val m = SegmentStore.readManifest(indexDir)
+    require(m.lastBatch >= 0L, s"no committed index at $indexDir")
+    val dir = s"$indexDir/${baselineDir(m)}"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir))) {
+      val live = SegmentStore.liveRows(readSegments(spark, indexDir),
+        readDels(spark, indexDir), "vec_id")
+      writeBaseline(
+        Similarity.assignBucketsScored(
+          live.select(col("vec_id"), col("vec").as("embedding")),
+          readCentroids(spark, indexDir)), dir)
+    }
+    spark.read.parquet(dir)
+  }
+
+  /** When to re-center: the open-loop half of the drift story is
+    * [[refreshCentroids]] (the MECHANISM); this is the POLICY that closes
+    * it. Fire when a batch's mean assignment cosine sags more than `z`
+    * baseline standard deviations below the freeze-time mean — the
+    * moment-based rule of [[CorpusMonitor]], applied to the one signal
+    * the index computes anyway (per-vector nearest-centroid cosine):
+    * drifted arrivals sit far from every frozen centroid, so their mean
+    * `acos` craters while a baseline-like batch stays put. One-sided by
+    * design — a batch assigning BETTER than baseline is never drift.
+    *
+    * `minBatchRows` guards the moment: a handful of vectors moves a mean
+    * on noise alone, and a refresh is corpus-sized — tiny batches never
+    * fire. `z` uses the baseline's PER-VECTOR sd (not sd/√n), making the
+    * trigger deliberately conservative, exactly like the corpus monitor's
+    * rule; a baseline with sd 0 fires on any sag at all (Infinity z).
+    */
+  case class RefreshPolicy(z: Double = 3.0, minBatchRows: Long = 64,
+                           lloydIters: Int = 1, tol: Double = 1e-4,
+                           pruneGraceBatches: Int = 2) {
+    require(z > 0.0, s"z must be positive, got $z")
+    require(minBatchRows >= 1, s"minBatchRows must be >= 1, got $minBatchRows")
+  }
+
+  /** Judge one batch's upserts against the current generation's baseline
+    * and re-center the index ([[refreshCentroids]]) if they drifted past
+    * `policy.z`. Returns the refreshed centroids when it fired. Cost when
+    * it doesn't fire: one |batch|×K broadcast pass + a 1-row aggregate —
+    * delta-sized, no corpus touch (the baseline bootstrap is once per
+    * generation). The refresh itself writes the NEXT generation's
+    * baseline, so a blob the refresh absorbed never re-fires.
+    */
+  def maybeRefreshOnDrift(spark: SparkSession, indexDir: String,
+                          batchUpserts: DataFrame,
+                          policy: RefreshPolicy = RefreshPolicy(),
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding"): Option[DataFrame] = {
+    val base = readRefreshBaseline(spark, indexDir).collect()(0)
+    if (base.isNullAt(0)) return None // empty live corpus at bootstrap
+    val (bMean, bSd) = (base.getDouble(0), base.getDouble(1))
+    // batch mean rounded like the baseline's, so a batch that IS the
+    // baseline corpus scores sag = 0 exactly (an sd-0 baseline would
+    // otherwise fire on representation noise)
+    val sig = Similarity.assignBucketsScored(
+        batchUpserts.select(col(idCol), col(vecCol)),
+        readCentroids(spark, indexDir)
+          .select(col("vec_id").as(idCol), col("embedding").as(vecCol)),
+        idCol, vecCol)
+      .agg(round(avg("acos"), 6).as("m"), count(lit(1)).as("n")).collect()(0)
+    if (sig.isNullAt(0) || sig.getLong(1) < policy.minBatchRows) return None
+    val sag = bMean - sig.getDouble(0)
+    val drifted =
+      if (bSd > 0.0) sag / bSd > policy.z
+      else sag > 0.0
+    if (!drifted) None
+    else Some(refreshCentroids(spark, indexDir, policy.lloydIters, policy.tol,
+      policy.pruneGraceBatches))
+  }
+
+  /** [[processBatch]] with the drift policy closed-loop: commit the batch,
+    * then judge its upserts and re-center when they drifted
+    * ([[maybeRefreshOnDrift]]). Single-writer like everything else on the
+    * store — the refresh runs inline between batches, exactly where the
+    * maintenance stream serializes it. Returns the refreshed centroids
+    * when the batch fired the policy. A redelivered (already-committed)
+    * batch is skipped entirely — it must not re-judge drift either.
+    */
+  def processBatchWithPolicy(docs: DataFrame, batchId: Long, indexDir: String,
+                             centroids: DataFrame,
+                             policy: RefreshPolicy = RefreshPolicy(),
+                             idCol: String = "vec_id",
+                             vecCol: String = "embedding",
+                             opCol: Option[String] = None,
+                             compactSegments: Int = 8): Option[DataFrame] = {
+    if (batchId <= SegmentStore.readManifest(indexDir).lastBatch) return None
+    processBatch(docs, batchId, indexDir, centroids, idCol, vecCol, opCol,
+      compactSegments)
+    val upserts = opCol.fold(docs)(c => docs.filter(col(c) =!= "d"))
+    maybeRefreshOnDrift(docs.sparkSession, indexDir,
+      upserts.select(col(idCol), col(vecCol)), policy, idCol, vecCol)
   }
 
   /** Attach index maintenance to a vector-change stream. */
@@ -178,6 +315,26 @@ object StreamingAnnIndex {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, indexDir, centroids, idCol, vecCol,
           opCol, compactSegments)
+      }
+      .start()
+
+  /** [[attachIndexMaintenance]] with the drift-refresh policy in the loop:
+    * every micro-batch is committed, judged, and — when it drifted — the
+    * index re-centers itself before the next batch. The long-running
+    * stream no longer needs a human to notice recall sagging.
+    */
+  def attachIndexMaintenanceWithPolicy(docs: DataFrame, indexDir: String,
+                                       checkpoint: String, centroids: DataFrame,
+                                       policy: RefreshPolicy = RefreshPolicy(),
+                                       idCol: String = "vec_id",
+                                       vecCol: String = "embedding",
+                                       opCol: Option[String] = None,
+                                       compactSegments: Int = 8): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatchWithPolicy(batch, batchId, indexDir, centroids, policy,
+          idCol, vecCol, opCol, compactSegments): Unit
       }
       .start()
 }

@@ -36,11 +36,22 @@ object RefreshProfile {
       val (_, probeBefore) = time(
         StreamingAnnIndex.ivfTopKLive(spark, dir, queries, k = 5, nprobe = 1)
           .write.format("noop").mode("overwrite").save())
+      // the drift-policy costs: baseline bootstrap is corpus-sized but
+      // once per generation; the per-batch judge is delta-sized
+      val stableDelta = e.filter(col("vec_id") % 10 === 7)
+        .select("vec_id", "embedding")
+      val (_, baseBootT) = time(
+        StreamingAnnIndex.readRefreshBaseline(spark, dir).collect())
+      val (firedStable, judgeT) = time(
+        StreamingAnnIndex.maybeRefreshOnDrift(spark, dir, stableDelta))
       val (_, refreshT) = time(
         StreamingAnnIndex.refreshCentroids(spark, dir, lloydIters = 1))
       val (_, probeAfter) = time(
         StreamingAnnIndex.ivfTopKLive(spark, dir, queries, k = 5, nprobe = 1)
           .write.format("noop").mode("overwrite").save())
+      // post-refresh judge reads the rewrite-written baseline (no bootstrap)
+      val (firedAfter, judgeAfterT) = time(
+        StreamingAnnIndex.maybeRefreshOnDrift(spark, dir, stableDelta))
       // the comparison bar: a from-scratch inline rebuild of the same
       // artifact (one Lloyd round + assignment + write), no index reuse
       val (_, rebuildT) = time {
@@ -51,6 +62,9 @@ object RefreshProfile {
       }
       println(f"REFRESH $sf: n=$n k=$k refresh=$refreshT%.2f s " +
         f"rebuild=$rebuildT%.2f s probe_before=$probeBefore%.2f s probe_after=$probeAfter%.2f s")
+      println(f"POLICY $sf: baseline_bootstrap=$baseBootT%.2f s " +
+        f"judge_stable=$judgeT%.2f s (fired=${firedStable.isDefined}) " +
+        f"judge_postrefresh=$judgeAfterT%.2f s (fired=${firedAfter.isDefined})")
     }
     spark.stop()
   }

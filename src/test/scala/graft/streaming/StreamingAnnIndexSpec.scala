@@ -138,14 +138,19 @@ class StreamingAnnIndexSpec extends AnyFunSuite with Matchers {
 
     // the stream continues on the refreshed generation: upserts and
     // deletes apply, the parameter pointer rides along, and the old
-    // generation's dirs are physically gone once the grace window passes
+    // generation's dirs are physically gone once the grace window passes.
+    // CRITICAL at nprobe=1: batch 2's upsert must be ASSIGNED with the
+    // refreshed g1 centroids (resolved through the manifest pointer, not
+    // the caller's frozen argument — which still holds the superseded
+    // generation) or the probe, routing via g1, would never scan the
+    // bucket the stale assignment put 16 in
     send(2, Seq((16L, Seq(-0.683, -0.730)))) // 16 moves right next to q
     send(3, Seq((15L, Seq(0.0, 0.0))), op = "d")
     StreamingAnnIndex.readManifest(indexDir).param shouldBe Some("g1")
     java.nio.file.Files.exists(
       java.nio.file.Paths.get(indexDir, "_centroids")) shouldBe false
     val after = StreamingAnnIndex
-      .ivfTopKLive(spark, indexDir, q, k = 3, nprobe = 2)
+      .ivfTopKLive(spark, indexDir, q, k = 3, nprobe = 1)
       .select("neighbor_id").as[Long].collect().toSet
     after should contain(16L)
     after should not contain 15L
@@ -171,7 +176,9 @@ class StreamingAnnIndexSpec extends AnyFunSuite with Matchers {
       .orderBy("vec_id").collect().map(_.getSeq[Double](1)).toSeq shouldBe
       Seq(Seq(0.5, 0.5), Seq(-0.5, 0.5))
     // once a batch has committed, later calls with different centroids do
-    // NOT silently re-route the artifact — the parameter is frozen
+    // NOT silently re-route the artifact — the parameter is frozen, and
+    // assignment resolves through the manifest pointer (the stray argument
+    // is ignored entirely)
     StreamingAnnIndex.processBatch(docs, 1, indexDir, a, opCol = Some("op"))
     StreamingAnnIndex.readCentroids(spark, indexDir)
       .orderBy("vec_id").collect().map(_.getSeq[Double](1)).toSeq shouldBe
