@@ -1,9 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{BooleanType, DoubleType, LongType, StructField, StructType}
 
 import graft.scale.TextOps
 
@@ -23,21 +24,42 @@ import graft.scale.TextOps
   * deliberately moment-based (mean shift in units of baseline sd), not
   * distributional (KS/χ²): a mean-of-millions moves only on real shifts,
   * and the rule stays reproducible in plain SQL — [[graft.ScaleQueries]]
-  * oracles the identical arithmetic per source. Per-batch log rows are
-  * written to `dir/batch=<id>` with Overwrite, so a redelivered batch
-  * rewrites its own row idempotently (the [[SegmentStore]] rule).
+  * oracles the identical arithmetic per source.
+  *
+  * The monitor LOG lives under the [[SegmentStore]] lifecycle — verdict
+  * rows are append-only facts keyed by their batch id, so the store's
+  * manifest/compaction machinery bounds the artifact for free: one tiny
+  * segment per batch until `compactBatches`, then everything folds into
+  * one segment. Without the roll-up a one-dir-per-batch log costs 10⁵
+  * file listings/footers per read at 10⁵ micro-batches of stream age (the
+  * same unbounded-artifact shape the BM25 segments had before their LSM
+  * rework); with it, `readLog` touches at most `compactBatches` + grace
+  * dirs regardless of age. Idempotence is the store's: a redelivered
+  * batch id at or below the committed high-water mark is skipped — the
+  * committed verdict stands (foreachBatch redelivers the same source
+  * data, so re-judging it is pure waste).
   */
 object CorpusMonitor {
+
+  private val logSchema = StructType(Seq(
+    StructField("b", LongType), StructField("n_docs", LongType),
+    StructField("mean_tokens", DoubleType), StructField("sd_tokens", DoubleType),
+    StructField("mean_quality", DoubleType), StructField("sd_quality", DoubleType),
+    StructField("z_tokens", DoubleType), StructField("z_quality", DoubleType),
+    StructField("drift", BooleanType), StructField("batch", LongType)))
 
   /** Quality profile: n_docs, mean/sd of per-doc token count and quality
     * score ([[TextOps.qualityScore]]), rounded to 6 decimals so profiles
     * compare across engines — one row (the batch/corpus baseline shape)
     * or one row per `groupBy` key (per-source auditing). Sample sd (n−1),
-    * mirrored by the oracle's `stddev_samp`; sd coalesces to 0 so a 1-doc
-    * group still profiles.
+    * mirrored by the oracle's `stddev_samp`; a 1-doc group's sd lands at 0
+    * — Spark's `stddev_samp` yields NaN (not null) for a single row, so
+    * the NaN is mapped through `nanvl` BEFORE the null coalesce, matching
+    * DuckDB's NULL→0 path ([[drift]] would otherwise z-score against NaN).
     */
   def profile(docs: DataFrame, textCol: String,
-              groupBy: Seq[String] = Nil): DataFrame =
+              groupBy: Seq[String] = Nil): DataFrame = {
+    def sd(c: String) = round(coalesce(nanvl(stddev(c), lit(0.0)), lit(0.0)), 6)
     TextOps.qualityScore(docs, textCol)
       .select((groupBy.map(col) :+
         size(TextOps.tokens(col(textCol))).cast(DoubleType).as("n_tokens") :+
@@ -45,19 +67,31 @@ object CorpusMonitor {
       .groupBy(groupBy.map(col): _*)
       .agg(count(lit(1)).as("n_docs"),
         round(avg("n_tokens"), 6).as("mean_tokens"),
-        round(coalesce(stddev("n_tokens"), lit(0.0)), 6).as("sd_tokens"),
+        sd("n_tokens").as("sd_tokens"),
         round(avg("quality"), 6).as("mean_quality"),
-        round(coalesce(stddev("quality"), lit(0.0)), 6).as("sd_quality"))
+        sd("quality").as("sd_quality"))
+  }
 
   /** Drift verdicts of profile rows against a 1-row baseline profile:
     * per-metric z = |mean − baseline mean| / baseline sd (Infinity when
     * the baseline sd is 0 and the mean moved), `drift` = any z > `z`.
     * Both sides are profile-shaped, so this composes over a streaming
     * batch profile, a per-source profile, or a read-back monitor log.
+    *
+    * The 1-row contract is ENFORCED lazily: a multi-row baseline (e.g. a
+    * per-source profile passed by mistake) would silently multiply every
+    * verdict row, so the baseline column read raises instead — checked
+    * with a window count inside the plan, no extra action. An EMPTY
+    * baseline yields an empty verdict frame (nothing to judge against).
     */
   def drift(profiles: DataFrame, baseline: DataFrame, z: Double): DataFrame = {
     require(z > 0.0, s"z must be positive, got $z")
-    val base = baseline.select(col("mean_tokens").as("b_mean_tokens"),
+    val nb = count(lit(1)).over(Window.partitionBy(lit(1)))
+    val base = baseline.select(
+      when(nb === 1, col("mean_tokens"))
+        .otherwise(raise_error(concat(
+          lit("drift: baseline must be exactly 1 row, got "), nb.cast("string"))))
+        .as("b_mean_tokens"),
       col("sd_tokens").as("b_sd_tokens"),
       col("mean_quality").as("b_mean_quality"),
       col("sd_quality").as("b_sd_quality"))
@@ -74,26 +108,34 @@ object CorpusMonitor {
       .drop("b_mean_tokens", "b_sd_tokens", "b_mean_quality", "b_sd_quality")
   }
 
-  /** Profile one micro-batch, judge it against the baseline, and append
-    * the verdict row to the monitor log at `dir` (idempotent per batch).
+  /** Profile one micro-batch, judge it against the baseline, and commit
+    * the verdict row to the monitor log at `dir` under the
+    * [[SegmentStore]] contract (redelivered batch ids are skipped; at
+    * `compactBatches` live dirs the log folds into one segment, so dir
+    * count — and `readLog` cost — stays bounded at any stream age).
     * A batch with no documents is skipped — zero docs has no moments to
     * judge (a delete-only CDC batch reaches a text monitor empty), and a
     * null-profile row would poison every later log read.
     */
   def processBatch(docs: DataFrame, batchId: Long, dir: String,
-                   baseline: DataFrame, textCol: String, z: Double): Unit =
-    if (docs.limit(1).count() > 0)
-      drift(profile(docs, textCol), baseline, z)
-        .write.mode(SaveMode.Overwrite).parquet(s"$dir/batch=$batchId")
+                   baseline: DataFrame, textCol: String, z: Double,
+                   compactBatches: Int = 16): Unit =
+    if (docs.limit(1).count() > 0) {
+      val verdict = drift(profile(docs, textCol), baseline, z)
+        .withColumn("b", lit(batchId))
+      SegmentStore.processBatch(verdict, batchId, dir, "b", "b",
+        opCol = None, compactSegments = compactBatches, identity)
+    }
 
-  /** The monitor log: one verdict row per profiled batch, `batch` read
-    * back from the partition dir name (cast to LONG — partition-value
-    * inference would otherwise pick the narrowest type that fits the ids
-    * seen so far, changing the schema as the stream ages).
+  /** The monitor log: one verdict row per profiled batch with its `batch`
+    * id, read through the committed manifest — at most `compactBatches` +
+    * grace-window dirs are touched however old the stream is.
     */
   def readLog(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(dir)
-      .withColumn("batch", col("batch").cast(org.apache.spark.sql.types.LongType))
+    SegmentStore.readSegments(spark, dir, logSchema)
+      .drop("batch").withColumnRenamed("b", "batch")
+      .select("batch", "n_docs", "mean_tokens", "sd_tokens",
+        "mean_quality", "sd_quality", "z_tokens", "z_quality", "drift")
 
   /** Attach content monitoring to a document stream. `baseline` is the
     * corpus profile the stream is judged against — compute it once from a
@@ -103,11 +145,11 @@ object CorpusMonitor {
     */
   def attachMonitor(docs: DataFrame, dir: String, checkpoint: String,
                     baseline: DataFrame, textCol: String = "text",
-                    z: Double = 3.0): StreamingQuery =
+                    z: Double = 3.0, compactBatches: Int = 16): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(batch, batchId, dir, baseline, textCol, z)
+        processBatch(batch, batchId, dir, baseline, textCol, z, compactBatches)
       }
       .start()
 }

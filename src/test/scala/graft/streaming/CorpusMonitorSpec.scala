@@ -12,7 +12,9 @@ import graft.{Tables, TestSpark}
 /** The content monitor must flag a batch whose CONTENT shifted while
   * every query-level metric stays green — and must NOT flag batches that
   * look like the baseline. Drift = mean shift in units of baseline sd;
-  * the log is idempotent per batch (redelivery rewrites, never appends).
+  * the log rides the SegmentStore lifecycle: redelivered batch ids are
+  * skipped (the committed verdict stands) and the dir count stays bounded
+  * by the compaction threshold at any stream age.
   */
 class CorpusMonitorSpec extends AnyFunSuite with Matchers {
 
@@ -45,13 +47,73 @@ class CorpusMonitorSpec extends AnyFunSuite with Matchers {
     log(2L)._1 shouldBe true
     log(2L)._2 should be > 2.0
 
-    // redelivery of batch 2 with DIFFERENT (healthy) content rewrites its
-    // row in place — one row per batch, latest attempt wins
+    // redelivery of batch 2 is a NO-OP — the committed verdict stands
+    // (foreachBatch redelivers the same source data; the SegmentStore
+    // high-water mark absorbs the duplicate, same as every index family)
     CorpusMonitor.processBatch(docs.filter(col("doc_id") % 2 === 0), 2L, dir,
       baseline, "text", z = 2.0)
     val log2 = CorpusMonitor.readLog(spark, dir)
     log2.count() shouldBe 3L
-    log2.filter(col("batch") === 2L).select("drift").as[Boolean].head() shouldBe false
+    log2.filter(col("batch") === 2L).select("drift").as[Boolean].head() shouldBe true
+  }
+
+  test("the log stays bounded: dirs fold at the threshold, readLog is unchanged") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val baseline = CorpusMonitor.profile(docs, "text")
+    val dir = Files.createTempDirectory("graft-monitor-bounded").toString
+    // 12 batches at compactBatches=4: without the roll-up this is 12 dirs
+    // and counting, forever; with it the manifest folds every 4th commit
+    (0 until 12).foreach { b =>
+      CorpusMonitor.processBatch(docs.filter(col("doc_id") % 12 === b), b.toLong,
+        dir, baseline, "text", z = 2.0, compactBatches = 4)
+    }
+    val m = SegmentStore.readManifest(dir)
+    m.lastBatch shouldBe 11L
+    m.segs.size should be <= 4 // live dirs bounded by the threshold
+    // every verdict row survives the folds, bit-identical to a direct judge
+    val log = CorpusMonitor.readLog(spark, dir)
+    log.count() shouldBe 12L
+    val expected = (0 until 12).map { b =>
+      val v = CorpusMonitor.drift(
+        CorpusMonitor.profile(docs.filter(col("doc_id") % 12 === b), "text"),
+        baseline, z = 2.0).collect().head
+      b.toLong -> v.toSeq
+    }.toMap
+    log.collect().foreach { r =>
+      r.toSeq.drop(1) shouldBe expected(r.getLong(0))
+    }
+  }
+
+  test("a multi-row baseline raises instead of silently multiplying verdicts") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text", "source")
+    val perSource = CorpusMonitor.profile(docs, "text", groupBy = Seq("source"))
+    val ex = intercept[Exception] {
+      CorpusMonitor.drift(
+        CorpusMonitor.profile(docs, "text"),
+        perSource.drop("source"), z = 2.0).collect()
+    }
+    ex.getMessage should include("baseline must be exactly 1 row")
+  }
+
+  test("a 1-doc group profiles with sd 0, not NaN (stddev_samp NaN mapped)") {
+    // Spark's stddev_samp yields NaN (not null) for a single row; the
+    // profile must land it at 0 — the DuckDB NULL→0 path — or drift()
+    // would z-score against NaN and every verdict would be false
+    val one = Seq((1L, "just one document here", "solo")).toDF("doc_id", "text", "source")
+    val p = CorpusMonitor.profile(one, "text", groupBy = Seq("source"))
+      .select("n_docs", "sd_tokens", "sd_quality").collect().head
+    p.getLong(0) shouldBe 1L
+    p.getDouble(1) shouldBe 0.0
+    p.getDouble(2) shouldBe 0.0
+    // and it is judgeable: against a baseline with positive sd the z is
+    // finite and real, never NaN
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val verdict = CorpusMonitor.drift(
+      CorpusMonitor.profile(one, "text"),
+      CorpusMonitor.profile(docs, "text"), z = 2.0)
+      .select("z_tokens", "z_quality").collect().head
+    verdict.getDouble(0).isNaN shouldBe false
+    verdict.getDouble(1).isNaN shouldBe false
   }
 
   test("monitor attaches to a stream and profiles each micro-batch") {
