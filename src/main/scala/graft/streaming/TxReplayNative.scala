@@ -271,14 +271,27 @@ object TxReplayNative {
     * later is absorbed instead of re-creating state no release will ever
     * drain.
     */
-  class ShardFanout extends StatefulProcessor[(Long, Int), ShardCmd, FlushMarker] {
+  /** @param doneTtlMs lifetime of the per-(tx, shard) `done` tombstone.
+    *   Tombstones absorb duplicate/straggler sightings that arrive AFTER
+    *   the release, but tx ids are never revisited, so keeping them forever
+    *   (`None` — TTLConfig.NONE) grows state linearly in total transactions
+    *   × keyShards on a long-running stream. Bound it by the transport's
+    *   redelivery/straggler window (Kafka: max in-flight + rebalance time;
+    *   minutes, not days) — a straggler later than that window is already a
+    *   correctness bug upstream. TTL requires the stage to run in
+    *   TimeMode.ProcessingTime ([[docs]] switches modes when it is set).
+    */
+  class ShardFanout(doneTtlMs: Option[Long] = None)
+    extends StatefulProcessor[(Long, Int), ShardCmd, FlushMarker] {
     @transient private var seen: MapState[Long, Boolean] = _
     @transient private var done: ValueState[java.lang.Boolean] = _
     override def init(o: OutputMode, t: TimeMode): Unit = {
+      val doneTtl = doneTtlMs.fold(TTLConfig.NONE)(ms =>
+        TTLConfig(java.time.Duration.ofMillis(ms)))
       seen = getHandle.getMapState[Long, Boolean]("keys",
         Encoders.scalaLong, Encoders.scalaBoolean, TTLConfig.NONE)
       done = getHandle.getValueState[java.lang.Boolean]("done",
-        Encoders.BOOLEAN, TTLConfig.NONE)
+        Encoders.BOOLEAN, doneTtl)
     }
 
     override def handleInputRows(k: (Long, Int), rows: Iterator[ShardCmd],
@@ -417,12 +430,22 @@ object TxReplayNative {
     * never quiesces; poll the sink instead). (2) eviction is a
     * consistency trade made explicit: the evicted transaction is LOST, by
     * design, and later transactions emit as if it never happened.
+    *
+    * `shardDoneTtlMs` (sharded fan-out only): bounds the per-(tx, shard)
+    * release tombstones — see [[ShardFanout]]. Unset keeps them forever
+    * (absorbs arbitrarily late stragglers at the cost of state linear in
+    * total transactions × shards); production streams should set it to
+    * the transport's redelivery window.
     */
   def docs(left: DataFrame, right: DataFrame, ends: DataFrame,
            stallTimeoutMs: Option[Long] = None,
-           keyShards: Option[Int] = None): DataFrame = {
+           keyShards: Option[Int] = None,
+           shardDoneTtlMs: Option[Long] = None): DataFrame = {
     require(stallTimeoutMs.forall(_ > 0), "stallTimeoutMs must be positive")
     require(keyShards.forall(_ > 0), "keyShards must be positive")
+    require(shardDoneTtlMs.forall(_ > 0), "shardDoneTtlMs must be positive")
+    require(shardDoneTtlMs.isEmpty || keyShards.isDefined,
+      "shardDoneTtlMs applies to the sharded fan-out; set keyShards")
     val spark = left.sparkSession
     import spark.implicits._
 
@@ -462,7 +485,10 @@ object TxReplayNative {
           ShardCmd(r.txId, sh, -1L, release = true, r.commitLsn, r.purge)))
         sightings.union(controls)
           .groupByKey(c => (c.txId, c.shard))
-          .transformWithState(new ShardFanout, TimeMode.None(), OutputMode.Append())
+          .transformWithState(new ShardFanout(shardDoneTtlMs),
+            if (shardDoneTtlMs.isDefined) TimeMode.ProcessingTime()
+            else TimeMode.None(),
+            OutputMode.Append())
     }
 
     val lt = left.schema("row").dataType

@@ -43,7 +43,8 @@ class TxReplayNativeShardSpec extends AnyFunSuite with Matchers {
       x.commit_lsn, x.expected_left, x.expected_right))
 
   private def runSharded(name: String, batches: Seq[Seq[NativeEv]],
-                         shards: Int): Seq[Seq[Row]] = withRocksDb {
+                         shards: Int,
+                         doneTtlMs: Option[Long] = None): Seq[Seq[Row]] = withRocksDb {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[NativeEv]
     val df = in.toDF()
@@ -54,7 +55,8 @@ class TxReplayNativeShardSpec extends AnyFunSuite with Matchers {
         col("lrow").as("row"))
     val ends = df.filter(col("stream") === "t")
       .select(col("tx_id"), col("commit_lsn"), col("expected_left"), col("expected_right"))
-    val q = TxReplayNative.docs(left, right, ends, keyShards = Some(shards))
+    val q = TxReplayNative.docs(left, right, ends, keyShards = Some(shards),
+        shardDoneTtlMs = doneTtlMs)
       .writeStream.format("memory").queryName(name).outputMode("append")
       .option("checkpointLocation", Files.createTempDirectory(s"graft-$name").toString)
       .start()
@@ -191,5 +193,67 @@ class TxReplayNativeShardSpec extends AnyFunSuite with Matchers {
     out(1) shouldBe empty // straggler absorbed, nothing re-emitted
     out(2).map(r => (r.getAs[Long]("key"), r.getAs[Long]("commit_lsn"))) shouldBe
       Seq((1L, 200L))
+  }
+
+  test("bounded done-tombstone TTL: identical semantics inside the window") {
+    // shardDoneTtlMs bounds the per-(tx, shard) tombstone so a long-running
+    // stream's state stops growing with total transaction count; within the
+    // window (any realistic redelivery lag) behavior is unchanged — the
+    // straggler scenario must play out exactly as with unbounded tombstones.
+    // TTL puts the stage in TimeMode.ProcessingTime, where a query never
+    // quiesces (processAllAvailable would spin) — set a trigger and poll
+    // the sink, the TxReplayNativeStallSpec discipline.
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      val in = MemoryStream[NativeEv]
+      val df = in.toDF()
+      val left = df.filter(col("stream") === "l")
+        .select(col("key"), col("op"), col("lsn"), col("tx_id"), col("orow").as("row"))
+      val right = df.filter(col("stream") === "r")
+        .select(col("key"), col("line_id"), col("op"), col("lsn"), col("tx_id"),
+          col("lrow").as("row"))
+      val ends = df.filter(col("stream") === "t")
+        .select(col("tx_id"), col("commit_lsn"), col("expected_left"),
+          col("expected_right"))
+      val q = TxReplayNative.docs(left, right, ends, keyShards = Some(4),
+          shardDoneTtlMs = Some(600000L))
+        .writeStream.format("memory").queryName("shard_done_ttl")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-shard-done-ttl").toString)
+        .start()
+      def awaitRows(n: Int): Unit = {
+        val deadline = System.currentTimeMillis() + 120000
+        while (spark.table("shard_done_ttl").count() < n &&
+               System.currentTimeMillis() < deadline) Thread.sleep(100)
+      }
+      try {
+        in.addData(toNative(
+          Seq(LeftEv(1, "c", 1, 1, OrderRow(1, "a"))),
+          Seq(RightEv(1, 1, "c", 2, 1, LineRow(1, 1, 1.0))),
+          Seq(TxEnd(1, 100, 1, 1))))
+        awaitRows(1)
+        spark.table("shard_done_ttl").collect()
+          .map(_.getAs[Long]("commit_lsn")).toSeq shouldBe Seq(100L)
+
+        // duplicate of tx 1's left event after release: the tombstone —
+        // alive for the whole 10-min window — absorbs it; give the
+        // continuous triggers time to mis-emit before asserting nothing did
+        in.addData(toNative(
+          Seq(LeftEv(1, "c", 1, 1, OrderRow(1, "a"))), Seq.empty, Seq.empty))
+        Thread.sleep(1500)
+        spark.table("shard_done_ttl").count() shouldBe 1L
+
+        // a later transaction is unaffected
+        in.addData(toNative(
+          Seq(LeftEv(1, "u", 10, 2, OrderRow(1, "b"))), Seq.empty,
+          Seq(TxEnd(2, 200, 1, 0))))
+        awaitRows(2)
+        spark.table("shard_done_ttl").collect()
+          .map(r => (r.getAs[Long]("key"), r.getAs[Long]("commit_lsn")))
+          .sortBy(_._2).toSeq shouldBe Seq((1L, 100L), (1L, 200L))
+      } finally q.stop()
+    }
   }
 }
