@@ -661,13 +661,18 @@ object ScaleQueries {
     }),
 
     // Product quantization: 64-dim float vectors → 4 codes against a
-    // seed-sampled codebook (the vec_id % 63 == 1 vectors), with the
+    // seed-sampled codebook (the vec_id % 63 == 1 vectors WITHIN THE BASE
+    // ID RANGE — the id cap freezes K as a model parameter instead of a
+    // function of corpus size, so the K≤256 byte-code guard can never
+    // fire on scaled-up harness data; a real deployment likewise trains
+    // its codebook on a bounded sample, not on every vector), with the
     // DECIMAL-exact reconstruction-error sum. Codes serialize to a string
     // (nested arrays aren't driver-hashable).
     "q_embed_pq" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       val cb = Embeddings.pqCodebookFromSeeds(
-        e.filter(col("vec_id") % 63 === 1), mSubspaces = 4, "vec_id", "embedding")
+        e.filter(col("vec_id") % 63 === 1 && col("vec_id") < 100000000L),
+        mSubspaces = 4, "vec_id", "embedding")
       Embeddings.pqEncode(e, cb, mSubspaces = 4, "vec_id", "embedding")
         .select(col("vec_id"),
           array_join(col("codes"), " ").as("codes_str"), col("err"))
@@ -746,7 +751,8 @@ object ScaleQueries {
     "q_embed_pq_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       val cb = Embeddings.pqCodebookFromSeeds(
-        e.filter(col("vec_id") % 63 === 1), mSubspaces = 4, "vec_id", "embedding")
+        e.filter(col("vec_id") % 63 === 1 && col("vec_id") < 100000000L),
+        mSubspaces = 4, "vec_id", "embedding")
       val codes = Embeddings.pqEncode(e, cb, mSubspaces = 4, "vec_id", "embedding")
       Embeddings.pqTopK(codes, cb, e.filter(col("vec_id") % 97 === 5),
         k = 10, mSubspaces = 4, "vec_id", "embedding")
@@ -760,7 +766,8 @@ object ScaleQueries {
     "q_embed_ivfpq" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       val cb = Embeddings.pqCodebookFromSeeds(
-        e.filter(col("vec_id") % 63 === 1), mSubspaces = 4, "vec_id", "embedding")
+        e.filter(col("vec_id") % 63 === 1 && col("vec_id") < 100000000L),
+        mSubspaces = 4, "vec_id", "embedding")
       Embeddings.ivfPqTopK(e, e.filter(col("vec_id") % 10 === 3), cb,
         e.filter(col("vec_id") % 97 === 5), k = 10, nprobe = 2, mSubspaces = 4,
         "vec_id", "embedding")
@@ -1073,6 +1080,60 @@ object ScaleQueries {
       val segs = seg0.unionByName(seg1).cache()
       StreamingChunkIndex.chunkTopKLiveDocs(segs, dels,
         probes, "q_id", "term", kChunks = 20, kDocs = 5)
+        .ordered("q_id", "rank")
+    }),
+
+    // The round-10 capstone: chunk-granular HYBRID retrieval over two
+    // LIVE indexes of the same mutating corpus — chunk BM25 postings and
+    // chunk-embedding IVF assignments, both under doc-level liveness
+    // (batch 1 truncates every %23 doc to 40 tokens: FEWER chunks, and
+    // the stale tail must die in BOTH modalities; batch 2 deletes every
+    // %31 doc). Lexical and semantic top-20 chunk lists fuse by
+    // reciprocal rank WHILE STILL PASSAGES, and only the fused ranking
+    // rolls up to documents — a doc whose same passage wins both lists
+    // beats one ranking on two different passages' weak evidence. Chunk
+    // embeddings derive deterministically from the doc embedding rotated
+    // by chunk_id (the stand-in for a passage embedder — reproducible in
+    // plain SQL, geometry preserved).
+    "q_chunk_fused" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val shortened = array_join(slice(split(col("text"), " "), 1, 40), " ")
+      val truncated = docs.filter(col("doc_id") % 23 === 0)
+        .select(col("doc_id"), shortened.as("text"))
+      val dels = docs.filter(col("doc_id") % 31 === 0)
+        .select(col("doc_id"), lit(2L).as("batch"))
+
+      val lseg0 = StreamingChunkIndex.buildChunkSegment(docs, "doc_id", "text",
+        window = 32, stride = 16).withColumn("batch", lit(0L))
+      val lseg1 = StreamingChunkIndex.buildChunkSegment(truncated, "doc_id", "text",
+        window = 32, stride = 16).withColumn("batch", lit(1L))
+
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("embedding"))
+      val centroids = e.filter(col("vec_id") % 10 === 3)
+      def chunkVecs(dd: DataFrame) =
+        Chunking.chunkDocuments(dd, "doc_id", "text", window = 32, stride = 16)
+          .join(e, col("doc_id") === col("vec_id"))
+          .select(Chunking.chunkKey(col("doc_id"), col("chunk_id")).as("ck"),
+            transform(sequence(lit(0), size(col("embedding")) - 1),
+              i => element_at(col("embedding"),
+                ((i + col("chunk_id")) % size(col("embedding"))) + 1)).as("embedding"))
+      val vseg0 = StreamingChunkIndex.buildChunkVecSegment(chunkVecs(docs), centroids)
+        .withColumn("batch", lit(0L))
+      val vseg1 = StreamingChunkIndex.buildChunkVecSegment(chunkVecs(truncated), centroids)
+        .withColumn("batch", lit(1L))
+
+      val probes = docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("q_id"),
+          explode(array_distinct(slice(split(col("text"), " "), 5, 4))).as("term"))
+      val vqueries = e.filter(col("vec_id") % 97 === 0)
+      // the caches = the streaming contract's materialized segment files
+      // (see q_chunk_index_upsert)
+      StreamingChunkIndex.fusedTopKLiveDocs(
+        lseg0.unionByName(lseg1).cache(), dels,
+        vseg0.unionByName(vseg1).cache(), dels,
+        centroids, probes, "q_id", "term", vqueries,
+        kChunks = 20, kDocs = 5)
         .ordered("q_id", "rank")
     }),
 
@@ -2214,7 +2275,7 @@ object ScaleQueries {
     "q_embed_pq" ->
       """WITH sc AS (
         | SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code_id, embedding
-        | FROM embeddings WHERE vec_id % 63 = 1),
+        | FROM embeddings WHERE vec_id % 63 = 1 AND vec_id < 100000000),
         |cb AS (SELECT r.m, code_id,
         |  embedding[1 + 16*r.m : 16*(r.m + 1)] AS sub
         | FROM sc, range(4) r(m)),
@@ -2336,7 +2397,7 @@ object ScaleQueries {
     "q_embed_pq_topk" ->
       """WITH sc AS (
         | SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code_id, embedding
-        | FROM embeddings WHERE vec_id % 63 = 1),
+        | FROM embeddings WHERE vec_id % 63 = 1 AND vec_id < 100000000),
         |cb AS (SELECT r.m, code_id,
         |  embedding[1 + 16*r.m : 16*(r.m + 1)] AS sub
         | FROM sc, range(4) r(m)),
@@ -2381,7 +2442,7 @@ object ScaleQueries {
         | FROM cranked WHERE vec_id % 97 = 5 AND rn <= 2),
         |sc AS (
         | SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code_id, embedding
-        | FROM embeddings WHERE vec_id % 63 = 1),
+        | FROM embeddings WHERE vec_id % 63 = 1 AND vec_id < 100000000),
         |cb AS (SELECT r.m, code_id,
         |  embedding[1 + 16*r.m : 16*(r.m + 1)] AS sub
         | FROM sc, range(4) r(m)),
@@ -2966,6 +3027,80 @@ object ScaleQueries {
         |SELECT q_id, doc_id, best_chunk, score, CAST(rank AS INTEGER) AS rank FROM (
         | SELECT q_id, doc_id, best_chunk, score,
         |  row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank
+        | FROM perdoc WHERE rn = 1)
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    // the chunk-granular hybrid probe must answer exactly like the batch
+    // pipeline over the SURVIVING corpus (%31 gone, %23 truncated to 40
+    // tokens): chunk BM25 top-20 + chunk-rotated-embedding IVF top-20,
+    // RRF at chunk keys, fused top-20, then best-passage doc rollup
+    "q_chunk_fused" ->
+      s"""WITH d2 AS (SELECT doc_id, CASE WHEN doc_id % 23 = 0
+        |  THEN array_to_string((string_split(text, ' '))[1:40], ' ') ELSE text END AS text
+        | FROM documents WHERE doc_id % 31 <> 0),
+        |t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n FROM d2),
+        |c AS (SELECT doc_id, toks, n,
+        |  CAST(unnest(generate_series(0, CASE WHEN n <= 32 THEN 0
+        |    ELSE CAST(ceil((n - 32) / 16.0) AS INTEGER) END)) AS INTEGER) AS chunk_id
+        | FROM t),
+        |chunks AS (SELECT doc_id, chunk_id, doc_id * 1048576 + chunk_id AS ck,
+        |  array_to_string(toks[chunk_id * 16 + 1:least(chunk_id * 16 + 32, n)], ' ') AS chunk
+        | FROM c),
+        |ctoks AS (SELECT ck, unnest(string_split(chunk, ' ')) AS token FROM chunks),
+        |post AS (SELECT ck, token, count(*) AS tf FROM ctoks GROUP BY 1, 2),
+        |cdl AS (SELECT ck, CAST(len(string_split(chunk, ' ')) AS DOUBLE) AS dl FROM chunks),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM cdl),
+        |q AS (SELECT doc_id AS q_id,
+        |  unnest(list_distinct((string_split(text, ' '))[5:8])) AS token
+        | FROM documents WHERE doc_id % 97 = 0),
+        |dfq AS (SELECT token, count(*) AS df FROM post
+        | WHERE token IN (SELECT DISTINCT token FROM q) GROUP BY 1),
+        |bscored AS (SELECT q.q_id, p.ck,
+        |  round(sum(ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+        |    * p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))), 4) AS score
+        | FROM post p JOIN q ON p.token = q.token JOIN dfq f ON p.token = f.token
+        | JOIN cdl dl ON p.ck = dl.ck CROSS JOIN stats s
+        | GROUP BY 1, 2),
+        |lex AS (SELECT q_id, ck, rank FROM (
+        | SELECT q_id, ck,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY score DESC, ck) AS rank
+        | FROM bscored) WHERE rank <= 20),
+        |base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |cent AS (SELECT vec_id AS centroid_id, v AS cv FROM base WHERE vec_id % 10 = 3),
+        |cvecs AS (SELECT ch.ck,
+        |  list_transform(generate_series(1, len(b.v)),
+        |    i -> b.v[((i - 1 + ch.chunk_id) % len(b.v)) + 1]) AS v
+        | FROM chunks ch JOIN base b ON ch.doc_id = b.vec_id),
+        |assign AS (SELECT ck, v, centroid_id AS bucket FROM (
+        | SELECT cv.ck, cv.v, ct.centroid_id,
+        |  row_number() OVER (PARTITION BY cv.ck
+        |    ORDER BY ${cosSql("cv.v", "ct.cv")} DESC, ct.centroid_id) AS rn
+        | FROM cvecs cv CROSS JOIN cent ct) WHERE rn = 1),
+        |vprobes AS (SELECT vec_id AS q_id, v AS qv, centroid_id AS bucket FROM (
+        | SELECT b.vec_id, b.v, ct.centroid_id,
+        |  row_number() OVER (PARTITION BY b.vec_id
+        |    ORDER BY ${cosSql("b.v", "ct.cv")} DESC, ct.centroid_id) AS rn
+        | FROM base b CROSS JOIN cent ct WHERE b.vec_id % 97 = 0) WHERE rn = 1),
+        |sem AS (SELECT q_id, ck, rank FROM (
+        | SELECT p.q_id, p.ck,
+        |  row_number() OVER (PARTITION BY p.q_id ORDER BY p.cos DESC, p.ck) AS rank
+        | FROM (SELECT q.q_id, a.ck, ${cosSql("q.qv", "a.v")} AS cos
+        |  FROM vprobes q JOIN assign a ON q.bucket = a.bucket AND q.q_id <> a.ck) p)
+        | WHERE rank <= 20),
+        |fchunks AS (SELECT q_id, ck,
+        |  round(sum(1.0::DOUBLE / (60 + rank)), 6) AS rrf
+        | FROM (SELECT * FROM lex UNION ALL SELECT * FROM sem) GROUP BY 1, 2),
+        |ftop AS (SELECT q_id, ck, rrf FROM (
+        | SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, ck) AS r
+        | FROM fchunks) WHERE r <= 20),
+        |perdoc AS (SELECT q_id, ck // 1048576 AS doc_id, ck % 1048576 AS best_chunk, rrf,
+        |  row_number() OVER (PARTITION BY q_id, ck // 1048576
+        |    ORDER BY rrf DESC, ck % 1048576) AS rn
+        | FROM ftop)
+        |SELECT q_id, doc_id, best_chunk, rrf, CAST(rank AS INTEGER) AS rank FROM (
+        | SELECT q_id, doc_id, best_chunk, rrf,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, doc_id) AS rank
         | FROM perdoc WHERE rn = 1)
         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
 

@@ -109,6 +109,28 @@ object Chunking {
     docs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Hybrid retrieval fused AT CHUNK GRANULARITY — the modern RAG shape:
+    * each retriever ranks CHUNKS ([[chunkKey]]s in `doc_id`: a lexical
+    * chunk-BM25 list, a semantic chunk-ANN list), reciprocal-rank fusion
+    * ([[Retrieval.rrfFuse]]) combines them while they are still passages,
+    * and only the fused ranking rolls up to documents
+    * ([[chunkHitsToDocs]] on the RRF score). Fusing after a per-system
+    * doc rollup would lose exactly the signal passage retrieval exists
+    * for: a document whose SAME passage both retrievers agree on must
+    * beat one ranking high on two different passages' weak evidence.
+    * Output: (q_id, doc_id, best_chunk, rrf, rank), top `kDocs` per query.
+    *
+    * Scale shape: inputs are top-k chunk lists, so everything here is
+    * candidate-sized — rrfFuse's union + hash-agg + rank window, then the
+    * two rollup windows.
+    */
+  def fuseChunkRankings(rankings: Seq[DataFrame], kDocs: Int,
+                        kChunks: Int = 20, k0: Int = 60): DataFrame =
+    chunkHitsToDocs(
+      Retrieval.rrfFuse(rankings, k = kChunks, k0 = k0)
+        .withColumnRenamed("rrf", "score"), kDocs)
+      .withColumnRenamed("score", "rrf")
+
   /** Corpus-wide exact chunk dedup rolled back up to documents: chunk every
     * document, fingerprint each chunk ([[TextOps.fingerprint]]), keep the
     * first occurrence of each distinct chunk text (min (doc_id, chunk_id)),

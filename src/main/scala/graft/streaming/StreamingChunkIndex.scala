@@ -4,9 +4,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
-import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, StringType, StructField, StructType}
 
-import graft.scale.{Chunking, Retrieval}
+import graft.scale.{Chunking, Retrieval, Similarity}
 
 /** Streaming maintenance of a CHUNK-granular BM25 index — passage
   * retrieval ([[Chunking]] × [[StreamingRetrieval]]) under the
@@ -64,19 +64,17 @@ object StreamingChunkIndex {
       .withColumn("doc_id", Chunking.chunkKeyDoc(col("ck")))
   }
 
-  /** Chunk-scored, document-ranked probe over the live view: each probe
-    * query retrieves its `kChunks` best live chunks, then documents rank
-    * as their best chunk ([[Chunking.chunkHitsToDocs]]) — top `kDocs` per
-    * query, output (q_id, doc_id, best_chunk, score, rank). Equals the
-    * batch pipeline (chunk the surviving latest-version corpus →
-    * [[Retrieval.bm25TopK]] over chunk keys → rollup); the spec pins it
-    * through a chunk-count-shrinking update, a delete, and a compaction.
+  /** Chunk-level BM25 hits over the live view — (q_id, doc_id, score,
+    * rank) where `doc_id` holds [[Chunking.chunkKey]]s, top `kChunks` per
+    * query. The passage-granular half shared by [[chunkTopKLiveDocs]]
+    * (direct rollup) and [[fusedTopKLiveDocs]] (RRF with the semantic
+    * list BEFORE any rollup).
     */
-  def chunkTopKLiveDocs(segs: DataFrame, dels: DataFrame, queries: DataFrame,
-                        qIdCol: String, termCol: String,
-                        kChunks: Int = 20, kDocs: Int = 10,
-                        k1: Double = 1.2, b: Double = 0.75,
-                        maxDfFrac: Double = 1.0): DataFrame = {
+  def chunkHitsLive(segs: DataFrame, dels: DataFrame, queries: DataFrame,
+                    qIdCol: String, termCol: String,
+                    kChunks: Int = 20,
+                    k1: Double = 1.2, b: Double = 0.75,
+                    maxDfFrac: Double = 1.0): DataFrame = {
     require(kChunks > 0, s"kChunks must be positive, got $kChunks")
     require(maxDfFrac > 0.0 && maxDfFrac <= 1.0,
       s"maxDfFrac must be in (0, 1], got $maxDfFrac")
@@ -97,7 +95,7 @@ object StreamingChunkIndex {
     val cand1 = SegmentStore.liveFilter(
       segs.join(broadcast(qtokens), Seq("token")), versions, dels, "doc_id")
       .withColumn("df", count(lit(1)).over(Window.partitionBy("token")))
-    val chunkHits = cand1.crossJoin(broadcast(stats))
+    cand1.crossJoin(broadcast(stats))
       .filter(col("df") <= lit(maxDfFrac) * col("n_docs"))
       .join(broadcast(qterms), Seq("token"))
       .withColumn("idf",
@@ -110,8 +108,25 @@ object StreamingChunkIndex {
       .withColumn("rank", row_number().over(
         Window.partitionBy("q_id").orderBy(col("score").desc, col("ck"))))
       .filter(col("rank") <= kChunks)
-    Chunking.chunkHitsToDocs(chunkHits.withColumnRenamed("ck", "doc_id"), kDocs)
+      .withColumnRenamed("ck", "doc_id")
   }
+
+  /** Chunk-scored, document-ranked probe over the live view: each probe
+    * query retrieves its `kChunks` best live chunks, then documents rank
+    * as their best chunk ([[Chunking.chunkHitsToDocs]]) — top `kDocs` per
+    * query, output (q_id, doc_id, best_chunk, score, rank). Equals the
+    * batch pipeline (chunk the surviving latest-version corpus →
+    * [[Retrieval.bm25TopK]] over chunk keys → rollup); the spec pins it
+    * through a chunk-count-shrinking update, a delete, and a compaction.
+    */
+  def chunkTopKLiveDocs(segs: DataFrame, dels: DataFrame, queries: DataFrame,
+                        qIdCol: String, termCol: String,
+                        kChunks: Int = 20, kDocs: Int = 10,
+                        k1: Double = 1.2, b: Double = 0.75,
+                        maxDfFrac: Double = 1.0): DataFrame =
+    Chunking.chunkHitsToDocs(
+      chunkHitsLive(segs, dels, queries, qIdCol, termCol, kChunks,
+        k1, b, maxDfFrac), kDocs)
 
   /** [[chunkTopKLiveDocs]] reading a maintained index directory. */
   def chunkTopKLiveDocs(spark: SparkSession, indexDir: String, queries: DataFrame,
@@ -119,6 +134,96 @@ object StreamingChunkIndex {
                         kChunks: Int, kDocs: Int): DataFrame =
     chunkTopKLiveDocs(readSegments(spark, indexDir), readDels(spark, indexDir),
       queries, qIdCol, termCol, kChunks, kDocs)
+
+  // --------------------------------------------------------------------
+  // The SEMANTIC half: chunk embeddings in the IVF family, keyed by
+  // chunkKey but — like the postings — live at DOCUMENT granularity. A
+  // chunk-keyed vector upsert would leave the same phantom-passage tail
+  // the class doc describes (a re-embedded 3-chunk v2 never supersedes
+  // v1's chunk 7); doc-level latest-wins kills every old-version chunk
+  // vector at once. Segment rows are (vec_id=chunkKey, bucket, vec,
+  // norm, doc_id, batch).
+  // --------------------------------------------------------------------
+
+  private val vecSegSchema = StructType(Seq(
+    StructField("vec_id", LongType), StructField("bucket", LongType),
+    StructField("vec", ArrayType(DoubleType, containsNull = true)),
+    StructField("norm", DoubleType), StructField("doc_id", LongType),
+    StructField("batch", LongType)))
+
+  /** One batch of chunk embeddings (rows of (`ckCol` = [[Chunking.chunkKey]],
+    * `vecCol`)) → one IVF assignment segment with `doc_id` denormalized
+    * onto every row for doc-level liveness. One broadcast-centroid pass
+    * over just the batch, exactly [[StreamingAnnIndex]]'s write cost.
+    */
+  def buildChunkVecSegment(chunkVecs: DataFrame, centroids: DataFrame,
+                           ckCol: String = "ck",
+                           vecCol: String = "embedding"): DataFrame =
+    Similarity.assignBuckets(
+        chunkVecs.select(col(ckCol).as("vec_id"), col(vecCol).as("embedding")),
+        centroids)
+      .withColumn("doc_id", Chunking.chunkKeyDoc(col("vec_id")))
+
+  /** Live chunk-vector segments of a maintained vector index dir. */
+  def readVecSegments(spark: SparkSession, indexDir: String): DataFrame =
+    SegmentStore.readSegments(spark, indexDir, vecSegSchema)
+
+  /** Semantic chunk hits over the live view — (q_id, doc_id, cos, rank)
+    * with `doc_id` holding chunk keys, top `kChunks` per query: the
+    * liveness predicates (per-DOCUMENT batch maxima + churn-sized delete
+    * markers) ride the streamed index scan, then
+    * [[Similarity.ivfTopKIndexed]] routes each query to its `nprobe`
+    * buckets — the index is scanned, never shuffled.
+    */
+  def ivfChunkHitsLive(segs: DataFrame, dels: DataFrame, centroids: DataFrame,
+                       queries: DataFrame, kChunks: Int = 20,
+                       nprobe: Int = 1): DataFrame = {
+    val versions = segs.select("doc_id", "batch").distinct()
+    val live = SegmentStore.liveFilter(segs, versions, dels, "doc_id")
+    Similarity.ivfTopKIndexed(live.drop("batch", "doc_id"), centroids,
+        queries, kChunks, nprobe)
+      .withColumnRenamed("neighbor_id", "doc_id")
+  }
+
+  /** The chunk-granular HYBRID probe: lexical chunk BM25 hits
+    * ([[chunkHitsLive]]) and semantic chunk ANN hits ([[ivfChunkHitsLive]])
+    * over two live indexes of the same mutating corpus, reciprocal-rank
+    * fused WHILE STILL PASSAGES and only then rolled up to documents
+    * ([[Chunking.fuseChunkRankings]]). Output: (q_id, doc_id, best_chunk,
+    * rrf, rank), top `kDocs` per query. Every stage past the two probes
+    * is candidate-sized.
+    */
+  def fusedTopKLiveDocs(lexSegs: DataFrame, lexDels: DataFrame,
+                        vecSegs: DataFrame, vecDels: DataFrame,
+                        centroids: DataFrame,
+                        termQueries: DataFrame, qIdCol: String, termCol: String,
+                        vecQueries: DataFrame,
+                        kChunks: Int = 20, kDocs: Int = 10,
+                        nprobe: Int = 1, k0: Int = 60): DataFrame = {
+    val lex = chunkHitsLive(lexSegs, lexDels, termQueries, qIdCol, termCol, kChunks)
+    val sem = ivfChunkHitsLive(vecSegs, vecDels, centroids, vecQueries,
+      kChunks, nprobe)
+    Chunking.fuseChunkRankings(Seq(lex, sem), kDocs, kChunks, k0)
+  }
+
+  /** Apply one micro-batch of chunk-embedding changes to the vector index
+    * at `indexDir` — doc-level contract: an `opCol` "d" row deletes the
+    * DOCUMENT (all its chunk vectors; `idCol` names the DOC id on delete
+    * rows), an upsert row carries one chunk ([[Chunking.chunkKey]] in
+    * `ckCol`) and the batch's chunks replace ALL the document's previous
+    * chunk vectors whatever the new chunk count. Redelivered batches are
+    * skipped. At most one version of a document per batch (the upsert
+    * granularity of the store).
+    */
+  def processVecBatch(chunkVecs: DataFrame, batchId: Long, indexDir: String,
+                      centroids: DataFrame,
+                      ckCol: String = "ck", vecCol: String = "embedding",
+                      idCol: String = "doc_id",
+                      opCol: Option[String] = None,
+                      compactSegments: Int = 8): Unit =
+    SegmentStore.processBatch(chunkVecs, batchId, indexDir, idCol, "doc_id",
+      opCol, compactSegments,
+      upserts => buildChunkVecSegment(upserts, centroids, ckCol, vecCol))
 
   /** Apply one micro-batch of document changes to the index at `indexDir`
     * (`opCol` rows with "d" delete the DOCUMENT — all its chunks; others

@@ -80,4 +80,75 @@ class StreamingChunkIndexSpec extends AnyFunSuite with Matchers {
     StreamingChunkIndex.readManifest(indexDir).lastBatch shouldBe 2L
     probe() shouldBe batchPipeline(survivors)
   }
+
+  test("chunk-level fusion beats doc-level fusion where it should, and the vec side kills phantom passages") {
+    // hand-checkable fixture: doc 1's passage c1 carries BOTH signals
+    // (lex rank 2 on 'zebra', sem rank 2 on the query vector); doc 2
+    // splits its evidence across two passages (c0 lex rank 1, c1 sem
+    // rank 1). Fused at CHUNK level doc 1 wins (1/62+1/62 > 1/61+1/64);
+    // fused after a per-system DOC rollup doc 2 wins (2/61 > 2/62) — the
+    // ordering difference passage-granular fusion exists for.
+    val lexDir = Files.createTempDirectory("graft-fused-lex").toString
+    val vecDir = Files.createTempDirectory("graft-fused-vec").toString
+    val docs0 = Seq(
+      (1L, "filler filler filler filler zebra apple pear plum"),
+      (2L, "zebra zebra apple apple cat cat cat cat"))
+      .toDF("doc_id", "text").withColumn("op", lit("u"))
+    // chunk embeddings as an external passage embedder would supply them
+    val vecs0 = Seq(
+      (1L, Chunking.key(1L, 0), Seq(0.0, 1.0)),
+      (1L, Chunking.key(1L, 1), Seq(0.995, 0.1)),
+      (2L, Chunking.key(2L, 0), Seq(0.0, 1.0)),
+      (2L, Chunking.key(2L, 1), Seq(1.0, 0.0)))
+      .toDF("doc_id", "ck", "embedding").withColumn("op", lit("u"))
+    val centroids = Seq((0L, Seq(1.0, 1.0))).toDF("vec_id", "embedding")
+    StreamingChunkIndex.processBatch(docs0, 0, lexDir, window = 4, stride = 4,
+      opCol = Some("op"))
+    StreamingChunkIndex.processVecBatch(vecs0, 0, vecDir, centroids,
+      opCol = Some("op"))
+
+    val probes = Seq((500L, "zebra")).toDF("q_id", "term")
+    val vqueries = Seq((500L, Seq(1.0, 0.0))).toDF("vec_id", "embedding")
+    def fusedLive() = StreamingChunkIndex.fusedTopKLiveDocs(
+      StreamingChunkIndex.readSegments(spark, lexDir),
+      StreamingChunkIndex.readDels(spark, lexDir),
+      StreamingChunkIndex.readVecSegments(spark, vecDir),
+      SegmentStore.readDels(spark, vecDir, "doc_id"),
+      centroids, probes, "q_id", "term", vqueries, kChunks = 20, kDocs = 2)
+
+    val fused = fusedLive().select("rank", "doc_id", "best_chunk")
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    fused(1) shouldBe ((1L, 1L)) // the both-signals passage wins
+    fused(2)._1 shouldBe 2L
+
+    // the doc-level alternative (fuse AFTER each system's rollup) flips
+    // the order — doc 2's two different passages outvote doc 1
+    val lexDocs = Chunking.chunkHitsToDocs(StreamingChunkIndex.chunkHitsLive(
+      StreamingChunkIndex.readSegments(spark, lexDir),
+      StreamingChunkIndex.readDels(spark, lexDir),
+      probes, "q_id", "term", kChunks = 20), 2)
+    val semDocs = Chunking.chunkHitsToDocs(StreamingChunkIndex.ivfChunkHitsLive(
+      StreamingChunkIndex.readVecSegments(spark, vecDir),
+      SegmentStore.readDels(spark, vecDir, "doc_id"),
+      centroids, vqueries, kChunks = 20)
+      .withColumnRenamed("cos", "score"), 2)
+    val docLevel = Retrieval.rrfFuse(Seq(lexDocs, semDocs), k = 2)
+      .filter(col("rank") === 1).select("doc_id").as[Long].head()
+    docLevel shouldBe 2L
+
+    // doc 2 re-sent with ONE chunk (text and vector both): its old c1 —
+    // the sem-rank-1 passage — must die in BOTH modalities with the
+    // superseded version, not linger as a phantom passage
+    StreamingChunkIndex.processBatch(
+      Seq((2L, "cat cat cat cat")).toDF("doc_id", "text").withColumn("op", lit("u")),
+      1, lexDir, window = 4, stride = 4, opCol = Some("op"))
+    StreamingChunkIndex.processVecBatch(
+      Seq((2L, Chunking.key(2L, 0), Seq(0.0, 1.0)))
+        .toDF("doc_id", "ck", "embedding").withColumn("op", lit("u")),
+      1, vecDir, centroids, opCol = Some("op"))
+    val after = fusedLive().select("doc_id", "best_chunk")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    after should contain((1L, 1L))
+    after should not contain ((2L, 1L)) // the phantom passage is gone
+  }
 }
