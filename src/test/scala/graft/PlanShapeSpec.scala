@@ -349,6 +349,74 @@ class PlanShapeSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("fused chunk probe: no sort-merge anywhere; vectors and tokens never ride a broadcast") {
+    import org.apache.spark.sql.functions.{array_distinct, col, element_at, explode, lit, sequence, slice, split, transform}
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val lexDir = java.nio.file.Files.createTempDirectory("fused_lex_plan").toString
+    val vecDir = java.nio.file.Files.createTempDirectory("fused_vec_plan").toString
+    graft.streaming.StreamingChunkIndex.processBatch(
+      docs.withColumn("op", lit("u")), 0L, lexDir, window = 32, stride = 16,
+      opCol = Some("op"))
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val centroids = e.filter(col("vec_id") % 10 === 3)
+    val chunkVecs = graft.scale.Chunking.chunkDocuments(docs, "doc_id", "text", 32, 16)
+      .join(e, col("doc_id") === col("vec_id"))
+      .select(graft.scale.Chunking.chunkKey(col("doc_id"), col("chunk_id")).as("ck"),
+        col("doc_id"),
+        transform(sequence(lit(0),
+            org.apache.spark.sql.functions.size(col("embedding")) - 1),
+          i => element_at(col("embedding"),
+            ((i + col("chunk_id")) %
+              org.apache.spark.sql.functions.size(col("embedding"))) + 1)).as("embedding"))
+      .withColumn("op", lit("u"))
+    graft.streaming.StreamingChunkIndex.processVecBatch(chunkVecs, 0L, vecDir,
+      centroids, opCol = Some("op"))
+
+    val probes = docs.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("q_id"),
+        explode(array_distinct(slice(split(col("text"), " "), 5, 4))).as("term"))
+    val fused = graft.streaming.StreamingChunkIndex.fusedTopKLiveDocs(
+      graft.streaming.StreamingChunkIndex.readSegments(spark, lexDir),
+      graft.streaming.StreamingChunkIndex.readDels(spark, lexDir),
+      graft.streaming.StreamingChunkIndex.readVecSegments(spark, vecDir),
+      graft.streaming.SegmentStore.readDels(spark, vecDir, "doc_id"),
+      centroids, probes, "q_id", "term",
+      e.filter(col("vec_id") % 97 === 0), kChunks = 20, kDocs = 5)
+    val plan = finalPlan(fused)
+    withClue(plan) {
+      // every join past the two index scans rides broadcast — a sort-merge
+      // or shuffled-hash join would mean either index crossed an exchange
+      // raw instead of being reduced (tokens) or routed (buckets) first
+      plan should not include "SortMergeJoin"
+      plan should not include "ShuffledHashJoin"
+      // VEC-index rows never cross an exchange UNROUTED: any exchange
+      // subtree scanning the vec dir is (a) already candidate-sized (a
+      // BroadcastHashJoin reduced it below), (b) the column-pruned
+      // liveness pass (no vec array), or (c) carries the probe's inferred
+      // bucket-routing predicate pushed INTO the scan (at fixture scale
+      // AQE broadcasts the tiny index side of the bucket join; the pushed
+      // routing filter is what bounds that side at corpus scale)
+      (subtrees(plan, "Exchange") ++ subtrees(plan, "BroadcastExchange"))
+        .filter(_.contains(vecDir))
+        .filterNot(_.contains("BroadcastHashJoin"))
+        .foreach(s => s.linesIterator
+          .filter(l => l.contains("FileScan") && l.contains(vecDir))
+          .foreach { l =>
+            withClue(l)(
+              (!l.contains("vec:array") || l.contains("(bucket")) shouldBe true)
+          })
+      // and LEX-index postings never ride an exchange raw: either reduced
+      // below (broadcast token semi-join) or pruned to the stats columns
+      (subtrees(plan, "Exchange") ++ subtrees(plan, "BroadcastExchange"))
+        .filter(_.contains(lexDir))
+        .filterNot(_.contains("BroadcastHashJoin"))
+        .foreach(s => s.linesIterator
+          .filter(l => l.contains("FileScan") && l.contains(lexDir))
+          .foreach(l => l should not include "token"))
+    }
+  }
+
   test("chunkDedupStats: only fingerprints and the doc rollup shuffle, never chunk text") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
     val plan = finalPlan(graft.scale.Chunking.chunkDedupStats(
