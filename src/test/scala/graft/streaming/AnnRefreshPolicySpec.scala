@@ -137,6 +137,35 @@ class AnnRefreshPolicySpec extends AnyFunSuite with Matchers {
     StreamingAnnIndex.readManifest(dir).param shouldBe None
   }
 
+  test("the attached stream re-centers ITSELF: drift mid-stream fires with no manual call") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = Files.createTempDirectory("graft-ann-policy-stream").toString
+    val ckpt = Files.createTempDirectory("graft-ann-policy-ckpt").toString
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Seq[Double], String)]
+    val q = StreamingAnnIndex.attachIndexMaintenanceWithPolicy(
+      in.toDS().toDF("vec_id", "embedding", "op"),
+      dir, ckpt, centroids.toDF("vec_id", "embedding"),
+      StreamingAnnIndex.RefreshPolicy(z = 3.0, minBatchRows = 3, lloydIters = 8),
+      opCol = Some("op"))
+    try {
+      in.addData(anchors.map { case (i, v) => (i, v, "u") }: _*)
+      q.processAllAvailable()
+      StreamingAnnIndex.readManifest(dir).param shouldBe None
+      in.addData(drifters.map { case (i, v) => (i, v, "u") }: _*)
+      q.processAllAvailable()
+      // the stream noticed and re-centered on its own
+      StreamingAnnIndex.readManifest(dir).param shouldBe Some("g1")
+      // and keeps serving, with post-refresh deletes applying normally
+      in.addData((15L, Seq(0.0, 0.0), "d"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = probeTop3(dir)
+    got should not contain 15L
+    got shouldBe trueTop3(
+      (anchors.take(3) ++ drifters).filterNot(_._1 == 15L))
+  }
+
   test("a redelivered batch neither re-commits nor re-judges drift") {
     val dir = Files.createTempDirectory("graft-ann-policy-redeliver").toString
     val policy = StreamingAnnIndex.RefreshPolicy(z = 3.0, minBatchRows = 3,
