@@ -3086,7 +3086,7 @@ object ScaleQueries {
         | SELECT p.q_id, p.ck,
         |  row_number() OVER (PARTITION BY p.q_id ORDER BY p.cos DESC, p.ck) AS rank
         | FROM (SELECT q.q_id, a.ck, ${cosSql("q.qv", "a.v")} AS cos
-        |  FROM vprobes q JOIN assign a ON q.bucket = a.bucket AND q.q_id <> a.ck) p)
+        |  FROM vprobes q JOIN assign a ON q.bucket = a.bucket) p)
         | WHERE rank <= 20),
         |fchunks AS (SELECT q_id, ck,
         |  round(sum(1.0::DOUBLE / (60 + rank)), 6) AS rrf

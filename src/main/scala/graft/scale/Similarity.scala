@@ -40,9 +40,16 @@ object Similarity {
   /** Per-pair cosine from PRE-COMPUTED norms: higher-order-function dots are
     * interpreted, so norms must be per-vector columns (computed once), never
     * re-derived per candidate pair (3× the dot work across |Q|·|C| pairs).
+    *
+    * Total by construction: a zero-norm vector has no direction, so its
+    * cosine with anything is 0 — it assigns deterministically (all-ties →
+    * smallest centroid id) and sinks to the bottom of every ranking.
+    * Without the guard ANSI mode (Spark 4 default) throws DIVIDE_BY_ZERO,
+    * and one garbage embedding would kill an entire maintenance batch.
     */
   private def pairCos(aVec: Column, bVec: Column, aNorm: Column, bNorm: Column): Column =
-    round(dot(aVec, bVec) / (aNorm * bNorm), 6)
+    when(aNorm * bNorm > 0, round(dot(aVec, bVec) / (aNorm * bNorm), 6))
+      .otherwise(lit(0.0))
 
   private def normed(df: DataFrame, idCol: String, vecCol: String,
                      prefix: String): DataFrame = {
@@ -221,7 +228,8 @@ object Similarity {
     */
   def ivfTopKIndexed(index: DataFrame, centroids: DataFrame, queries: DataFrame,
                      k: Int, nprobe: Int = 1,
-                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     excludeSelf: Boolean = true): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     val qvecs = normed(queries, idCol, vecCol, "q")
@@ -234,10 +242,15 @@ object Similarity {
       .withColumn("crank", row_number().over(pw))
       .filter(col("crank") <= nprobe)
       .select(col("q_id"), col("centroid_id").as("bucket"), col("q_vec"), col("q_norm"))
-    val scored = probes
+    // excludeSelf assumes queries and index rows share ONE id space (the
+    // probe-with-indexed-vectors shape). Turn it OFF when they don't — a
+    // chunk-keyed index probed by document-id queries would otherwise
+    // silently drop the passage whose chunk key happens to equal a q_id
+    val scored0 = probes
       .join(index.select(col("vec_id").as("neighbor_id"), col("bucket"),
         col("vec").as("c_vec"), col("norm").as("c_norm")), Seq("bucket"))
-      .filter(col("q_id") =!= col("neighbor_id"))
+    val scored = (if (excludeSelf) scored0.filter(col("q_id") =!= col("neighbor_id"))
+                  else scored0)
       .withColumn("cos", pairCos(col("q_vec"), col("c_vec"), col("q_norm"), col("c_norm")))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))

@@ -129,13 +129,28 @@ object CorpusMonitor {
 
   /** The monitor log: one verdict row per profiled batch with its `batch`
     * id, read through the committed manifest — at most `compactBatches` +
-    * grace-window dirs are touched however old the stream is.
+    * grace-window dirs are touched however old the stream is. A
+    * pre-round-10 log (the `batch=<id>` partition layout, no manifest) is
+    * REJECTED loudly rather than read as empty — silently vanishing
+    * historical verdicts would be worse than the migration message.
     */
-  def readLog(spark: SparkSession, dir: String): DataFrame =
+  def readLog(spark: SparkSession, dir: String): DataFrame = {
+    val p = java.nio.file.Paths.get(dir)
+    if (SegmentStore.readManifest(dir).lastBatch < 0L &&
+        java.nio.file.Files.exists(p)) {
+      val ls = java.nio.file.Files.list(p)
+      val legacy = try ls.anyMatch(_.getFileName.toString.startsWith("batch="))
+        finally ls.close()
+      require(!legacy,
+        s"$dir holds a pre-SegmentStore monitor log (batch=<id> layout); " +
+          "point the monitor at a fresh dir — verdict rows are derived " +
+          "observability data, the stream itself needs no migration")
+    }
     SegmentStore.readSegments(spark, dir, logSchema)
       .drop("batch").withColumnRenamed("b", "batch")
       .select("batch", "n_docs", "mean_tokens", "sd_tokens",
         "mean_quality", "sd_quality", "z_tokens", "z_quality", "drift")
+  }
 
   /** Attach content monitoring to a document stream. `baseline` is the
     * corpus profile the stream is judged against — compute it once from a

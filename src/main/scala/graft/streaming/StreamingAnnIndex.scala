@@ -120,11 +120,16 @@ object StreamingAnnIndex {
                    idCol: String = "vec_id", vecCol: String = "embedding",
                    opCol: Option[String] = None,
                    compactSegments: Int = 8): Unit = {
+    // redelivery short-circuit BEFORE touching centroids: resolving them
+    // costs a parquet read, and an at-least-once transport replaying a
+    // batch tail after restart should pay only the manifest read
+    val last = SegmentStore.readManifest(indexDir).lastBatch
+    if (batchId <= last) return
     // (re)write the centroids until the FIRST batch commits — keying the
     // freeze on the manifest, not on dir existence, so a crash between a
     // _centroids write and the first manifest commit cannot freeze stale
     // centroids under assignments built from a different argument on retry
-    val committed = SegmentStore.readManifest(indexDir).lastBatch >= 0L
+    val committed = last >= 0L
     if (!committed)
       centroids.select(col(idCol).as("vec_id"),
         col(vecCol).cast(ArrayType(DoubleType)).as("embedding"))
@@ -177,35 +182,55 @@ object StreamingAnnIndex {
     val cents = spark.read.parquet(s"$indexDir/_centroids_g$gen")
     // the rewrite's scored assignment feeds BOTH the new segment rows and
     // the new generation's assignment-quality baseline — cached so the
-    // corpus×K pass runs once; released after the rewrite commits
+    // corpus×K pass runs once; released even if the rewrite throws (a
+    // retried refresh must not accumulate leaked corpus-sized cache)
     var scoredRef: DataFrame = null
-    SegmentStore.rewrite(spark, indexDir, segSchema, "vec_id",
+    try SegmentStore.rewrite(spark, indexDir, segSchema, "vec_id",
       rows => {
         val scored = Similarity.assignBucketsScored(
           rows.select(col("vec_id"), col("vec").as("embedding")), cents).cache()
         scoredRef = scored
-        writeBaseline(scored, s"$indexDir/_abase_g$gen")
+        writeBaseline(spark, scored, s"$indexDir/_abase_g$gen")
         scored.drop("acos").join(rows.select("vec_id", "batch"), Seq("vec_id"))
       },
       newParam = Some(s"g$gen"),
       extraDead = Seq(centroidsDir(m), baselineDir(m)),
       pruneGraceBatches = pruneGraceBatches)
-    if (scoredRef != null) scoredRef.unpersist()
+    finally if (scoredRef != null) scoredRef.unpersist()
     cents
   }
 
-  private def writeBaseline(scored: DataFrame, dir: String): Unit =
-    scored.agg(
+  /** Persist the assignment-quality baseline of `scored` at `dir` — one
+    * collected row written back as a literal (the stats pass runs once).
+    * Zero-norm vectors carry no direction — their cosine is 0 by
+    * [[Similarity]]'s total-pairCos rule — so they are excluded from the
+    * moments BY NORM: garbage embeddings must neither drag the frozen
+    * mean (every later judgment would compare against corruption) nor
+    * masquerade as drift the refresh cannot fix (a zero-vector flood is
+    * an embedder regression — the content monitor's job, not Lloyd's).
+    * An EMPTY (or all-zero-norm) corpus has no moments: nothing is
+    * persisted, so a later bootstrap retries once rows exist instead of
+    * freezing a null baseline that would disable the policy forever.
+    */
+  private def writeBaseline(spark: SparkSession, scored: DataFrame,
+                            dir: String): Unit = {
+    val stats = scored.filter(col("norm") > 0).agg(
       round(avg("acos"), 6).as("mean_acos"),
       round(coalesce(nanvl(stddev("acos"), lit(0.0)), lit(0.0)), 6).as("sd_acos"),
       count(lit(1)).as("n"))
-      .write.mode(SaveMode.Overwrite).parquet(dir)
+    val row = stats.collect()(0)
+    if (!row.isNullAt(0))
+      spark.createDataFrame(java.util.List.of(row), stats.schema)
+        .write.mode(SaveMode.Overwrite).parquet(dir)
+  }
 
   /** The current generation's assignment-quality baseline (1 row:
     * mean_acos, sd_acos, n), creating it when absent — an index built
     * before any policy was attached gets its baseline bootstrapped from
     * the CURRENT live corpus scored against the current centroids (one
-    * corpus×K pass, once per generation).
+    * corpus×K pass, once per generation). With no live rows to freeze the
+    * returned frame is empty (and nothing persists — see
+    * [[writeBaseline]]).
     */
   def readRefreshBaseline(spark: SparkSession, indexDir: String): DataFrame = {
     val m = SegmentStore.readManifest(indexDir)
@@ -214,12 +239,17 @@ object StreamingAnnIndex {
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir))) {
       val live = SegmentStore.liveRows(readSegments(spark, indexDir),
         readDels(spark, indexDir), "vec_id")
-      writeBaseline(
+      writeBaseline(spark,
         Similarity.assignBucketsScored(
           live.select(col("vec_id"), col("vec").as("embedding")),
           readCentroids(spark, indexDir)), dir)
     }
-    spark.read.parquet(dir)
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(dir)))
+      spark.read.parquet(dir)
+    else spark.emptyDataFrame.select(
+      lit(null).cast(DoubleType).as("mean_acos"),
+      lit(null).cast(DoubleType).as("sd_acos"),
+      lit(0L).as("n")).limit(0)
   }
 
   /** When to re-center: the open-loop half of the drift story is
@@ -258,17 +288,20 @@ object StreamingAnnIndex {
                           policy: RefreshPolicy = RefreshPolicy(),
                           idCol: String = "vec_id",
                           vecCol: String = "embedding"): Option[DataFrame] = {
-    val base = readRefreshBaseline(spark, indexDir).collect()(0)
-    if (base.isNullAt(0)) return None // empty live corpus at bootstrap
+    val baseRows = readRefreshBaseline(spark, indexDir).collect()
+    if (baseRows.isEmpty) return None // nothing frozen yet (empty corpus)
+    val base = baseRows(0)
     val (bMean, bSd) = (base.getDouble(0), base.getDouble(1))
     // batch mean rounded like the baseline's, so a batch that IS the
     // baseline corpus scores sag = 0 exactly (an sd-0 baseline would
-    // otherwise fire on representation noise)
+    // otherwise fire on representation noise); zero-norm vectors
+    // excluded by norm, as in the baseline (see writeBaseline)
     val sig = Similarity.assignBucketsScored(
         batchUpserts.select(col(idCol), col(vecCol)),
         readCentroids(spark, indexDir)
           .select(col("vec_id").as(idCol), col("embedding").as(vecCol)),
         idCol, vecCol)
+      .filter(col("norm") > 0)
       .agg(round(avg("acos"), 6).as("m"), count(lit(1)).as("n")).collect()(0)
     if (sig.isNullAt(0) || sig.getLong(1) < policy.minBatchRows) return None
     val sag = bMean - sig.getDouble(0)

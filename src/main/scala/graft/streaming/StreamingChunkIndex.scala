@@ -180,8 +180,12 @@ object StreamingChunkIndex {
                        nprobe: Int = 1): DataFrame = {
     val versions = segs.select("doc_id", "batch").distinct()
     val live = SegmentStore.liveFilter(segs, versions, dels, "doc_id")
+    // excludeSelf OFF: query ids are document-level, index ids are chunk
+    // keys — two different id spaces, so the self-match rule would only
+    // ever fire on accidental collisions (q_id N hiding doc N>>20's
+    // chunk N&0xFFFFF), never on a real self-match
     Similarity.ivfTopKIndexed(live.drop("batch", "doc_id"), centroids,
-        queries, kChunks, nprobe)
+        queries, kChunks, nprobe, excludeSelf = false)
       .withColumnRenamed("neighbor_id", "doc_id")
   }
 
@@ -206,6 +210,15 @@ object StreamingChunkIndex {
     Chunking.fuseChunkRankings(Seq(lex, sem), kDocs, kChunks, k0)
   }
 
+  /** The chunk-vec index's frozen routing parameter, persisted inside the
+    * artifact by the first committed [[processVecBatch]] — columns
+    * (vec_id, embedding), the [[StreamingAnnIndex.readCentroids]]
+    * contract: assignments and probe routing always share one centroid
+    * set, never whatever a later caller happened to pass.
+    */
+  def readVecCentroids(spark: SparkSession, indexDir: String): DataFrame =
+    spark.read.parquet(s"$indexDir/_centroids")
+
   /** Apply one micro-batch of chunk-embedding changes to the vector index
     * at `indexDir` — doc-level contract: an `opCol` "d" row deletes the
     * DOCUMENT (all its chunk vectors; `idCol` names the DOC id on delete
@@ -213,17 +226,34 @@ object StreamingChunkIndex {
     * `ckCol`) and the batch's chunks replace ALL the document's previous
     * chunk vectors whatever the new chunk count. Redelivered batches are
     * skipped. At most one version of a document per batch (the upsert
-    * granularity of the store).
+    * granularity of the store). The first committed batch persists
+    * `centroids` into the artifact; every later batch assigns with the
+    * persisted set and IGNORES the argument (the
+    * [[StreamingAnnIndex.processBatch]] coherence rule — a drifting
+    * caller argument must not bucket new rows differently than probes
+    * route).
     */
   def processVecBatch(chunkVecs: DataFrame, batchId: Long, indexDir: String,
                       centroids: DataFrame,
                       ckCol: String = "ck", vecCol: String = "embedding",
                       idCol: String = "doc_id",
                       opCol: Option[String] = None,
-                      compactSegments: Int = 8): Unit =
+                      compactSegments: Int = 8): Unit = {
+    val last = SegmentStore.readManifest(indexDir).lastBatch
+    if (batchId <= last) return // redelivered: don't even resolve centroids
+    val committed = last >= 0L
+    if (!committed)
+      centroids.select(col("vec_id"),
+        col("embedding").cast(ArrayType(DoubleType)).as("embedding"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$indexDir/_centroids")
+    val assignCents =
+      if (!committed) centroids
+      else readVecCentroids(chunkVecs.sparkSession, indexDir)
     SegmentStore.processBatch(chunkVecs, batchId, indexDir, idCol, "doc_id",
       opCol, compactSegments,
-      upserts => buildChunkVecSegment(upserts, centroids, ckCol, vecCol))
+      upserts => buildChunkVecSegment(upserts, assignCents, ckCol, vecCol))
+  }
 
   /** Apply one micro-batch of document changes to the index at `indexDir`
     * (`opCol` rows with "d" delete the DOCUMENT — all its chunks; others

@@ -271,15 +271,22 @@ object TxReplayNative {
     * later is absorbed instead of re-creating state no release will ever
     * drain.
     */
-  /** @param doneTtlMs lifetime of the per-(tx, shard) `done` tombstone.
-    *   Tombstones absorb duplicate/straggler sightings that arrive AFTER
-    *   the release, but tx ids are never revisited, so keeping them forever
-    *   (`None` — TTLConfig.NONE) grows state linearly in total transactions
-    *   × keyShards on a long-running stream. Bound it by the transport's
-    *   redelivery/straggler window (Kafka: max in-flight + rebalance time;
-    *   minutes, not days) — a straggler later than that window is already a
-    *   correctness bug upstream. TTL requires the stage to run in
-    *   TimeMode.ProcessingTime ([[docs]] switches modes when it is set).
+  /** @param doneTtlMs lifetime of the per-(tx, shard) `done` tombstone AND
+    *   the pre-release key set. Tombstones absorb duplicate/straggler
+    *   sightings that arrive AFTER the release, but tx ids are never
+    *   revisited, so keeping them forever (`None` — TTLConfig.NONE) grows
+    *   state linearly in total transactions × keyShards on a long-running
+    *   stream. Bound it by the transport's redelivery/straggler window
+    *   (Kafka: max in-flight + rebalance time; minutes, not days) — a
+    *   straggler later than that window is already a correctness bug
+    *   upstream. The key set shares the TTL (a post-expiry straggler must
+    *   not re-create undrainable state), which adds one contract: the TTL
+    *   must comfortably exceed the longest a transaction stays OPEN, or an
+    *   open tx's early key sightings could expire before its release and
+    *   lose flushes — with stall eviction on, that bound is
+    *   `stallTimeoutMs` ([[docs]] enforces the relation when both are
+    *   set). TTL requires the stage to run in TimeMode.ProcessingTime
+    *   ([[docs]] switches modes when it is set).
     */
   class ShardFanout(doneTtlMs: Option[Long] = None)
     extends StatefulProcessor[(Long, Int), ShardCmd, FlushMarker] {
@@ -288,8 +295,13 @@ object TxReplayNative {
     override def init(o: OutputMode, t: TimeMode): Unit = {
       val doneTtl = doneTtlMs.fold(TTLConfig.NONE)(ms =>
         TTLConfig(java.time.Duration.ofMillis(ms)))
+      // the key set gets the SAME TTL: a straggler arriving after the
+      // tombstone expired would otherwise re-create `seen` entries for a
+      // (tx, shard) no release will ever drain — permanent state growth
+      // from exactly the rows the TTL exists to bound. Within the window
+      // the tombstone absorbs it; past the window both states expire.
       seen = getHandle.getMapState[Long, Boolean]("keys",
-        Encoders.scalaLong, Encoders.scalaBoolean, TTLConfig.NONE)
+        Encoders.scalaLong, Encoders.scalaBoolean, doneTtl)
       done = getHandle.getValueState[java.lang.Boolean]("done",
         Encoders.BOOLEAN, doneTtl)
     }
@@ -446,6 +458,12 @@ object TxReplayNative {
     require(shardDoneTtlMs.forall(_ > 0), "shardDoneTtlMs must be positive")
     require(shardDoneTtlMs.isEmpty || keyShards.isDefined,
       "shardDoneTtlMs applies to the sharded fan-out; set keyShards")
+    // the key set shares the TTL, so it must outlive any OPEN transaction
+    // (see ShardFanout): with stall eviction bounding open-tx lifetime,
+    // enforce the relation; without it the caller owns the bound
+    require(shardDoneTtlMs.isEmpty || stallTimeoutMs.forall(_ < shardDoneTtlMs.get),
+      "shardDoneTtlMs must exceed stallTimeoutMs (an open tx's key " +
+        "sightings must not expire before its release or eviction)")
     val spark = left.sparkSession
     import spark.implicits._
 

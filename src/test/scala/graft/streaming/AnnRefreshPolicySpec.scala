@@ -166,6 +166,52 @@ class AnnRefreshPolicySpec extends AnyFunSuite with Matchers {
       (anchors.take(3) ++ drifters).filterNot(_._1 == 15L))
   }
 
+  test("an empty live corpus never freezes a null baseline; the policy recovers when rows arrive") {
+    val dir = Files.createTempDirectory("graft-ann-policy-empty").toString
+    val policy = StreamingAnnIndex.RefreshPolicy(z = 3.0, minBatchRows = 3)
+    // an index maintained WITHOUT the policy: batch 0 commits rows,
+    // batch 1 deletes them ALL → committed index, empty live corpus,
+    // no baseline ever frozen
+    def plain(b: Long, rows: Seq[(Long, Seq[Double])], op: String): Unit =
+      StreamingAnnIndex.processBatch(
+        rows.toDF("vec_id", "embedding").withColumn("op", lit(op)),
+        b, dir, centroids.toDF("vec_id", "embedding"), opCol = Some("op"))
+    plain(0, anchors, "u")
+    plain(1, anchors, "d")
+    // the first policy judge bootstraps against the EMPTY corpus: no
+    // moments to freeze — it must decline AND persist nothing (a frozen
+    // null baseline would disable the policy for the rest of the stream)
+    StreamingAnnIndex.maybeRefreshOnDrift(spark, dir,
+      drifters.toDF("vec_id", "embedding"), policy) shouldBe None
+    Files.exists(Paths.get(dir, "_abase")) shouldBe false
+    // rows return; the next judge bootstraps a REAL baseline and the
+    // loop works again: drifted arrivals fire
+    send(dir, 2, anchors, policy) shouldBe None
+    Files.exists(Paths.get(dir, "_abase")) shouldBe true
+    send(dir, 3, drifters, policy) shouldBe defined
+    StreamingAnnIndex.readManifest(dir).param shouldBe Some("g1")
+  }
+
+  test("zero-norm vectors neither kill the batch nor distort the drift signal") {
+    // pre-guard, ANSI mode threw DIVIDE_BY_ZERO in pairCos — ONE garbage
+    // embedding killed the whole maintenance batch; now a zero vector has
+    // cosine 0 with everything (assigns to the smallest centroid, sinks
+    // to the bottom of every ranking) and is excluded BY NORM from the
+    // drift moments: garbage neither drags the frozen mean nor
+    // masquerades as centroid drift
+    val dir = Files.createTempDirectory("graft-ann-policy-zero").toString
+    val policy = StreamingAnnIndex.RefreshPolicy(z = 3.0, minBatchRows = 3)
+    send(dir, 0, anchors :+ (99L, Seq(0.0, 0.0)), policy) shouldBe None
+    val base = StreamingAnnIndex.readRefreshBaseline(spark, dir).collect()(0)
+    base.getDouble(0).isNaN shouldBe false
+    base.getLong(2) shouldBe anchors.size.toLong // the zero vector is excluded
+    // stable rows + one zero vector stay quiet …
+    send(dir, 1, Seq((7L, Seq(1.0, 0.035)), (8L, Seq(1.0, 0.07)),
+      (9L, Seq(1.0, -0.05)), (100L, Seq(0.0, 0.0))), policy) shouldBe None
+    // … and drifted rows + a zero vector still FIRE
+    send(dir, 2, drifters :+ (101L, Seq(0.0, 0.0)), policy) shouldBe defined
+  }
+
   test("a redelivered batch neither re-commits nor re-judges drift") {
     val dir = Files.createTempDirectory("graft-ann-policy-redeliver").toString
     val policy = StreamingAnnIndex.RefreshPolicy(z = 3.0, minBatchRows = 3,

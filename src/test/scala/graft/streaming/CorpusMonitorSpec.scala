@@ -84,6 +84,15 @@ class CorpusMonitorSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("a pre-SegmentStore (batch=<id> layout) log is rejected loudly, not read as empty") {
+    val dir = Files.createTempDirectory("graft-monitor-legacy").toString
+    Files.createDirectory(java.nio.file.Paths.get(dir, "batch=0"))
+    val ex = intercept[IllegalArgumentException] {
+      CorpusMonitor.readLog(spark, dir)
+    }
+    ex.getMessage should include("pre-SegmentStore monitor log")
+  }
+
   test("a multi-row baseline raises instead of silently multiplying verdicts") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text", "source")
     val perSource = CorpusMonitor.profile(docs, "text", groupBy = Seq("source"))

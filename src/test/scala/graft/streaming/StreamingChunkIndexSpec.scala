@@ -150,5 +150,38 @@ class StreamingChunkIndexSpec extends AnyFunSuite with Matchers {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     after should contain((1L, 1L))
     after should not contain ((2L, 1L)) // the phantom passage is gone
+
+    // a query whose id COLLIDES with a live chunk key must still see that
+    // passage: query ids and chunk keys are different id spaces, so the
+    // single-id-space self-exclusion rule is off for chunk probes (it
+    // would silently hide doc 1's chunk 1 from this query)
+    val collider = Seq((Chunking.key(1L, 1), Seq(1.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    StreamingChunkIndex.ivfChunkHitsLive(
+      StreamingChunkIndex.readVecSegments(spark, vecDir),
+      SegmentStore.readDels(spark, vecDir, "doc_id"),
+      centroids, collider, kChunks = 20)
+      .select("doc_id").as[Long].collect() should contain(Chunking.key(1L, 1))
+
+    // the vec index's centroids are FROZEN in the artifact: a later batch
+    // passing different centroids is assigned with the persisted set (the
+    // StreamingAnnIndex coherence rule), so probes and assignments can
+    // never mix routing parameters
+    val stray = Seq((0L, Seq(-1.0, -1.0))).toDF("vec_id", "embedding")
+    StreamingChunkIndex.processVecBatch(
+      Seq((3L, Chunking.key(3L, 0), Seq(0.9, 0.1)))
+        .toDF("doc_id", "ck", "embedding").withColumn("op", lit("u")),
+      2, vecDir, stray, opCol = Some("op"))
+    StreamingChunkIndex.readVecCentroids(spark, vecDir)
+      .orderBy("vec_id").collect().map(_.getSeq[Double](1)).toSeq shouldBe
+      Seq(Seq(1.0, 1.0))
+    // and the new row is findable — it was bucketed with the same
+    // centroids the probe routes with
+    StreamingChunkIndex.ivfChunkHitsLive(
+      StreamingChunkIndex.readVecSegments(spark, vecDir),
+      SegmentStore.readDels(spark, vecDir, "doc_id"),
+      centroids, Seq((700L, Seq(0.9, 0.1))).toDF("vec_id", "embedding"),
+      kChunks = 20)
+      .select("doc_id").as[Long].collect() should contain(Chunking.key(3L, 0))
   }
 }

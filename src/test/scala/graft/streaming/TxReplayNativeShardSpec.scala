@@ -195,6 +195,28 @@ class TxReplayNativeShardSpec extends AnyFunSuite with Matchers {
       Seq((1L, 200L))
   }
 
+  test("the done TTL must outlive the stall window (open-tx key sightings must not expire)") {
+    // the key set shares the tombstone TTL, so a TTL at or below the
+    // stall-eviction bound could expire a still-open transaction's key
+    // sightings before its release — rejected at wiring time
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[NativeEv]
+    val df = in.toDF()
+    val left = df.filter(col("stream") === "l")
+      .select(col("key"), col("op"), col("lsn"), col("tx_id"), col("orow").as("row"))
+    val right = df.filter(col("stream") === "r")
+      .select(col("key"), col("line_id"), col("op"), col("lsn"), col("tx_id"),
+        col("lrow").as("row"))
+    val ends = df.filter(col("stream") === "t")
+      .select(col("tx_id"), col("commit_lsn"), col("expected_left"),
+        col("expected_right"))
+    val ex = intercept[IllegalArgumentException] {
+      TxReplayNative.docs(left, right, ends, stallTimeoutMs = Some(60000L),
+        keyShards = Some(4), shardDoneTtlMs = Some(60000L))
+    }
+    ex.getMessage should include("must exceed stallTimeoutMs")
+  }
+
   test("bounded done-tombstone TTL: identical semantics inside the window") {
     // shardDoneTtlMs bounds the per-(tx, shard) tombstone so a long-running
     // stream's state stops growing with total transaction count; within the
