@@ -37,19 +37,29 @@ object Similarity {
 
   private def asDouble(c: Column): Column = c.cast(ArrayType(DoubleType))
 
+  /** The value an undefined cosine (a zero-norm operand) takes: strictly
+    * BELOW the attainable range [−1, 1], so a garbage zero vector sorts
+    * under every real neighbor — including antipodal ones at cosine −1
+    * (mapping to 0.0, the previous rule, ranked garbage ABOVE genuinely
+    * negative neighbors). Rankings need no filter; thresholded consumers
+    * (`>= threshold` for any real threshold) reject it for free.
+    */
+  val UndefinedCos: Double = -2.0
+
   /** Per-pair cosine from PRE-COMPUTED norms: higher-order-function dots are
     * interpreted, so norms must be per-vector columns (computed once), never
     * re-derived per candidate pair (3× the dot work across |Q|·|C| pairs).
     *
     * Total by construction: a zero-norm vector has no direction, so its
-    * cosine with anything is 0 — it assigns deterministically (all-ties →
-    * smallest centroid id) and sinks to the bottom of every ranking.
-    * Without the guard ANSI mode (Spark 4 default) throws DIVIDE_BY_ZERO,
-    * and one garbage embedding would kill an entire maintenance batch.
+    * cosine with anything is [[UndefinedCos]] — it assigns
+    * deterministically (all-ties → smallest centroid id) and sinks
+    * strictly below every defined cosine in every ranking. Without the
+    * guard ANSI mode (Spark 4 default) throws DIVIDE_BY_ZERO, and one
+    * garbage embedding would kill an entire maintenance batch.
     */
   private def pairCos(aVec: Column, bVec: Column, aNorm: Column, bNorm: Column): Column =
     when(aNorm * bNorm > 0, round(dot(aVec, bVec) / (aNorm * bNorm), 6))
-      .otherwise(lit(0.0))
+      .otherwise(lit(UndefinedCos))
 
   private def normed(df: DataFrame, idCol: String, vecCol: String,
                      prefix: String): DataFrame = {

@@ -108,33 +108,15 @@ object CorpusMonitor {
       .drop("b_mean_tokens", "b_sd_tokens", "b_mean_quality", "b_sd_quality")
   }
 
-  /** Profile one micro-batch, judge it against the baseline, and commit
-    * the verdict row to the monitor log at `dir` under the
-    * [[SegmentStore]] contract (redelivered batch ids are skipped; at
-    * `compactBatches` live dirs the log folds into one segment, so dir
-    * count — and `readLog` cost — stays bounded at any stream age).
-    * A batch with no documents is skipped — zero docs has no moments to
-    * judge (a delete-only CDC batch reaches a text monitor empty), and a
-    * null-profile row would poison every later log read.
+  /** A pre-round-10 monitor log (the `batch=<id>` partition layout, no
+    * manifest) is REJECTED loudly on BOTH paths. The read path's guard
+    * alone would not be enough: a writer pointed at a legacy dir commits
+    * a manifest next to the legacy dirs, and from that first commit on
+    * the read guard (keyed on lastBatch < 0) is bypassed — the historical
+    * verdict rows would silently vanish, exactly the failure this message
+    * exists to prevent.
     */
-  def processBatch(docs: DataFrame, batchId: Long, dir: String,
-                   baseline: DataFrame, textCol: String, z: Double,
-                   compactBatches: Int = 16): Unit =
-    if (docs.limit(1).count() > 0) {
-      val verdict = drift(profile(docs, textCol), baseline, z)
-        .withColumn("b", lit(batchId))
-      SegmentStore.processBatch(verdict, batchId, dir, "b", "b",
-        opCol = None, compactSegments = compactBatches, identity)
-    }
-
-  /** The monitor log: one verdict row per profiled batch with its `batch`
-    * id, read through the committed manifest — at most `compactBatches` +
-    * grace-window dirs are touched however old the stream is. A
-    * pre-round-10 log (the `batch=<id>` partition layout, no manifest) is
-    * REJECTED loudly rather than read as empty — silently vanishing
-    * historical verdicts would be worse than the migration message.
-    */
-  def readLog(spark: SparkSession, dir: String): DataFrame = {
+  private def requireNotLegacyLog(dir: String): Unit = {
     val p = java.nio.file.Paths.get(dir)
     if (SegmentStore.readManifest(dir).lastBatch < 0L &&
         java.nio.file.Files.exists(p)) {
@@ -146,6 +128,39 @@ object CorpusMonitor {
           "point the monitor at a fresh dir — verdict rows are derived " +
           "observability data, the stream itself needs no migration")
     }
+  }
+
+  /** Profile one micro-batch, judge it against the baseline, and commit
+    * the verdict row to the monitor log at `dir` under the
+    * [[SegmentStore]] contract (redelivered batch ids are skipped; at
+    * `compactBatches` live dirs the log folds into one segment, so dir
+    * count — and `readLog` cost — stays bounded at any stream age).
+    * A batch with no documents is skipped — zero docs has no moments to
+    * judge (a delete-only CDC batch reaches a text monitor empty), and a
+    * null-profile row would poison every later log read. A legacy-layout
+    * `dir` is rejected BEFORE the first commit ([[requireNotLegacyLog]]).
+    */
+  def processBatch(docs: DataFrame, batchId: Long, dir: String,
+                   baseline: DataFrame, textCol: String, z: Double,
+                   compactBatches: Int = 16): Unit = {
+    requireNotLegacyLog(dir)
+    if (docs.limit(1).count() > 0) {
+      val verdict = drift(profile(docs, textCol), baseline, z)
+        .withColumn("b", lit(batchId))
+      SegmentStore.processBatch(verdict, batchId, dir, "b", "b",
+        opCol = None, compactSegments = compactBatches, identity)
+    }
+  }
+
+  /** The monitor log: one verdict row per profiled batch with its `batch`
+    * id, read through the committed manifest — at most `compactBatches` +
+    * grace-window dirs are touched however old the stream is. A
+    * pre-round-10 log (the `batch=<id>` partition layout, no manifest) is
+    * REJECTED loudly rather than read as empty — silently vanishing
+    * historical verdicts would be worse than the migration message.
+    */
+  def readLog(spark: SparkSession, dir: String): DataFrame = {
+    requireNotLegacyLog(dir)
     SegmentStore.readSegments(spark, dir, logSchema)
       .drop("batch").withColumnRenamed("b", "batch")
       .select("batch", "n_docs", "mean_tokens", "sd_tokens",

@@ -202,9 +202,9 @@ object StreamingAnnIndex {
 
   /** Persist the assignment-quality baseline of `scored` at `dir` — one
     * collected row written back as a literal (the stats pass runs once).
-    * Zero-norm vectors carry no direction — their cosine is 0 by
-    * [[Similarity]]'s total-pairCos rule — so they are excluded from the
-    * moments BY NORM: garbage embeddings must neither drag the frozen
+    * Zero-norm vectors carry no direction — their cosine is the
+    * below-range [[Similarity.UndefinedCos]] sentinel — so they are
+    * excluded from the moments BY NORM: garbage embeddings must neither drag the frozen
     * mean (every later judgment would compare against corruption) nor
     * masquerade as drift the refresh cannot fix (a zero-vector flood is
     * an embedder regression — the content monitor's job, not Lloyd's).

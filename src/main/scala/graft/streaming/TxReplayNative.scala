@@ -280,13 +280,22 @@ object TxReplayNative {
     *   (Kafka: max in-flight + rebalance time; minutes, not days) — a
     *   straggler later than that window is already a correctness bug
     *   upstream. The key set shares the TTL (a post-expiry straggler must
-    *   not re-create undrainable state), which adds one contract: the TTL
-    *   must comfortably exceed the longest a transaction stays OPEN, or an
-    *   open tx's early key sightings could expire before its release and
-    *   lose flushes — with stall eviction on, that bound is
-    *   `stallTimeoutMs` ([[docs]] enforces the relation when both are
-    *   set). TTL requires the stage to run in TimeMode.ProcessingTime
-    *   ([[docs]] switches modes when it is set).
+    *   not re-create undrainable state), with one refinement: every batch
+    *   of sightings for a (tx, shard) key RESTARTS the whole key set's
+    *   clock, so expiry requires the key to be SILENT for the full window
+    *   — a ghost set a late straggler re-created still expires (it is
+    *   written once and never touched again), while an active open
+    *   transaction keeps its sightings alive. The residual contract: the
+    *   TTL must exceed the longest SILENT wait between a key's last
+    *   sighting and its release. Under stall eviction that wait is NOT
+    *   just `stallTimeoutMs` — a complete transaction queues in the
+    *   contiguity sequencer behind earlier stalled transactions, each
+    *   evicting at its own first-sighting + stallTimeoutMs, so the wait
+    *   stacks with the transport's cross-tx arrival skew. [[docs]]
+    *   enforces only the floor (`shardDoneTtlMs > stallTimeoutMs`); size
+    *   the TTL a comfortable multiple above it. TTL requires the stage to
+    *   run in TimeMode.ProcessingTime ([[docs]] switches modes when it is
+    *   set).
     */
   class ShardFanout(doneTtlMs: Option[Long] = None)
     extends StatefulProcessor[(Long, Int), ShardCmd, FlushMarker] {
@@ -313,6 +322,18 @@ object TxReplayNative {
       val fresh = all.filter(!_.release).map(_.key).distinct
       all.find(_.release) match {
         case None =>
+          // activity restarts the TTL clock for the WHOLE key set (an
+          // updateValue re-stamps the entry's expiry): each entry's clock
+          // would otherwise start at its own first write, and a release
+          // arriving a long stall-chain later could find the early
+          // sightings expired — those flushes would be silently lost.
+          // Cost: |shard key set| re-stamps per touched batch, TTL runs
+          // only. Keys are materialized first — never mutate MapState
+          // while iterating it.
+          if (doneTtlMs.isDefined) {
+            val existing = seen.iterator().map(_._1).toVector
+            existing.foreach(kk => seen.updateValue(kk, true))
+          }
           fresh.foreach(kk => if (!seen.containsKey(kk)) seen.updateValue(kk, true))
           Iterator.empty
         case Some(r) =>
@@ -458,12 +479,15 @@ object TxReplayNative {
     require(shardDoneTtlMs.forall(_ > 0), "shardDoneTtlMs must be positive")
     require(shardDoneTtlMs.isEmpty || keyShards.isDefined,
       "shardDoneTtlMs applies to the sharded fan-out; set keyShards")
-    // the key set shares the TTL, so it must outlive any OPEN transaction
-    // (see ShardFanout): with stall eviction bounding open-tx lifetime,
-    // enforce the relation; without it the caller owns the bound
+    // the key set shares the TTL; sightings refresh the clock on activity
+    // (see ShardFanout), so the binding quantity is the longest SILENT
+    // wait before a release — at least one stall window, and stall chains
+    // stack with arrival skew. This check is the FLOOR, not the
+    // recommendation: size the TTL a comfortable multiple above it.
     require(shardDoneTtlMs.isEmpty || stallTimeoutMs.forall(_ < shardDoneTtlMs.get),
       "shardDoneTtlMs must exceed stallTimeoutMs (an open tx's key " +
-        "sightings must not expire before its release or eviction)")
+        "sightings must not expire before its release or eviction; " +
+        "stalled chains can wait multiple windows — leave real margin)")
     val spark = left.sparkSession
     import spark.implicits._
 

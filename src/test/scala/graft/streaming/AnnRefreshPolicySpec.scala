@@ -194,11 +194,11 @@ class AnnRefreshPolicySpec extends AnyFunSuite with Matchers {
 
   test("zero-norm vectors neither kill the batch nor distort the drift signal") {
     // pre-guard, ANSI mode threw DIVIDE_BY_ZERO in pairCos — ONE garbage
-    // embedding killed the whole maintenance batch; now a zero vector has
-    // cosine 0 with everything (assigns to the smallest centroid, sinks
-    // to the bottom of every ranking) and is excluded BY NORM from the
-    // drift moments: garbage neither drags the frozen mean nor
-    // masquerades as centroid drift
+    // embedding killed the whole maintenance batch; now a zero vector
+    // scores the below-range UndefinedCos sentinel with everything
+    // (assigns to the smallest centroid, sorts strictly under every real
+    // neighbor) and is excluded BY NORM from the drift moments: garbage
+    // neither drags the frozen mean nor masquerades as centroid drift
     val dir = Files.createTempDirectory("graft-ann-policy-zero").toString
     val policy = StreamingAnnIndex.RefreshPolicy(z = 3.0, minBatchRows = 3)
     send(dir, 0, anchors :+ (99L, Seq(0.0, 0.0)), policy) shouldBe None

@@ -93,6 +93,24 @@ class CorpusMonitorSpec extends AnyFunSuite with Matchers {
     ex.getMessage should include("pre-SegmentStore monitor log")
   }
 
+  test("the write path rejects a legacy dir BEFORE its first commit would mask the read guard") {
+    // a writer pointed at a legacy log would commit a manifest beside the
+    // batch=<id> dirs; from then on readLog's lastBatch<0 guard is
+    // bypassed and the historical verdicts silently vanish — so the write
+    // path must fail just as loudly, and must leave no manifest behind
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").limit(5)
+    val baseline = CorpusMonitor.profile(docs, "text")
+    val dir = Files.createTempDirectory("graft-monitor-legacy-write").toString
+    Files.createDirectory(java.nio.file.Paths.get(dir, "batch=0"))
+    val ex = intercept[IllegalArgumentException] {
+      CorpusMonitor.processBatch(docs, 0L, dir, baseline, "text", z = 2.0)
+    }
+    ex.getMessage should include("pre-SegmentStore monitor log")
+    Files.exists(java.nio.file.Paths.get(dir, "_manifest")) shouldBe false
+    // and the read guard still holds afterwards
+    intercept[IllegalArgumentException] { CorpusMonitor.readLog(spark, dir) }
+  }
+
   test("a multi-row baseline raises instead of silently multiplying verdicts") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text", "source")
     val perSource = CorpusMonitor.profile(docs, "text", groupBy = Seq("source"))

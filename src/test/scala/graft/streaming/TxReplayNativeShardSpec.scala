@@ -217,6 +217,60 @@ class TxReplayNativeShardSpec extends AnyFunSuite with Matchers {
     ex.getMessage should include("must exceed stallTimeoutMs")
   }
 
+  test("activity restarts the seen TTL clock: early sightings survive a release past one window") {
+    // the hazard: each seen entry's TTL clock would start at its own
+    // write, so a release arriving later than the window after a key's
+    // FIRST sightings (a stalled chain ahead of it in the sequencer)
+    // would find them expired and silently lose those flushes. With
+    // refresh-on-touch, any sighting batch re-stamps the whole shard key
+    // set — expiry needs the key to be SILENT for the full window.
+    // Timeline (TTL 10 s): keys 1-2 at t0; key 3 at ~t0+6 s (refreshes
+    // 1-2); END at ~t0+12 s — past t0+TTL, inside refresh+TTL. All three
+    // keys must flush.
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      val in = MemoryStream[NativeEv]
+      val df = in.toDF()
+      val left = df.filter(col("stream") === "l")
+        .select(col("key"), col("op"), col("lsn"), col("tx_id"), col("orow").as("row"))
+      val right = df.filter(col("stream") === "r")
+        .select(col("key"), col("line_id"), col("op"), col("lsn"), col("tx_id"),
+          col("lrow").as("row"))
+      val ends = df.filter(col("stream") === "t")
+        .select(col("tx_id"), col("commit_lsn"), col("expected_left"),
+          col("expected_right"))
+      // keyShards = 1 so every sighting touches the one (tx, shard) key
+      val q = TxReplayNative.docs(left, right, ends, keyShards = Some(1),
+          shardDoneTtlMs = Some(10000L))
+        .writeStream.format("memory").queryName("shard_ttl_refresh")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-shard-ttl-refresh").toString)
+        .start()
+      try {
+        in.addData(toNative(
+          Seq(LeftEv(1, "c", 1, 1, OrderRow(1, "a")),
+              LeftEv(2, "c", 2, 1, OrderRow(2, "b"))),
+          Seq(RightEv(1, 1, "c", 3, 1, LineRow(1, 1, 1.0)),
+              RightEv(2, 1, "c", 4, 1, LineRow(1, 1, 2.0))),
+          Seq.empty))
+        Thread.sleep(6000) // most of the window passes, tx still open
+        in.addData(toNative(
+          Seq(LeftEv(3, "c", 5, 1, OrderRow(3, "c"))),
+          Seq(RightEv(3, 1, "c", 6, 1, LineRow(1, 1, 3.0))),
+          Seq.empty)) // touch refreshes keys 1-2's clock
+        Thread.sleep(6000) // now > TTL since keys 1-2 were written
+        in.addData(toNative(Seq.empty, Seq.empty, Seq(TxEnd(1, 100, 3, 3))))
+        val deadline = System.currentTimeMillis() + 120000
+        while (spark.table("shard_ttl_refresh").count() < 3 &&
+               System.currentTimeMillis() < deadline) Thread.sleep(100)
+        spark.table("shard_ttl_refresh").collect()
+          .map(_.getAs[Long]("key")).sorted.toSeq shouldBe Seq(1L, 2L, 3L)
+      } finally q.stop()
+    }
+  }
+
   test("bounded done-tombstone TTL: identical semantics inside the window") {
     // shardDoneTtlMs bounds the per-(tx, shard) tombstone so a long-running
     // stream's state stops growing with total transaction count; within the
