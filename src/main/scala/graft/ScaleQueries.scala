@@ -2922,13 +2922,13 @@ object ScaleQueries {
         | FROM t)
         |SELECT source, n_docs, mean_tokens, sd_tokens, mean_quality, sd_quality,
         |  round(CASE WHEN b_sd_tokens > 0 THEN abs(mean_tokens - b_mean_tokens) / b_sd_tokens
-        |    WHEN abs(mean_tokens - b_mean_tokens) > 0 THEN 'infinity'::DOUBLE ELSE 0 END, 4) AS z_tokens,
+        |    WHEN abs(mean_tokens - b_mean_tokens) > 0.000002 THEN 'infinity'::DOUBLE ELSE 0 END, 4) AS z_tokens,
         |  round(CASE WHEN b_sd_quality > 0 THEN abs(mean_quality - b_mean_quality) / b_sd_quality
-        |    WHEN abs(mean_quality - b_mean_quality) > 0 THEN 'infinity'::DOUBLE ELSE 0 END, 4) AS z_quality,
+        |    WHEN abs(mean_quality - b_mean_quality) > 0.000002 THEN 'infinity'::DOUBLE ELSE 0 END, 4) AS z_quality,
         |  round(CASE WHEN b_sd_tokens > 0 THEN abs(mean_tokens - b_mean_tokens) / b_sd_tokens
-        |    WHEN abs(mean_tokens - b_mean_tokens) > 0 THEN 'infinity'::DOUBLE ELSE 0 END, 4) > 2.0
+        |    WHEN abs(mean_tokens - b_mean_tokens) > 0.000002 THEN 'infinity'::DOUBLE ELSE 0 END, 4) > 2.0
         |  OR round(CASE WHEN b_sd_quality > 0 THEN abs(mean_quality - b_mean_quality) / b_sd_quality
-        |    WHEN abs(mean_quality - b_mean_quality) > 0 THEN 'infinity'::DOUBLE ELSE 0 END, 4) > 2.0 AS drift
+        |    WHEN abs(mean_quality - b_mean_quality) > 0.000002 THEN 'infinity'::DOUBLE ELSE 0 END, 4) > 2.0 AS drift
         |FROM per CROSS JOIN base ORDER BY source""".stripMargin,
 
     "q_corpus_pipeline7" ->

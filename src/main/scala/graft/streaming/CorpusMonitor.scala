@@ -49,34 +49,35 @@ object CorpusMonitor {
     StructField("drift", BooleanType), StructField("batch", LongType)))
 
   /** Quality profile: n_docs, mean/sd of per-doc token count and quality
-    * score ([[TextOps.qualityScore]]), rounded to 6 decimals so profiles
-    * compare across engines — one row (the batch/corpus baseline shape)
-    * or one row per `groupBy` key (per-source auditing). Sample sd (n−1),
-    * mirrored by the oracle's `stddev_samp`; a 1-doc group's sd lands at 0
-    * — Spark's `stddev_samp` yields NaN (not null) for a single row, so
-    * the NaN is mapped through `nanvl` BEFORE the null coalesce, matching
-    * DuckDB's NULL→0 path ([[drift]] would otherwise z-score against NaN).
+    * score ([[TextOps.qualityScore]]), at the shared moment grain
+    * ([[DriftRule.mean6]]/[[DriftRule.sd6]] — 6 decimals, sample sd with
+    * the NaN→0 1-row rule, mirrored by the oracle's `stddev_samp`) so
+    * profiles compare across engines — one row (the batch/corpus baseline
+    * shape) or one row per `groupBy` key (per-source auditing).
     */
   def profile(docs: DataFrame, textCol: String,
-              groupBy: Seq[String] = Nil): DataFrame = {
-    def sd(c: String) = round(coalesce(nanvl(stddev(c), lit(0.0)), lit(0.0)), 6)
+              groupBy: Seq[String] = Nil): DataFrame =
     TextOps.qualityScore(docs, textCol)
       .select((groupBy.map(col) :+
         size(TextOps.tokens(col(textCol))).cast(DoubleType).as("n_tokens") :+
         col("quality")): _*)
       .groupBy(groupBy.map(col): _*)
       .agg(count(lit(1)).as("n_docs"),
-        round(avg("n_tokens"), 6).as("mean_tokens"),
-        sd("n_tokens").as("sd_tokens"),
-        round(avg("quality"), 6).as("mean_quality"),
-        sd("quality").as("sd_quality"))
-  }
+        DriftRule.mean6(col("n_tokens")).as("mean_tokens"),
+        DriftRule.sd6(col("n_tokens")).as("sd_tokens"),
+        DriftRule.mean6(col("quality")).as("mean_quality"),
+        DriftRule.sd6(col("quality")).as("sd_quality"))
 
   /** Drift verdicts of profile rows against a 1-row baseline profile:
-    * per-metric z = |mean − baseline mean| / baseline sd (Infinity when
-    * the baseline sd is 0 and the mean moved), `drift` = any z > `z`.
-    * Both sides are profile-shaped, so this composes over a streaming
-    * batch profile, a per-source profile, or a read-back monitor log.
+    * per-metric z = [[DriftRule.zScore]] of |mean − baseline mean| —
+    * shift in baseline sds, Infinity when a zero-sd baseline moved past
+    * the shared noise floor ([[DriftRule.MinShiftAtZeroSd]]: pure
+    * 6-decimal rounding noise on a degenerate baseline must not flag) —
+    * and `drift` = any z > `z`. Two-sided BY DESIGN (unlike the index
+    * judges' one-sided sag): content that shifts in either direction is
+    * worth a look. Both sides are profile-shaped, so this composes over a
+    * streaming batch profile, a per-source profile, or a read-back
+    * monitor log.
     *
     * The 1-row contract is ENFORCED lazily: a multi-row baseline (e.g. a
     * per-source profile passed by mistake) would silently multiply every
@@ -95,12 +96,8 @@ object CorpusMonitor {
       col("sd_tokens").as("b_sd_tokens"),
       col("mean_quality").as("b_mean_quality"),
       col("sd_quality").as("b_sd_quality"))
-    def score(mean: String, bMean: String, bSd: String) = {
-      val diff = abs(col(mean) - col(bMean))
-      round(when(col(bSd) > 0.0, diff / col(bSd))
-        .when(diff > 0.0, lit(Double.PositiveInfinity))
-        .otherwise(lit(0.0)), 4)
-    }
+    def score(mean: String, bMean: String, bSd: String) =
+      round(DriftRule.zScore(abs(col(mean) - col(bMean)), col(bSd)), 4)
     profiles.crossJoin(broadcast(base))
       .withColumn("z_tokens", score("mean_tokens", "b_mean_tokens", "b_sd_tokens"))
       .withColumn("z_quality", score("mean_quality", "b_mean_quality", "b_sd_quality"))

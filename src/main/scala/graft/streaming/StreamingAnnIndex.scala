@@ -215,8 +215,8 @@ object StreamingAnnIndex {
   private def writeBaseline(spark: SparkSession, scored: DataFrame,
                             dir: String): Unit = {
     val stats = scored.filter(col("norm") > 0).agg(
-      round(avg("acos"), 6).as("mean_acos"),
-      round(coalesce(nanvl(stddev("acos"), lit(0.0)), lit(0.0)), 6).as("sd_acos"),
+      DriftRule.mean6(col("acos")).as("mean_acos"),
+      DriftRule.sd6(col("acos")).as("sd_acos"),
       count(lit(1)).as("n"))
     val row = stats.collect()(0)
     if (!row.isNullAt(0))
@@ -256,17 +256,21 @@ object StreamingAnnIndex {
     * [[refreshCentroids]] (the MECHANISM); this is the POLICY that closes
     * it. Fire when a batch's mean assignment cosine sags more than `z`
     * baseline standard deviations below the freeze-time mean — the
-    * moment-based rule of [[CorpusMonitor]], applied to the one signal
-    * the index computes anyway (per-vector nearest-centroid cosine):
-    * drifted arrivals sit far from every frozen centroid, so their mean
-    * `acos` craters while a baseline-like batch stays put. One-sided by
-    * design — a batch assigning BETTER than baseline is never drift.
+    * shared [[DriftRule]] (one judge, three callers), applied to the one
+    * signal the index computes anyway (per-vector nearest-centroid
+    * cosine): drifted arrivals sit far from every frozen centroid, so
+    * their mean `acos` craters while a baseline-like batch stays put.
+    * One-sided by design — a batch assigning BETTER than baseline is
+    * never drift.
     *
     * `minBatchRows` guards the moment: a handful of vectors moves a mean
     * on noise alone, and a refresh is corpus-sized — tiny batches never
     * fire. `z` uses the baseline's PER-VECTOR sd (not sd/√n), making the
-    * trigger deliberately conservative, exactly like the corpus monitor's
-    * rule; a baseline with sd 0 fires on any sag at all (Infinity z).
+    * trigger deliberately conservative; a baseline with sd 0 (a
+    * degenerate corpus with no spread to scale by) fires on any sag past
+    * the shared noise floor ([[DriftRule.MinShiftAtZeroSd]] — pure
+    * 6-decimal rounding noise must not trigger a corpus-sized refresh,
+    * which would re-baseline at sd 0 and could re-fire forever).
     */
   case class RefreshPolicy(z: Double = 3.0, minBatchRows: Long = 64,
                            lloydIters: Int = 1, tol: Double = 1e-4,
@@ -302,13 +306,10 @@ object StreamingAnnIndex {
           .select(col("vec_id").as(idCol), col("embedding").as(vecCol)),
         idCol, vecCol)
       .filter(col("norm") > 0)
-      .agg(round(avg("acos"), 6).as("m"), count(lit(1)).as("n")).collect()(0)
+      .agg(DriftRule.mean6(col("acos")).as("m"), count(lit(1)).as("n")).collect()(0)
     if (sig.isNullAt(0) || sig.getLong(1) < policy.minBatchRows) return None
     val sag = bMean - sig.getDouble(0)
-    val drifted =
-      if (bSd > 0.0) sag / bSd > policy.z
-      else sag > 0.0
-    if (!drifted) None
+    if (!DriftRule.oneSidedFired(sag, bSd, policy.z)) None
     else Some(refreshCentroids(spark, indexDir, policy.lloydIters, policy.tol,
       policy.pruneGraceBatches))
   }
