@@ -57,9 +57,11 @@ object StreamingAnnIndex {
     * `_centroids` (flat — generation 0, the first committed batch's
     * write) until a [[refreshCentroids]] bumps the manifest's `param` to
     * `g<N>` → `_centroids_g<N>`. Sibling dirs, never nested: a parquet
-    * dir must not grow subdirectories under it.
+    * dir must not grow subdirectories under it. Shared with the
+    * chunk-granular sibling ([[StreamingChunkIndex]]'s vec store), which
+    * rides the identical pointer convention.
     */
-  private def centroidsDir(m: SegmentStore.Manifest): String =
+  private[streaming] def centroidsDir(m: SegmentStore.Manifest): String =
     m.param.fold("_centroids")(g => s"_centroids_$g")
 
   /** Sibling of [[centroidsDir]] for the generation's assignment-quality
@@ -69,7 +71,7 @@ object StreamingAnnIndex {
     * manifest `param` pointer, so baseline and centroids can never mix
     * generations.
     */
-  private def baselineDir(m: SegmentStore.Manifest): String =
+  private[streaming] def baselineDir(m: SegmentStore.Manifest): String =
     m.param.fold("_abase")(g => s"_abase_$g")
 
   /** The centroids the CURRENT index generation was built with — columns
@@ -212,8 +214,8 @@ object StreamingAnnIndex {
     * persisted, so a later bootstrap retries once rows exist instead of
     * freezing a null baseline that would disable the policy forever.
     */
-  private def writeBaseline(spark: SparkSession, scored: DataFrame,
-                            dir: String): Unit = {
+  private[streaming] def writeBaseline(spark: SparkSession, scored: DataFrame,
+                                       dir: String): Unit = {
     val stats = scored.filter(col("norm") > 0).agg(
       DriftRule.mean6(col("acos")).as("mean_acos"),
       DriftRule.sd6(col("acos")).as("sd_acos"),
@@ -235,21 +237,51 @@ object StreamingAnnIndex {
   def readRefreshBaseline(spark: SparkSession, indexDir: String): DataFrame = {
     val m = SegmentStore.readManifest(indexDir)
     require(m.lastBatch >= 0L, s"no committed index at $indexDir")
-    val dir = s"$indexDir/${baselineDir(m)}"
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir))) {
+    readBaselineOrBootstrap(spark, s"$indexDir/${baselineDir(m)}", {
       val live = SegmentStore.liveRows(readSegments(spark, indexDir),
         readDels(spark, indexDir), "vec_id")
-      writeBaseline(spark,
-        Similarity.assignBucketsScored(
-          live.select(col("vec_id"), col("vec").as("embedding")),
-          readCentroids(spark, indexDir)), dir)
-    }
+      Similarity.assignBucketsScored(
+        live.select(col("vec_id"), col("vec").as("embedding")),
+        readCentroids(spark, indexDir))
+    })
+  }
+
+  /** [[readRefreshBaseline]]'s storage half, shared with the chunk-vec
+    * sibling: read the 1-row baseline at `dir`, bootstrapping it from the
+    * lazily-evaluated `scoredLive` (an [[Similarity.assignBucketsScored]]
+    * frame of the live corpus) when absent. Empty/all-zero-norm corpora
+    * persist nothing (see [[writeBaseline]]) and return an empty frame.
+    */
+  private[streaming] def readBaselineOrBootstrap(spark: SparkSession, dir: String,
+                                                 scoredLive: => DataFrame): DataFrame = {
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir)))
+      writeBaseline(spark, scoredLive, dir)
     if (java.nio.file.Files.exists(java.nio.file.Paths.get(dir)))
       spark.read.parquet(dir)
     else spark.emptyDataFrame.select(
       lit(null).cast(DoubleType).as("mean_acos"),
       lit(null).cast(DoubleType).as("sd_acos"),
       lit(0L).as("n")).limit(0)
+  }
+
+  /** The drift decision both index families share: true iff the scored
+    * batch's mean assignment cosine sagged past `policy.z` baseline sds
+    * ([[DriftRule.oneSidedFired]]), the batch clears `minBatchRows`, and
+    * a baseline exists at all. Zero-norm rows are excluded BY NORM,
+    * mirroring [[writeBaseline]]; the batch mean uses the same rounding
+    * grain as the frozen one, so a batch that IS the baseline corpus
+    * scores sag = 0 exactly.
+    */
+  private[streaming] def sagged(baseline: DataFrame, scoredBatch: DataFrame,
+                                policy: RefreshPolicy): Boolean = {
+    val baseRows = baseline.collect()
+    if (baseRows.isEmpty) return false // nothing frozen yet (empty corpus)
+    val base = baseRows(0)
+    val sig = scoredBatch.filter(col("norm") > 0)
+      .agg(DriftRule.mean6(col("acos")).as("m"), count(lit(1)).as("n")).collect()(0)
+    if (sig.isNullAt(0) || sig.getLong(1) < policy.minBatchRows) false
+    else DriftRule.oneSidedFired(base.getDouble(0) - sig.getDouble(0),
+      base.getDouble(1), policy.z)
   }
 
   /** When to re-center: the open-loop half of the drift story is
@@ -292,24 +324,12 @@ object StreamingAnnIndex {
                           policy: RefreshPolicy = RefreshPolicy(),
                           idCol: String = "vec_id",
                           vecCol: String = "embedding"): Option[DataFrame] = {
-    val baseRows = readRefreshBaseline(spark, indexDir).collect()
-    if (baseRows.isEmpty) return None // nothing frozen yet (empty corpus)
-    val base = baseRows(0)
-    val (bMean, bSd) = (base.getDouble(0), base.getDouble(1))
-    // batch mean rounded like the baseline's, so a batch that IS the
-    // baseline corpus scores sag = 0 exactly (an sd-0 baseline would
-    // otherwise fire on representation noise); zero-norm vectors
-    // excluded by norm, as in the baseline (see writeBaseline)
-    val sig = Similarity.assignBucketsScored(
-        batchUpserts.select(col(idCol), col(vecCol)),
-        readCentroids(spark, indexDir)
-          .select(col("vec_id").as(idCol), col("embedding").as(vecCol)),
-        idCol, vecCol)
-      .filter(col("norm") > 0)
-      .agg(DriftRule.mean6(col("acos")).as("m"), count(lit(1)).as("n")).collect()(0)
-    if (sig.isNullAt(0) || sig.getLong(1) < policy.minBatchRows) return None
-    val sag = bMean - sig.getDouble(0)
-    if (!DriftRule.oneSidedFired(sag, bSd, policy.z)) None
+    val scored = Similarity.assignBucketsScored(
+      batchUpserts.select(col(idCol), col(vecCol)),
+      readCentroids(spark, indexDir)
+        .select(col("vec_id").as(idCol), col("embedding").as(vecCol)),
+      idCol, vecCol)
+    if (!sagged(readRefreshBaseline(spark, indexDir), scored, policy)) None
     else Some(refreshCentroids(spark, indexDir, policy.lloydIters, policy.tol,
       policy.pruneGraceBatches))
   }

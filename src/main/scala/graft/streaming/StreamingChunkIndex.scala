@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -214,10 +214,15 @@ object StreamingChunkIndex {
     * artifact by the first committed [[processVecBatch]] — columns
     * (vec_id, embedding), the [[StreamingAnnIndex.readCentroids]]
     * contract: assignments and probe routing always share one centroid
-    * set, never whatever a later caller happened to pass.
+    * set, never whatever a later caller happened to pass. Resolved
+    * through the manifest's generation pointer (the same `_centroids` /
+    * `_centroids_g<N>` convention as the document-level family), so a
+    * [[refreshVecCentroids]] mid-stream re-routes upserts and probes
+    * together.
     */
   def readVecCentroids(spark: SparkSession, indexDir: String): DataFrame =
-    spark.read.parquet(s"$indexDir/_centroids")
+    spark.read.parquet(s"$indexDir/" +
+      StreamingAnnIndex.centroidsDir(SegmentStore.readManifest(indexDir)))
 
   /** Apply one micro-batch of chunk-embedding changes to the vector index
     * at `indexDir` — doc-level contract: an `opCol` "d" row deletes the
@@ -254,6 +259,153 @@ object StreamingChunkIndex {
       opCol, compactSegments,
       upserts => buildChunkVecSegment(upserts, assignCents, ckCol, vecCol))
   }
+
+  /** Re-center the chunk-vec index's frozen routing parameter on the
+    * CURRENT live passage corpus — the same drift answer
+    * [[StreamingAnnIndex.refreshCentroids]] gives the document-level
+    * family: a long-lived passage index drifts exactly like a document
+    * index (months of re-embedded upserts leave most live chunks far from
+    * every freeze-time centroid → degenerate buckets → recall collapse on
+    * the drifted mass). Runs `lloydIters` Lloyd rounds seeded from the
+    * CURRENT centroids over the live chunk vectors, persists the result
+    * as the next generation (`_centroids_g<N>`), freezes the new
+    * generation's assignment-quality baseline from the SAME scored pass,
+    * and re-derives every live row's bucket in one [[SegmentStore.rewrite]]
+    * — segments and the generation pointer swap in a single atomic
+    * manifest commit, so a probe routes old-against-old or
+    * new-against-new, never mixed. Per-row `doc_id` and `batch` are
+    * preserved, so DOC-level upsert/delete semantics continue unchanged
+    * across the refresh.
+    *
+    * Offline and corpus-sized BY DESIGN (one |live|×K pass per Lloyd
+    * round plus the rewrite), amortized across every delta-sized append —
+    * see the document-level twin's scaladoc for the cadence discussion.
+    * Single-writer: serialize with the maintenance stream.
+    *
+    * Returns the refreshed centroids (vec_id, embedding).
+    */
+  def refreshVecCentroids(spark: SparkSession, indexDir: String,
+                          lloydIters: Int = 1, tol: Double = 1e-4,
+                          pruneGraceBatches: Int = 2): DataFrame = {
+    val m = SegmentStore.readManifest(indexDir)
+    require(m.lastBatch >= 0L, s"no committed index at $indexDir")
+    val live = SegmentStore.liveRows(readVecSegments(spark, indexDir),
+      readDels(spark, indexDir), "doc_id")
+    val corpus = live.select(col("vec_id"), col("vec").as("embedding"))
+    val refreshed = Similarity.kmeansIterate(corpus,
+      readVecCentroids(spark, indexDir), maxIters = lloydIters, tol = tol)
+      .select(col("centroid_id").as("vec_id"), col("embedding"))
+    val gen = m.param.fold(1)(p => p.stripPrefix("g").toInt + 1)
+    refreshed.write.mode(SaveMode.Overwrite).parquet(s"$indexDir/_centroids_g$gen")
+    val cents = spark.read.parquet(s"$indexDir/_centroids_g$gen")
+    // the rewrite's scored assignment feeds BOTH the new segment rows and
+    // the new generation's baseline — cached so the corpus×K pass runs
+    // once; released even if the rewrite throws
+    var scoredRef: DataFrame = null
+    try SegmentStore.rewrite(spark, indexDir, vecSegSchema, "doc_id",
+      rows => {
+        val scored = Similarity.assignBucketsScored(
+          rows.select(col("vec_id"), col("vec").as("embedding")), cents).cache()
+        scoredRef = scored
+        StreamingAnnIndex.writeBaseline(spark, scored, s"$indexDir/_abase_g$gen")
+        // doc_id re-derived from the chunk key; per-row batch re-joined —
+        // the store's doc-level liveness is untouched by the rewrite
+        scored.drop("acos")
+          .withColumn("doc_id", Chunking.chunkKeyDoc(col("vec_id")))
+          .join(rows.select("vec_id", "batch"), Seq("vec_id"))
+      },
+      newParam = Some(s"g$gen"),
+      extraDead = Seq(StreamingAnnIndex.centroidsDir(m),
+        StreamingAnnIndex.baselineDir(m)),
+      pruneGraceBatches = pruneGraceBatches)
+    finally if (scoredRef != null) scoredRef.unpersist()
+    cents
+  }
+
+  /** The current generation's assignment-quality baseline (1 row:
+    * mean_acos, sd_acos, n), bootstrapped from the live chunk corpus when
+    * absent — [[StreamingAnnIndex.readRefreshBaseline]]'s contract with
+    * DOC-level liveness. An empty (or all-zero-norm) live corpus persists
+    * nothing and returns an empty frame, so a later bootstrap retries.
+    */
+  def readVecRefreshBaseline(spark: SparkSession, indexDir: String): DataFrame = {
+    val m = SegmentStore.readManifest(indexDir)
+    require(m.lastBatch >= 0L, s"no committed index at $indexDir")
+    StreamingAnnIndex.readBaselineOrBootstrap(spark,
+      s"$indexDir/${StreamingAnnIndex.baselineDir(m)}", {
+        val live = SegmentStore.liveRows(readVecSegments(spark, indexDir),
+          readDels(spark, indexDir), "doc_id")
+        Similarity.assignBucketsScored(
+          live.select(col("vec_id"), col("vec").as("embedding")),
+          readVecCentroids(spark, indexDir))
+      })
+  }
+
+  /** Judge one batch's chunk-vector upserts against the current
+    * generation's baseline ([[DriftRule]], the judge all three drift
+    * consumers share) and re-center the index ([[refreshVecCentroids]])
+    * when they sagged past `policy.z`. Cost when it doesn't fire: one
+    * |batch|×K broadcast pass + a 1-row aggregate — delta-sized. The
+    * refresh writes the NEXT generation's baseline, so an absorbed blob
+    * never re-fires.
+    */
+  def maybeRefreshVecOnDrift(spark: SparkSession, indexDir: String,
+                             batchChunkVecs: DataFrame,
+                             policy: StreamingAnnIndex.RefreshPolicy =
+                               StreamingAnnIndex.RefreshPolicy(),
+                             ckCol: String = "ck",
+                             vecCol: String = "embedding"): Option[DataFrame] = {
+    val scored = Similarity.assignBucketsScored(
+      batchChunkVecs.select(col(ckCol).as("vec_id"), col(vecCol).as("embedding")),
+      readVecCentroids(spark, indexDir))
+    if (!StreamingAnnIndex.sagged(readVecRefreshBaseline(spark, indexDir),
+        scored, policy)) None
+    else Some(refreshVecCentroids(spark, indexDir, policy.lloydIters,
+      policy.tol, policy.pruneGraceBatches))
+  }
+
+  /** [[processVecBatch]] with the drift policy closed-loop: commit the
+    * batch, judge its upserts, re-center when they drifted — the
+    * [[StreamingAnnIndex.processBatchWithPolicy]] contract at chunk
+    * granularity. A redelivered batch is skipped entirely and re-judges
+    * nothing. Returns the refreshed centroids when the batch fired.
+    */
+  def processVecBatchWithPolicy(chunkVecs: DataFrame, batchId: Long,
+                                indexDir: String, centroids: DataFrame,
+                                policy: StreamingAnnIndex.RefreshPolicy =
+                                  StreamingAnnIndex.RefreshPolicy(),
+                                ckCol: String = "ck", vecCol: String = "embedding",
+                                idCol: String = "doc_id",
+                                opCol: Option[String] = None,
+                                compactSegments: Int = 8): Option[DataFrame] = {
+    if (batchId <= SegmentStore.readManifest(indexDir).lastBatch) return None
+    processVecBatch(chunkVecs, batchId, indexDir, centroids, ckCol, vecCol,
+      idCol, opCol, compactSegments)
+    val upserts = opCol.fold(chunkVecs)(c => chunkVecs.filter(col(c) =!= "d"))
+    maybeRefreshVecOnDrift(chunkVecs.sparkSession, indexDir,
+      upserts.select(col(ckCol), col(vecCol)), policy, ckCol, vecCol)
+  }
+
+  /** Attach chunk-vector index maintenance with the drift-refresh policy
+    * in the loop: every micro-batch is committed, judged, and — when it
+    * drifted — the passage index re-centers itself before the next batch.
+    */
+  def attachVecIndexMaintenanceWithPolicy(chunkVecs: DataFrame, indexDir: String,
+                                          checkpoint: String, centroids: DataFrame,
+                                          policy: StreamingAnnIndex.RefreshPolicy =
+                                            StreamingAnnIndex.RefreshPolicy(),
+                                          ckCol: String = "ck",
+                                          vecCol: String = "embedding",
+                                          idCol: String = "doc_id",
+                                          opCol: Option[String] = None,
+                                          compactSegments: Int = 8): StreamingQuery =
+    chunkVecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processVecBatchWithPolicy(batch, batchId, indexDir, centroids, policy,
+          ckCol, vecCol, idCol, opCol, compactSegments): Unit
+      }
+      .start()
 
   /** Apply one micro-batch of document changes to the index at `indexDir`
     * (`opCol` rows with "d" delete the DOCUMENT — all its chunks; others
