@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.expressions.Window
@@ -747,14 +747,19 @@ object ScaleQueries {
 
     // PQ search (ADC): exact queries against the coded corpus — M table
     // lookups + a DECIMAL sum per (query, vector); the corpus scan never
-    // touches float vectors.
+    // touches float vectors. The query set is capped WITHIN THE BASE ID
+    // RANGE like the codebook seeds: |Q| is a frozen workload parameter,
+    // so this |Q|·|C| exactness baseline grows linearly with the corpus
+    // instead of quadratically (its baseline role — exact ADC against
+    // every coded vector — is unchanged).
     "q_embed_pq_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       val cb = Embeddings.pqCodebookFromSeeds(
         e.filter(col("vec_id") % 63 === 1 && col("vec_id") < 100000000L),
         mSubspaces = 4, "vec_id", "embedding")
       val codes = Embeddings.pqEncode(e, cb, mSubspaces = 4, "vec_id", "embedding")
-      Embeddings.pqTopK(codes, cb, e.filter(col("vec_id") % 97 === 5),
+      Embeddings.pqTopK(codes, cb,
+        e.filter(col("vec_id") % 97 === 5 && col("vec_id") < 100000000L),
         k = 10, mSubspaces = 4, "vec_id", "embedding")
         .ordered("q_id", "rank")
     }),
@@ -1110,7 +1115,12 @@ object ScaleQueries {
 
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("embedding"))
-      val centroids = e.filter(col("vec_id") % 10 === 3)
+      // centroid count capped WITHIN THE BASE ID RANGE: K is a frozen
+      // model parameter, not a function of corpus size (the q_embed_pq
+      // codebook rule) — uncapped, the |batch|×K assignment and the
+      // |queries|×K routing grew quadratically on scaled-up harness data
+      val centroids = e.filter(col("vec_id") % 10 === 3 &&
+        col("vec_id") < 100000000L)
       def chunkVecs(dd: DataFrame) =
         Chunking.chunkDocuments(dd, "doc_id", "text", window = 32, stride = 16)
           .join(e, col("doc_id") === col("vec_id"))
@@ -1123,15 +1133,23 @@ object ScaleQueries {
       val vseg1 = StreamingChunkIndex.buildChunkVecSegment(chunkVecs(truncated), centroids)
         .withColumn("batch", lit(1L))
 
-      val probes = docs.filter(col("doc_id") % 97 === 0)
+      // the probe workload is frozen WITH the centroid count: at fixed K
+      // a bucket grows linearly with the corpus, so a corpus-tied query
+      // set would turn the probe legs quadratic exactly as the uncapped K
+      // turned the assignment quadratic — a probe workload is not a
+      // function of corpus size (the q_embed_pq_topk |Q| rule)
+      val probes = docs.filter(col("doc_id") % 97 === 0 &&
+          col("doc_id") < 100000000L)
         .select(col("doc_id").as("q_id"),
           explode(array_distinct(slice(split(col("text"), " "), 5, 4))).as("term"))
-      val vqueries = e.filter(col("vec_id") % 97 === 0)
-      // the caches = the streaming contract's materialized segment files
-      // (see q_chunk_index_upsert)
+      val vqueries = e.filter(col("vec_id") % 97 === 0 &&
+        col("vec_id") < 100000000L)
+      // the streaming contract's materialized segments, with an owned
+      // cache lifecycle (see asSegmentFiles — at most one generation per
+      // index ever lives in the storage pool)
       StreamingChunkIndex.fusedTopKLiveDocs(
-        lseg0.unionByName(lseg1).cache(), dels,
-        vseg0.unionByName(vseg1).cache(), dels,
+        asSegmentFiles(lseg0.unionByName(lseg1), "fused-lex"), dels,
+        asSegmentFiles(vseg0.unionByName(vseg1), "fused-vec"), dels,
         centroids, probes, "q_id", "term", vqueries,
         kChunks = 20, kDocs = 5)
         .ordered("q_id", "rank")
@@ -1439,6 +1457,28 @@ object ScaleQueries {
         .ordered("doc_id")
     })
   )
+
+  /** Materialize an inline-built index union — the stand-in for the
+    * streaming contract's segment FILES (which a real deployment's
+    * `processBatch` already wrote; these queries emulate the build
+    * inline) — with an owned cache lifecycle: each evaluation unpersists
+    * the previous evaluation's entry before caching its own, so the
+    * session's storage pool holds at most ONE generation per index
+    * (previously the entries lived until somebody called clearCache).
+    * The two alternatives were measured and rejected at sf1: writing
+    * real temp-dir parquet per evaluation re-pays a write a deployment
+    * amortizes (min-of-3 29.8 s vs 11.2 s cached — 2.7×, measuring the
+    * harness, not the probe); eager localCheckpoint frees blocks only on
+    * driver GC, so repeated in-session evaluations accumulate block
+    * pressure (reps climbing 31→85→92 s).
+    */
+  private val segCaches = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private def asSegmentFiles(df: DataFrame, name: String): DataFrame = {
+    segCaches.remove(name).foreach(_.unpersist())
+    val cached = df.cache()
+    segCaches.put(name, cached)
+    cached
+  }
 
   /** DuckDB cosine matching the Spark arithmetic: double-cast vectors,
     * elementwise product, sum, dot/sqrt(na*nb), round 6.
@@ -2414,7 +2454,7 @@ object ScaleQueries {
         | FROM dist),
         |codes AS (SELECT vec_id, m, code_id FROM best WHERE rn = 1),
         |dt AS (SELECT vec_id AS q_id, m, code_id, d FROM dist
-        |       WHERE vec_id % 97 = 5),
+        |       WHERE vec_id % 97 = 5 AND vec_id < 100000000),
         |adist AS (SELECT dt.q_id, c.vec_id AS neighbor_id,
         |  round(CAST(sum(CAST(dt.d AS DECIMAL(18,6))) AS DOUBLE), 6) AS adist
         | FROM codes c JOIN dt ON dt.m = c.m AND dt.code_id = c.code_id
@@ -3053,7 +3093,7 @@ object ScaleQueries {
         |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM cdl),
         |q AS (SELECT doc_id AS q_id,
         |  unnest(list_distinct((string_split(text, ' '))[5:8])) AS token
-        | FROM documents WHERE doc_id % 97 = 0),
+        | FROM documents WHERE doc_id % 97 = 0 AND doc_id < 100000000),
         |dfq AS (SELECT token, count(*) AS df FROM post
         | WHERE token IN (SELECT DISTINCT token FROM q) GROUP BY 1),
         |bscored AS (SELECT q.q_id, p.ck,
@@ -3067,7 +3107,8 @@ object ScaleQueries {
         |  row_number() OVER (PARTITION BY q_id ORDER BY score DESC, ck) AS rank
         | FROM bscored) WHERE rank <= 20),
         |base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |cent AS (SELECT vec_id AS centroid_id, v AS cv FROM base WHERE vec_id % 10 = 3),
+        |cent AS (SELECT vec_id AS centroid_id, v AS cv FROM base
+        |  WHERE vec_id % 10 = 3 AND vec_id < 100000000),
         |cvecs AS (SELECT ch.ck,
         |  list_transform(generate_series(1, len(b.v)),
         |    i -> b.v[((i - 1 + ch.chunk_id) % len(b.v)) + 1]) AS v
@@ -3081,7 +3122,7 @@ object ScaleQueries {
         | SELECT b.vec_id, b.v, ct.centroid_id,
         |  row_number() OVER (PARTITION BY b.vec_id
         |    ORDER BY ${cosSql("b.v", "ct.cv")} DESC, ct.centroid_id) AS rn
-        | FROM base b CROSS JOIN cent ct WHERE b.vec_id % 97 = 0) WHERE rn = 1),
+        | FROM base b CROSS JOIN cent ct WHERE b.vec_id % 97 = 0 AND b.vec_id < 100000000) WHERE rn = 1),
         |sem AS (SELECT q_id, ck, rank FROM (
         | SELECT p.q_id, p.ck,
         |  row_number() OVER (PARTITION BY p.q_id ORDER BY p.cos DESC, p.ck) AS rank
