@@ -24,9 +24,22 @@ final case class QueryMetrics(name: String, eventsSeen: Long, batches: Long,
                               lastBatchMs: Long, lastInputRows: Long,
                               stateRows: Long)
 
-class GraftMetricsListener extends StreamingQueryListener {
+/** @param stateRowsWarnAt opt-in state-growth tripwire: when a query's
+  *   total state rows cross the threshold, log ONE warning for it (and
+  *   record it in [[stateRowsWarnings]]). The misuse this exists to make
+  *   loud: [[TxReplayNative]]'s sharded fan-out with `shardDoneTtlMs`
+  *   unset keeps a done-tombstone per (transaction, shard) FOREVER —
+  *   state linear in total transactions × shards — which is deliberate
+  *   back-compat but must not be silent on a long-running stream. Size
+  *   the threshold to the deployment's expected steady-state (keys +
+  *   in-flight transactions), far below transactions-ever × shards.
+  */
+class GraftMetricsListener(stateRowsWarnAt: Option[Long] = None)
+    extends StreamingQueryListener {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(classOf[GraftMetricsListener])
   private val byQuery = TrieMap.empty[java.util.UUID, QueryMetrics]
+  private val warned = TrieMap.empty[String, Long]
 
   override def onQueryStarted(event: QueryStartedEvent): Unit =
     byQuery.put(event.id, QueryMetrics(Option(event.name).getOrElse(event.id.toString),
@@ -37,6 +50,14 @@ class GraftMetricsListener extends StreamingQueryListener {
     val prev = byQuery.getOrElse(p.id,
       QueryMetrics(Option(p.name).getOrElse(p.id.toString), 0L, 0L, 0L, 0L, 0L))
     val stateRows = Option(p.stateOperators).map(_.map(_.numRowsTotal).sum).getOrElse(0L)
+    val name = Option(p.name).getOrElse(p.id.toString)
+    stateRowsWarnAt.foreach { at =>
+      if (stateRows >= at && warned.putIfAbsent(name, stateRows).isEmpty)
+        log.warn(s"query '$name' holds $stateRows state rows (threshold $at): " +
+          "state is growing past the configured bound — on a TxReplayNative " +
+          "sharded stream this usually means shardDoneTtlMs is unset and " +
+          "done-tombstones accumulate per (tx, shard) forever")
+    }
     byQuery.put(p.id, prev.copy(
       eventsSeen = prev.eventsSeen + p.numInputRows,
       batches = prev.batches + 1,
@@ -50,4 +71,10 @@ class GraftMetricsListener extends StreamingQueryListener {
   /** Current per-query metrics snapshot (keyed by query name). */
   def snapshot: Map[String, QueryMetrics] =
     byQuery.values.map(m => m.name -> m).toMap
+
+  /** Query names whose state rows crossed `stateRowsWarnAt` (with the
+    * row count observed at the crossing) — the scrapeable form of the
+    * one-shot log warning.
+    */
+  def stateRowsWarnings: Map[String, Long] = warned.toMap
 }

@@ -468,7 +468,10 @@ object TxReplayNative {
     * release tombstones — see [[ShardFanout]]. Unset keeps them forever
     * (absorbs arbitrarily late stragglers at the cost of state linear in
     * total transactions × shards); production streams should set it to
-    * the transport's redelivery window.
+    * the transport's redelivery window — and attach a
+    * [[GraftMetricsListener]] with `stateRowsWarnAt` sized to the
+    * expected steady state, which makes the unbounded mode loud at
+    * runtime instead of a silent slope.
     */
   def docs(left: DataFrame, right: DataFrame, ends: DataFrame,
            stallTimeoutMs: Option[Long] = None,

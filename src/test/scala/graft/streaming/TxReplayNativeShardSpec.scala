@@ -217,6 +217,70 @@ class TxReplayNativeShardSpec extends AnyFunSuite with Matchers {
     ex.getMessage should include("must exceed stallTimeoutMs")
   }
 
+  test("state-growth tripwire: unbounded tombstones warn, a TTL'd stream stays silent") {
+    // shardDoneTtlMs unset = absorb-forever (deliberate back-compat): a
+    // done-tombstone per (tx, shard) accumulates for every transaction the
+    // stream ever settles. That must be LOUD, not a silent slope — the
+    // listener's stateRowsWarnAt tripwire fires once when total state rows
+    // cross the bound. The same workload under a short TTL expires its
+    // tombstones as it goes and never crosses.
+    // 40 single-event txs × 4 shards = 160 tombstones; threshold 120.
+    def wave(t0: Int, n: Int): Seq[NativeEv] = toNative(
+      (t0 until t0 + n).map(t =>
+        LeftEv((t % 4).toLong + 1, "c", 2L * t, t, OrderRow(t % 4 + 1, s"a$t"))),
+      (t0 until t0 + n).map(t =>
+        RightEv((t % 4).toLong + 1, 1, "c", 2L * t + 1, t, LineRow(1, t, 1.0))),
+      (t0 until t0 + n).map(t => TxEnd(t, 1000L + t, 1, 1)))
+
+    def run(name: String, doneTtl: Option[Long]): Map[String, Long] = withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      val listener = new GraftMetricsListener(stateRowsWarnAt = Some(120L))
+      spark.streams.addListener(listener)
+      val in = MemoryStream[NativeEv]
+      val df = in.toDF()
+      val left = df.filter(col("stream") === "l")
+        .select(col("key"), col("op"), col("lsn"), col("tx_id"), col("orow").as("row"))
+      val right = df.filter(col("stream") === "r")
+        .select(col("key"), col("line_id"), col("op"), col("lsn"), col("tx_id"),
+          col("lrow").as("row"))
+      val ends = df.filter(col("stream") === "t")
+        .select(col("tx_id"), col("commit_lsn"), col("expected_left"),
+          col("expected_right"))
+      val writer = TxReplayNative.docs(left, right, ends, keyShards = Some(4),
+          shardDoneTtlMs = doneTtl)
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .option("checkpointLocation", Files.createTempDirectory(s"graft-$name").toString)
+      val q = doneTtl.fold(writer) { _ =>
+        writer.trigger(
+          org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+      }.start()
+      try {
+        // four waves of 10 txs; under the TTL each wave's tombstones
+        // expire before the next finishes, so live state never nears 160
+        (0 until 4).foreach { w =>
+          in.addData(wave(1 + w * 10, 10))
+          if (doneTtl.isEmpty) q.processAllAvailable()
+          else Thread.sleep(1500) // > TTL: the wave's tombstones expire
+        }
+        val deadline = System.currentTimeMillis() + 60000
+        while (spark.table(name).count() < 40 &&
+               System.currentTimeMillis() < deadline) Thread.sleep(100)
+        spark.table(name).count() shouldBe 40L // semantics identical either way
+        // listener delivery is async; give the final progress events time
+        val warnDeadline = System.currentTimeMillis() + 10000
+        while (doneTtl.isEmpty && listener.stateRowsWarnings.isEmpty &&
+               System.currentTimeMillis() < warnDeadline) Thread.sleep(100)
+        listener.stateRowsWarnings
+      } finally { q.stop(); spark.streams.removeListener(listener) }
+    }
+
+    val unbounded = run("shard_warn_unbounded", None)
+    unbounded.keySet shouldBe Set("shard_warn_unbounded")
+    unbounded("shard_warn_unbounded") should be >= 120L
+
+    run("shard_warn_ttl", Some(700L)) shouldBe empty
+  }
+
   test("activity restarts the seen TTL clock: early sightings survive a release past one window") {
     // the hazard: each seen entry's TTL clock would start at its own
     // write, so a release arriving later than the window after a key's
