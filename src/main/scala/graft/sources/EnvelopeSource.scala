@@ -12,8 +12,9 @@ import graft.cdc.Envelope
   * The reference reads Debezium JSON from Kafka
   * (`KafkaAppendStreamJob.java:17-59`). This environment has no Kafka
   * connector jars or broker (zero egress; `spark-sql-kafka-0-10` is not in
-  * the offline cache — re-verified 2026-08-15: no kafka artifact among the
-  * cache's 118 jars, no coursier CLI to fetch one), so the runnable source
+  * the offline cache — re-verified 2026-08-15 in rounds 10 AND 11: no
+  * kafka artifact among the cache's 118 jars or /opt/spark/jars' 287, no
+  * coursier CLI to fetch one), so the runnable source
   * here is a
   * JSON-lines file stream with the IDENTICAL decode path a Kafka `value`
   * column would take. [[kafka]] builds the real `format("kafka")` reader —
