@@ -509,8 +509,8 @@ object ScaleQueries {
       // whole md5 pipeline once PER WINDOW (observed: 121 s instead of
       // 0.3 s at sf0.01 — the quadratic-inline pathology the
       // winnowFingerprints scaladoc warns about, triggered by explode)
-      val fps = TextOps.winnowFingerprints(corpus, "text")
-        .select(col("doc_id"), col("fingerprints")).cache()
+      val fps = ownedCache(TextOps.winnowFingerprints(corpus, "text")
+        .select(col("doc_id"), col("fingerprints")), "winnow-fps")
       val x = fps.select(col("doc_id"), explode(col("fingerprints")).as("fp"))
       val keep = x.groupBy("fp").agg(count(lit(1)).as("df"))
         .filter(col("df") <= 5).select("fp")
@@ -874,7 +874,8 @@ object ScaleQueries {
       // cache(): stands in for the persisted parquet index — the probe
       // reads it twice (band scan + verify-by-id), and an unfenced inline
       // build would re-run the corpus signature pipeline per consumer.
-      val index = NearDup.buildMinHashIndex(corpus, "doc_id", "text").cache()
+      val index = ownedCache(
+        NearDup.buildMinHashIndex(corpus, "doc_id", "text"), "minhash-inc")
       NearDup.incrementalMinHashDedup(index, delta, "doc_id", "text", threshold = 0.7)
         .ordered("id")
     }),
@@ -900,8 +901,9 @@ object ScaleQueries {
         .select(col("doc_id").as("id"), lit(2L).as("batch"))
       // cache(): the live view stands in for the persisted index — the
       // probe reads it twice (band scan + verify-by-id)
-      val live = SegmentStore.liveRows(seg0.unionByName(seg1), dels, "id")
-        .drop("batch").cache()
+      val live = ownedCache(
+        SegmentStore.liveRows(seg0.unionByName(seg1), dels, "id")
+          .drop("batch"), "dedup-upsert-live")
       val delta = docs.filter(col("doc_id") % 3 === 0)
         .unionByName(docs.filter(col("doc_id") % 7 === 1)
           .select((col("doc_id") + 10000).as("doc_id"), col("text")))
@@ -979,7 +981,8 @@ object ScaleQueries {
         .unionByName(docs.filter(col("doc_id") % 7 === 1)
           .select((col("doc_id") + 10000).as("doc_id"), three.as("text")))
       val cleaned = TextOps.dedupLines(delta0, "doc_id", "text")
-      val index = NearDup.buildMinHashIndex(corpus, "doc_id", "text").cache()
+      val index = ownedCache(
+        NearDup.buildMinHashIndex(corpus, "doc_id", "text"), "pipeline4-index")
       val verdict = NearDup.incrementalMinHashDedup(index,
         cleaned.select(col("id").as("doc_id"), col("text")),
         "doc_id", "text", threshold = 0.7)
@@ -1082,7 +1085,7 @@ object ScaleQueries {
       // (segments on disk; probes re-scan files, not the build plan) —
       // the cache stands in for that materialization so the stats and
       // candidate passes don't each re-run the postings build
-      val segs = seg0.unionByName(seg1).cache()
+      val segs = ownedCache(seg0.unionByName(seg1), "chunk-upsert")
       StreamingChunkIndex.chunkTopKLiveDocs(segs, dels,
         probes, "q_id", "term", kChunks = 20, kDocs = 5)
         .ordered("q_id", "rank")
@@ -1145,11 +1148,11 @@ object ScaleQueries {
       val vqueries = e.filter(col("vec_id") % 97 === 0 &&
         col("vec_id") < 100000000L)
       // the streaming contract's materialized segments, with an owned
-      // cache lifecycle (see asSegmentFiles — at most one generation per
+      // cache lifecycle (see ownedCache — at most one generation per
       // index ever lives in the storage pool)
       StreamingChunkIndex.fusedTopKLiveDocs(
-        asSegmentFiles(lseg0.unionByName(lseg1), "fused-lex"), dels,
-        asSegmentFiles(vseg0.unionByName(vseg1), "fused-vec"), dels,
+        ownedCache(lseg0.unionByName(lseg1), "fused-lex"), dels,
+        ownedCache(vseg0.unionByName(vseg1), "fused-vec"), dels,
         centroids, probes, "q_id", "term", vqueries,
         kChunks = 20, kDocs = 5)
         .ordered("q_id", "rank")
@@ -1207,7 +1210,7 @@ object ScaleQueries {
       // cache = the streaming contract's materialized segment files (the
       // stats and candidate passes would otherwise each re-run the
       // inline postings builds)
-      val segs = seg0.unionByName(seg1).cache()
+      val segs = ownedCache(seg0.unionByName(seg1), "bm25-upsert")
       StreamingRetrieval.bm25TopKLive(segs, dels,
         probes, "q_id", "term", k = 10)
         .ordered("q_id", "rank")
@@ -1305,8 +1308,9 @@ object ScaleQueries {
       val evals = docs.filter(col("doc_id") % 163 === 0)
       val probes = evals.select(col("doc_id").as("q_id"),
         explode(array_distinct(slice(split(col("text"), " "), 1, 6))).as("term"))
-      val hits = Retrieval.bm25TopK(docs, "doc_id", "text", probes, "q_id", "term", k = 5)
-        .cache()
+      val hits = ownedCache(
+        Retrieval.bm25TopK(docs, "doc_id", "text", probes, "q_id", "term", k = 5),
+        "decontam-hits")
       val evalG = evals.select(col("doc_id").as("q_id"),
         NearDup.shinglesFromTokens(TextOps.tokens(col("text"))).as("eg"))
       val candG = docs
@@ -1389,7 +1393,7 @@ object ScaleQueries {
         emb.filter(col("vec_id") % 163 === 0), k = 5)
         .withColumnRenamed("neighbor_id", "doc_id")
       // bounded by |evals|·5 per list by construction → broadcastable
-      val hits = Retrieval.rrfFuse(Seq(lex, sem), k = 5).cache()
+      val hits = ownedCache(Retrieval.rrfFuse(Seq(lex, sem), k = 5), "pipeline6-hits")
       val evalG = evals.select(col("doc_id").as("q_id"),
         NearDup.shinglesFromTokens(TextOps.tokens(col("text"))).as("eg"))
       val candG = docs.select("doc_id", "text")
@@ -1458,10 +1462,10 @@ object ScaleQueries {
     })
   )
 
-  /** Materialize an inline-built index union — the stand-in for the
-    * streaming contract's segment FILES (which a real deployment's
+  /** Cache a per-query derived artifact (usually the stand-in for the
+    * streaming contract's segment FILES, which a real deployment's
     * `processBatch` already wrote; these queries emulate the build
-    * inline) — with an owned cache lifecycle: each evaluation unpersists
+    * inline) — with an owned lifecycle: each evaluation unpersists
     * the previous evaluation's entry before caching its own, so the
     * session's storage pool holds at most ONE generation per index
     * (previously the entries lived until somebody called clearCache).
@@ -1473,7 +1477,7 @@ object ScaleQueries {
     * pressure (reps climbing 31→85→92 s).
     */
   private val segCaches = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-  private def asSegmentFiles(df: DataFrame, name: String): DataFrame = {
+  private def ownedCache(df: DataFrame, name: String): DataFrame = {
     segCaches.remove(name).foreach(_.unpersist())
     val cached = df.cache()
     segCaches.put(name, cached)
