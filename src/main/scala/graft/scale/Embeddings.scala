@@ -277,13 +277,10 @@ object Embeddings {
     val pw = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("ccos").desc, col("centroid_id"))
     val probes = qvecs.join(broadcast(cent))
-      // zero-norm guard (ANSI throws DIVIDE_BY_ZERO): an undefined routing
-      // cosine takes Similarity.UndefinedCos — all-ties, smallest id wins
-      .withColumn("ccos",
-        when(col("q_norm") * col("cent_norm") > 0,
-          round(vecDot(col("q_vec"), col("cent_vec")) /
-            (col("q_norm") * col("cent_norm")), 6))
-          .otherwise(lit(Similarity.UndefinedCos)))
+      // zero-norm guard (ANSI throws DIVIDE_BY_ZERO): THE pairCos rule —
+      // an undefined routing cosine sorts below range, all-ties win by id
+      .withColumn("ccos", Similarity.pairCos(col("q_vec"), col("cent_vec"),
+        col("q_norm"), col("cent_norm")))
       .withColumn("crank", row_number().over(pw))
       .filter(col("crank") <= nprobe)
       .select(col("q_id"), col("centroid_id").as("bucket"))

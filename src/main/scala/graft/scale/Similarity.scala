@@ -57,7 +57,7 @@ object Similarity {
     * guard ANSI mode (Spark 4 default) throws DIVIDE_BY_ZERO, and one
     * garbage embedding would kill an entire maintenance batch.
     */
-  private def pairCos(aVec: Column, bVec: Column, aNorm: Column, bNorm: Column): Column =
+  private[scale] def pairCos(aVec: Column, bVec: Column, aNorm: Column, bNorm: Column): Column =
     when(aNorm * bNorm > 0, round(dot(aVec, bVec) / (aNorm * bNorm), 6))
       .otherwise(lit(UndefinedCos))
 

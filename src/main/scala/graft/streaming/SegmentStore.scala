@@ -143,18 +143,33 @@ object SegmentStore {
   /** Live segment rows under the committed manifest, per-row `batch`
     * included; `schema` is returned for an index with no segments yet.
     */
-  def readSegments(spark: SparkSession, dir: String, schema: StructType): DataFrame = {
-    val m = readManifest(dir)
+  def readSegments(spark: SparkSession, dir: String, schema: StructType): DataFrame =
+    readSegments(spark, dir, schema, readManifest(dir))
+
+  /** [[readSegments]] against an already-read manifest SNAPSHOT — the
+    * coherent-probe form. A probe that resolves segments, delete markers,
+    * and the frozen parameter through SEPARATE `readManifest` calls can
+    * interleave with a maintenance commit and pair one generation's
+    * parameter with another generation's rows; reading the manifest once
+    * and passing it to every part pins the whole probe to one commit
+    * (whose files stay on disk through the prune grace window).
+    */
+  def readSegments(spark: SparkSession, dir: String, schema: StructType,
+                   m: Manifest): DataFrame =
     if (m.segs.isEmpty) emptyDf(spark, schema)
     else spark.read.parquet(m.segs.map(s => s"$dir/$s"): _*)
-  }
 
   /** Live delete markers — schema (`idCol`, batch). */
-  def readDels(spark: SparkSession, dir: String, idCol: String): DataFrame = {
-    val m = readManifest(dir)
+  def readDels(spark: SparkSession, dir: String, idCol: String): DataFrame =
+    readDels(spark, dir, idCol, readManifest(dir))
+
+  /** [[readDels]] against an already-read manifest snapshot (see the
+    * [[readSegments]] snapshot overload).
+    */
+  def readDels(spark: SparkSession, dir: String, idCol: String,
+               m: Manifest): DataFrame =
     if (m.dels.isEmpty) emptyDf(spark, delSchema(idCol))
     else spark.read.parquet(m.dels.map(d => s"$dir/_dels/$d"): _*)
-  }
 
   /** The two liveness predicates, as joins against churn-sized side tables
     * derived from the per-id version list `versions` ((idCol, batch),

@@ -99,13 +99,23 @@ object StreamingAnnIndex {
       k, nprobe, idCol, vecCol)
   }
 
-  /** [[ivfTopKLive]] reading a maintained index directory (centroids from
-    * the artifact itself).
+  /** [[ivfTopKLive]] reading a maintained index directory — segments,
+    * delete markers, AND centroids resolved from ONE manifest snapshot,
+    * so a refresh committing mid-probe can never hand it one generation's
+    * centroids against another's assignments (separate reads could).
+    * With a refresh policy in the loop this is the probe form to use; a
+    * caller composing the explicit-frames overload owns that coherence
+    * itself (pass frames derived from one manifest, never a centroid
+    * frame captured before a possible refresh).
     */
   def ivfTopKLive(spark: SparkSession, indexDir: String, queries: DataFrame,
-                  k: Int, nprobe: Int): DataFrame =
-    ivfTopKLive(readSegments(spark, indexDir), readDels(spark, indexDir),
-      readCentroids(spark, indexDir), queries, k, nprobe)
+                  k: Int, nprobe: Int): DataFrame = {
+    val m = SegmentStore.readManifest(indexDir)
+    ivfTopKLive(SegmentStore.readSegments(spark, indexDir, segSchema, m),
+      SegmentStore.readDels(spark, indexDir, "vec_id", m),
+      spark.read.parquet(s"$indexDir/${centroidsDir(m)}"),
+      queries, k, nprobe)
+  }
 
   /** Apply one micro-batch of vector changes to the index at `indexDir`
     * (`opCol` rows with "d" delete, others upsert; redelivered batches are
@@ -324,12 +334,16 @@ object StreamingAnnIndex {
                           policy: RefreshPolicy = RefreshPolicy(),
                           idCol: String = "vec_id",
                           vecCol: String = "embedding"): Option[DataFrame] = {
+    // baseline FIRST: its require gives the intended "no committed index"
+    // diagnostic on an uncommitted dir (readCentroids would otherwise
+    // surface an opaque PATH_NOT_FOUND while building the scored frame)
+    val baseline = readRefreshBaseline(spark, indexDir)
     val scored = Similarity.assignBucketsScored(
       batchUpserts.select(col(idCol), col(vecCol)),
       readCentroids(spark, indexDir)
         .select(col("vec_id").as(idCol), col("embedding").as(vecCol)),
       idCol, vecCol)
-    if (!sagged(readRefreshBaseline(spark, indexDir), scored, policy)) None
+    if (!sagged(baseline, scored, policy)) None
     else Some(refreshCentroids(spark, indexDir, policy.lloydIters, policy.tol,
       policy.pruneGraceBatches))
   }

@@ -189,13 +189,34 @@ object StreamingChunkIndex {
       .withColumnRenamed("neighbor_id", "doc_id")
   }
 
+  /** [[ivfChunkHitsLive]] reading a maintained chunk-vec index directory
+    * — segments, delete markers, and centroids from ONE manifest
+    * snapshot (the [[StreamingAnnIndex.ivfTopKLive]] coherence rule).
+    * With the drift policy in the loop this is the probe form to use: a
+    * centroid frame captured at attach time silently routes with a
+    * superseded generation after the first automatic refresh, and even
+    * per-probe `readVecCentroids` can interleave with a refresh commit
+    * between the segment read and the centroid read.
+    */
+  def ivfChunkHitsLive(spark: SparkSession, indexDir: String,
+                       queries: DataFrame, kChunks: Int,
+                       nprobe: Int): DataFrame = {
+    val m = SegmentStore.readManifest(indexDir)
+    ivfChunkHitsLive(SegmentStore.readSegments(spark, indexDir, vecSegSchema, m),
+      SegmentStore.readDels(spark, indexDir, "doc_id", m),
+      spark.read.parquet(s"$indexDir/${StreamingAnnIndex.centroidsDir(m)}"),
+      queries, kChunks, nprobe)
+  }
+
   /** The chunk-granular HYBRID probe: lexical chunk BM25 hits
     * ([[chunkHitsLive]]) and semantic chunk ANN hits ([[ivfChunkHitsLive]])
     * over two live indexes of the same mutating corpus, reciprocal-rank
     * fused WHILE STILL PASSAGES and only then rolled up to documents
     * ([[Chunking.fuseChunkRankings]]). Output: (q_id, doc_id, best_chunk,
     * rrf, rank), top `kDocs` per query. Every stage past the two probes
-    * is candidate-sized.
+    * is candidate-sized. Callers composing these explicit frames own
+    * snapshot coherence (see the dir overload below); `centroids` must
+    * be the generation the vec segments were assigned with.
     */
   def fusedTopKLiveDocs(lexSegs: DataFrame, lexDels: DataFrame,
                         vecSegs: DataFrame, vecDels: DataFrame,
@@ -208,6 +229,28 @@ object StreamingChunkIndex {
     val sem = ivfChunkHitsLive(vecSegs, vecDels, centroids, vecQueries,
       kChunks, nprobe)
     Chunking.fuseChunkRankings(Seq(lex, sem), kDocs, kChunks, k0)
+  }
+
+  /** [[fusedTopKLiveDocs]] reading two maintained index directories (the
+    * lexical chunk store and the chunk-vec store), each leg pinned to one
+    * manifest snapshot — the probe form for deployments running the
+    * drift policy, where the vec store's centroid generation can move
+    * between micro-batches.
+    */
+  def fusedTopKLiveDocs(spark: SparkSession, lexDir: String, vecDir: String,
+                        termQueries: DataFrame, qIdCol: String, termCol: String,
+                        vecQueries: DataFrame,
+                        kChunks: Int, kDocs: Int,
+                        nprobe: Int, k0: Int): DataFrame = {
+    val lm = SegmentStore.readManifest(lexDir)
+    val vm = SegmentStore.readManifest(vecDir)
+    fusedTopKLiveDocs(
+      SegmentStore.readSegments(spark, lexDir, segSchema, lm),
+      SegmentStore.readDels(spark, lexDir, "doc_id", lm),
+      SegmentStore.readSegments(spark, vecDir, vecSegSchema, vm),
+      SegmentStore.readDels(spark, vecDir, "doc_id", vm),
+      spark.read.parquet(s"$vecDir/${StreamingAnnIndex.centroidsDir(vm)}"),
+      termQueries, qIdCol, termCol, vecQueries, kChunks, kDocs, nprobe, k0)
   }
 
   /** The chunk-vec index's frozen routing parameter, persisted inside the
@@ -355,11 +398,13 @@ object StreamingChunkIndex {
                                StreamingAnnIndex.RefreshPolicy(),
                              ckCol: String = "ck",
                              vecCol: String = "embedding"): Option[DataFrame] = {
+    // baseline FIRST — the intended "no committed index" diagnostic (see
+    // StreamingAnnIndex.maybeRefreshOnDrift)
+    val baseline = readVecRefreshBaseline(spark, indexDir)
     val scored = Similarity.assignBucketsScored(
       batchChunkVecs.select(col(ckCol).as("vec_id"), col(vecCol).as("embedding")),
       readVecCentroids(spark, indexDir))
-    if (!StreamingAnnIndex.sagged(readVecRefreshBaseline(spark, indexDir),
-        scored, policy)) None
+    if (!StreamingAnnIndex.sagged(baseline, scored, policy)) None
     else Some(refreshVecCentroids(spark, indexDir, policy.lloydIters,
       policy.tol, policy.pruneGraceBatches))
   }

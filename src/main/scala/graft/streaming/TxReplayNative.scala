@@ -280,13 +280,15 @@ object TxReplayNative {
     *   (Kafka: max in-flight + rebalance time; minutes, not days) — a
     *   straggler later than that window is already a correctness bug
     *   upstream. The key set shares the TTL (a post-expiry straggler must
-    *   not re-create undrainable state), with one refinement: every batch
-    *   of sightings for a (tx, shard) key RESTARTS the whole key set's
-    *   clock, so expiry requires the key to be SILENT for the full window
-    *   — a ghost set a late straggler re-created still expires (it is
-    *   written once and never touched again), while an active open
-    *   transaction keeps its sightings alive. The residual contract: the
-    *   TTL must exceed the longest SILENT wait between a key's last
+    *   not re-create undrainable state), with one refinement: a batch of
+    *   sightings for a (tx, shard) key RESTARTS the whole key set's clock
+    *   (throttled to twice per window, so a bulk tx spread over many
+    *   batches costs O(set) re-stamps per half-window, not per batch) —
+    *   expiry therefore requires the key to be SILENT for at least HALF
+    *   the window. A ghost set a late straggler re-created still expires
+    *   (written once, never touched again), while an active open
+    *   transaction keeps its sightings alive. The residual contract: half
+    *   the TTL must exceed the longest SILENT wait between a key's last
     *   sighting and its release. Under stall eviction that wait is NOT
     *   just `stallTimeoutMs` — a complete transaction queues in the
     *   contiguity sequencer behind earlier stalled transactions, each
@@ -301,6 +303,7 @@ object TxReplayNative {
     extends StatefulProcessor[(Long, Int), ShardCmd, FlushMarker] {
     @transient private var seen: MapState[Long, Boolean] = _
     @transient private var done: ValueState[java.lang.Boolean] = _
+    @transient private var restamp: ValueState[java.lang.Long] = _
     override def init(o: OutputMode, t: TimeMode): Unit = {
       val doneTtl = doneTtlMs.fold(TTLConfig.NONE)(ms =>
         TTLConfig(java.time.Duration.ofMillis(ms)))
@@ -313,6 +316,10 @@ object TxReplayNative {
         Encoders.scalaLong, Encoders.scalaBoolean, doneTtl)
       done = getHandle.getValueState[java.lang.Boolean]("done",
         Encoders.BOOLEAN, doneTtl)
+      // when the last whole-set re-stamp ran (TTL mode only) — rides the
+      // same TTL so it expires with the set it describes
+      restamp = getHandle.getValueState[java.lang.Long]("restamp",
+        Encoders.LONG, doneTtl)
     }
 
     override def handleInputRows(k: (Long, Int), rows: Iterator[ShardCmd],
@@ -327,12 +334,21 @@ object TxReplayNative {
           // would otherwise start at its own first write, and a release
           // arriving a long stall-chain later could find the early
           // sightings expired — those flushes would be silently lost.
-          // Cost: |shard key set| re-stamps per touched batch, TTL runs
-          // only. Keys are materialized first — never mutate MapState
-          // while iterating it.
-          if (doneTtlMs.isDefined) {
-            val existing = seen.iterator().map(_._1).toVector
-            existing.foreach(kk => seen.updateValue(kk, true))
+          // Throttled to at most twice per TTL window (a bulk tx's
+          // sightings spread over many batches would otherwise re-stamp
+          // the whole accumulated set on EVERY batch — quadratic write
+          // amplification): entries are at most TTL/2 stale at any touch,
+          // so expiry under activity still needs the key SILENT for at
+          // least half the window. Keys are materialized first — never
+          // mutate MapState while iterating it.
+          doneTtlMs.foreach { ttl =>
+            val now = tv.getCurrentProcessingTimeInMs()
+            val due = Option(restamp.get()).fold(true)(l => now - l.longValue > ttl / 2)
+            if (due) {
+              val existing = seen.iterator().map(_._1).toVector
+              existing.foreach(kk => seen.updateValue(kk, true))
+              restamp.update(now)
+            }
           }
           fresh.foreach(kk => if (!seen.containsKey(kk)) seen.updateValue(kk, true))
           Iterator.empty

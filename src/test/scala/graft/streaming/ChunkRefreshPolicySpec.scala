@@ -76,14 +76,13 @@ class ChunkRefreshPolicySpec extends AnyFunSuite with Matchers {
       rows.toDF("doc_id", "ck", "embedding").withColumn("op", lit("u")),
       b, dir, centroids.toDF("vec_id", "embedding"), policy, opCol = Some("op"))
 
-  /** Top-3 chunk keys by the maintained index (generation-resolved
-    * centroids from the artifact itself).
+  /** Top-3 chunk keys by the maintained index — the dir overload:
+    * segments, dels, and centroids pinned to ONE manifest snapshot, the
+    * probe form a policy-looped deployment must use (a captured
+    * centroids frame goes stale at the first automatic refresh).
     */
   private def probeTop3(dir: String): Set[Long] =
-    StreamingChunkIndex.ivfChunkHitsLive(
-      StreamingChunkIndex.readVecSegments(spark, dir),
-      StreamingChunkIndex.readDels(spark, dir),
-      StreamingChunkIndex.readVecCentroids(spark, dir),
+    StreamingChunkIndex.ivfChunkHitsLive(spark, dir,
       q.toDF("vec_id", "embedding"), kChunks = 3, nprobe = 1)
       .select("doc_id").as[Long].collect().toSet
 

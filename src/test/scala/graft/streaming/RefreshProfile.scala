@@ -65,6 +65,52 @@ object RefreshProfile {
       println(f"POLICY $sf: baseline_bootstrap=$baseBootT%.2f s " +
         f"judge_stable=$judgeT%.2f s (fired=${firedStable.isDefined}) " +
         f"judge_postrefresh=$judgeAfterT%.2f s (fired=${firedAfter.isDefined})")
+
+      // ---- the chunk-granular sibling, same contract at passage scale:
+      // every vector becomes two chunk vectors (ck = key(vec_id, 0|1),
+      // second chunk rotated by one dim) with DOC-level liveness
+      import graft.scale.Chunking
+      val chunkVecs = e.select(col("vec_id").as("doc_id"),
+          posexplode(array(col("embedding"),
+            concat(slice(col("embedding"), 2, 63), slice(col("embedding"), 1, 1))))
+            .as(Seq("chunk_id", "embedding")))
+        .select(col("doc_id"),
+          Chunking.chunkKey(col("doc_id"), col("chunk_id")).as("ck"),
+          col("embedding"))
+      val vdir = Files.createTempDirectory("graft-refresh-prof-chunk").toString
+      StreamingChunkIndex.processVecBatch(
+        chunkVecs.withColumn("op", lit("u")), 0L, vdir, centroids,
+        opCol = Some("op"))
+      val (_, vProbeBefore) = time(
+        StreamingChunkIndex.ivfChunkHitsLive(
+          StreamingChunkIndex.readVecSegments(spark, vdir),
+          StreamingChunkIndex.readDels(spark, vdir),
+          StreamingChunkIndex.readVecCentroids(spark, vdir),
+          queries, kChunks = 5, nprobe = 1)
+          .write.format("noop").mode("overwrite").save())
+      val stableChunkDelta = chunkVecs.filter(col("doc_id") % 10 === 7)
+        .select("ck", "embedding")
+      val (_, vBaseBootT) = time(
+        StreamingChunkIndex.readVecRefreshBaseline(spark, vdir).collect())
+      val (vFired, vJudgeT) = time(
+        StreamingChunkIndex.maybeRefreshVecOnDrift(spark, vdir, stableChunkDelta))
+      val (_, vRefreshT) = time(
+        StreamingChunkIndex.refreshVecCentroids(spark, vdir, lloydIters = 1))
+      val (_, vProbeAfter) = time(
+        StreamingChunkIndex.ivfChunkHitsLive(
+          StreamingChunkIndex.readVecSegments(spark, vdir),
+          StreamingChunkIndex.readDels(spark, vdir),
+          StreamingChunkIndex.readVecCentroids(spark, vdir),
+          queries, kChunks = 5, nprobe = 1)
+          .write.format("noop").mode("overwrite").save())
+      val (vFiredAfter, vJudgeAfterT) = time(
+        StreamingChunkIndex.maybeRefreshVecOnDrift(spark, vdir, stableChunkDelta))
+      println(f"CHUNKPOLICY $sf: chunks=${2 * n} " +
+        f"baseline_bootstrap=$vBaseBootT%.2f s " +
+        f"judge_stable=$vJudgeT%.2f s (fired=${vFired.isDefined}) " +
+        f"refresh=$vRefreshT%.2f s " +
+        f"probe_before=$vProbeBefore%.2f s probe_after=$vProbeAfter%.2f s " +
+        f"judge_postrefresh=$vJudgeAfterT%.2f s (fired=${vFiredAfter.isDefined})")
     }
     spark.stop()
   }

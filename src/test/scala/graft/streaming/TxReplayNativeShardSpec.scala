@@ -286,11 +286,12 @@ class TxReplayNativeShardSpec extends AnyFunSuite with Matchers {
     // write, so a release arriving later than the window after a key's
     // FIRST sightings (a stalled chain ahead of it in the sequencer)
     // would find them expired and silently lose those flushes. With
-    // refresh-on-touch, any sighting batch re-stamps the whole shard key
-    // set — expiry needs the key to be SILENT for the full window.
-    // Timeline (TTL 10 s): keys 1-2 at t0; key 3 at ~t0+6 s (refreshes
-    // 1-2); END at ~t0+12 s — past t0+TTL, inside refresh+TTL. All three
-    // keys must flush.
+    // refresh-on-touch (throttled to twice per window), a sighting batch
+    // re-stamps the whole shard key set — expiry needs the key SILENT
+    // for at least half the window.
+    // Timeline (TTL 10 s): keys 1-2 at t0; key 3 at ~t0+6 s (> TTL/2
+    // since the t0 stamp → re-stamps 1-2); END at ~t0+12 s — past
+    // t0+TTL, inside refresh+TTL. All three keys must flush.
     withRocksDb {
       implicit val sqlCtx = spark.sqlContext
       val in = MemoryStream[NativeEv]
