@@ -128,12 +128,18 @@ object StreamingChunkIndex {
       chunkHitsLive(segs, dels, queries, qIdCol, termCol, kChunks,
         k1, b, maxDfFrac), kDocs)
 
-  /** [[chunkTopKLiveDocs]] reading a maintained index directory. */
+  /** [[chunkTopKLiveDocs]] reading a maintained index directory —
+    * segments and delete markers from one manifest snapshot (a commit
+    * interleaving between separate reads would give a mixed as-of view).
+    */
   def chunkTopKLiveDocs(spark: SparkSession, indexDir: String, queries: DataFrame,
                         qIdCol: String, termCol: String,
-                        kChunks: Int, kDocs: Int): DataFrame =
-    chunkTopKLiveDocs(readSegments(spark, indexDir), readDels(spark, indexDir),
+                        kChunks: Int, kDocs: Int): DataFrame = {
+    val m = SegmentStore.readManifest(indexDir)
+    chunkTopKLiveDocs(SegmentStore.readSegments(spark, indexDir, segSchema, m),
+      SegmentStore.readDels(spark, indexDir, "doc_id", m),
       queries, qIdCol, termCol, kChunks, kDocs)
+  }
 
   // --------------------------------------------------------------------
   // The SEMANTIC half: chunk embeddings in the IVF family, keyed by

@@ -57,9 +57,12 @@ object StreamingDedupIndex {
     * over the surviving latest-version corpus — drop-in for
     * [[NearDup.incrementalMinHashDedup]]'s `index` argument.
     */
-  def liveIndex(spark: SparkSession, indexDir: String): DataFrame =
-    SegmentStore.liveRows(readSegments(spark, indexDir),
-      readDels(spark, indexDir), "id").drop("batch")
+  def liveIndex(spark: SparkSession, indexDir: String): DataFrame = {
+    // one manifest snapshot for both reads (mixed as-of views otherwise)
+    val m = SegmentStore.readManifest(indexDir)
+    SegmentStore.liveRows(SegmentStore.readSegments(spark, indexDir, segSchema, m),
+      SegmentStore.readDels(spark, indexDir, "id", m), "id").drop("batch")
+  }
 
   /** Near-dedup an arriving delta against the maintained index as of the
     * last committed batch — [[NearDup.incrementalMinHashDedup]] over the

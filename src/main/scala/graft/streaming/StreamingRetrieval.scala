@@ -111,11 +111,17 @@ object StreamingRetrieval {
       .filter(col("rank") <= k)
   }
 
-  /** [[bm25TopKLive]] reading a maintained index directory. */
+  /** [[bm25TopKLive]] reading a maintained index directory — segments and
+    * delete markers from one manifest snapshot (a commit interleaving
+    * between separate reads would give a mixed as-of view).
+    */
   def bm25TopKLive(spark: SparkSession, indexDir: String, queries: DataFrame,
-                   qIdCol: String, termCol: String, k: Int): DataFrame =
-    bm25TopKLive(readSegments(spark, indexDir), readDels(spark, indexDir),
+                   qIdCol: String, termCol: String, k: Int): DataFrame = {
+    val m = SegmentStore.readManifest(indexDir)
+    bm25TopKLive(SegmentStore.readSegments(spark, indexDir, segSchema, m),
+      SegmentStore.readDels(spark, indexDir, "doc_id", m),
       queries, qIdCol, termCol, k)
+  }
 
   /** Apply one micro-batch of document changes to the index at `indexDir`.
     * `docs` columns: `idCol`, `textCol`, and optionally `opCol` — rows
