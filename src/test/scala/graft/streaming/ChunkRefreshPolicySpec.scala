@@ -150,6 +150,56 @@ class ChunkRefreshPolicySpec extends AnyFunSuite with Matchers {
     after should be > before
   }
 
+  test("a centroids frame captured before the refresh silently mis-routes; the dir probe does not") {
+    // the hazard the dir overload exists for: pre-round-11 the centroids
+    // were frozen forever, so capturing them once at attach time was
+    // legitimate. With the policy in the loop, the first automatic fire
+    // re-buckets every row against g1 while a captured g0 frame keeps
+    // routing queries by g0 geometry — same centroid IDS, different
+    // positions — and the probe scans the wrong g1 bucket with no error.
+    val dir = Files.createTempDirectory("graft-chunk-policy-stale").toString
+    send(dir, 0, anchors) shouldBe None
+    send(dir, 1, drifters) shouldBe defined // fired → generation g1
+    val expect = trueTop3(anchors.filter(_._1 <= 3) ++ drifters)
+
+    // stale probe: the g0 frame routes q (226°) to the +x bucket id,
+    // which under g1 holds the +x mass — zero blob passages come back
+    val stale = StreamingChunkIndex.ivfChunkHitsLive(
+      StreamingChunkIndex.readVecSegments(spark, dir),
+      StreamingChunkIndex.readDels(spark, dir),
+      centroids.toDF("vec_id", "embedding"), // captured before the fire
+      q.toDF("vec_id", "embedding"), kChunks = 3, nprobe = 1)
+      .select("doc_id").as[Long].collect().toSet
+    stale.intersect(expect) shouldBe empty
+
+    // the manifest-snapshot dir probe routes and scans ONE generation
+    probeTop3(dir) shouldBe expect
+
+    // and the fused dir overload (both stores from their own snapshots)
+    // agrees with its explicit-frames form composed coherently
+    val lexDir = Files.createTempDirectory("graft-chunk-policy-stale-lex").toString
+    StreamingChunkIndex.processBatch(
+      Seq((14L, "blob blob blob"), (15L, "blob blob text"))
+        .toDF("doc_id", "text").withColumn("op", lit("u")),
+      0, lexDir, window = 4, stride = 4, opCol = Some("op"))
+    val terms = Seq((100L, "blob")).toDF("q_id", "term")
+    val viaDirs = StreamingChunkIndex.fusedTopKLiveDocs(spark, lexDir, dir,
+      terms, "q_id", "term", q.toDF("vec_id", "embedding"),
+      kChunks = 3, kDocs = 3, nprobe = 1, k0 = 60)
+      .select("q_id", "doc_id", "best_chunk", "rrf", "rank").collect().toSeq
+    val viaFrames = StreamingChunkIndex.fusedTopKLiveDocs(
+      StreamingChunkIndex.readSegments(spark, lexDir),
+      StreamingChunkIndex.readDels(spark, lexDir),
+      StreamingChunkIndex.readVecSegments(spark, dir),
+      StreamingChunkIndex.readDels(spark, dir),
+      StreamingChunkIndex.readVecCentroids(spark, dir), // g1, coherent
+      terms, "q_id", "term", q.toDF("vec_id", "embedding"),
+      kChunks = 3, kDocs = 3, nprobe = 1)
+      .select("q_id", "doc_id", "best_chunk", "rrf", "rank").collect().toSeq
+    viaDirs should contain theSameElementsAs viaFrames
+    viaDirs should not be empty
+  }
+
   test("doc-level deletes keep applying across the refresh") {
     val dir = Files.createTempDirectory("graft-chunk-policy-del").toString
     send(dir, 0, anchors) shouldBe None
