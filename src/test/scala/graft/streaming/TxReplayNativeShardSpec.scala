@@ -336,6 +336,54 @@ class TxReplayNativeShardSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("bulk transaction under a TTL: spread sightings flush once each (throttled re-stamp path)") {
+    // the throttle's scale case: a bulk tx's sightings arrive over several
+    // batches with the TTL on. Every batch hits the re-stamp logic (the
+    // first stamps, later ones skip inside the half-window), and the
+    // release must still flush EVERY key exactly once — the whole set, not
+    // just the last batch's. 9k keys across 3 batches, 4 shards.
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      val in = MemoryStream[NativeEv]
+      val df = in.toDF()
+      val left = df.filter(col("stream") === "l")
+        .select(col("key"), col("op"), col("lsn"), col("tx_id"), col("orow").as("row"))
+      val right = df.filter(col("stream") === "r")
+        .select(col("key"), col("line_id"), col("op"), col("lsn"), col("tx_id"),
+          col("lrow").as("row"))
+      val ends = df.filter(col("stream") === "t")
+        .select(col("tx_id"), col("commit_lsn"), col("expected_left"),
+          col("expected_right"))
+      val n = 9000
+      val q = TxReplayNative.docs(left, right, ends, keyShards = Some(4),
+          shardDoneTtlMs = Some(600000L))
+        .writeStream.format("memory").queryName("shard_bulk_ttl")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-shard-bulk-ttl").toString)
+        .start()
+      try {
+        (0 until 3).foreach { w =>
+          val keys = (1L + w * n / 3) to ((w + 1).toLong * n / 3)
+          in.addData(toNative(
+            keys.map(k => LeftEv(k, "c", k, 1, OrderRow(k.toInt, "bulk"))),
+            keys.map(k => RightEv(k, 1, "c", n + k, 1, LineRow(1, 1, 1.0))),
+            Seq.empty))
+          Thread.sleep(400) // separate micro-batches; well inside the TTL
+        }
+        in.addData(toNative(Seq.empty, Seq.empty,
+          Seq(TxEnd(1, 1000000, n.toLong, n.toLong))))
+        val deadline = System.currentTimeMillis() + 120000
+        while (spark.table("shard_bulk_ttl").count() < n &&
+               System.currentTimeMillis() < deadline) Thread.sleep(200)
+        val out = spark.table("shard_bulk_ttl").collect()
+        out.length shouldBe n
+        out.map(_.getAs[Long]("key")).distinct.length shouldBe n
+      } finally q.stop()
+    }
+  }
+
   test("bounded done-tombstone TTL: identical semantics inside the window") {
     // shardDoneTtlMs bounds the per-(tx, shard) tombstone so a long-running
     // stream's state stops growing with total transaction count; within the
