@@ -79,7 +79,16 @@ object StreamingAnnIndex {
     * parameter pointer, so assignments and routing always match.
     */
   def readCentroids(spark: SparkSession, indexDir: String): DataFrame =
-    spark.read.parquet(s"$indexDir/${centroidsDir(SegmentStore.readManifest(indexDir))}")
+    readCentroids(spark, indexDir, SegmentStore.readManifest(indexDir))
+
+  /** [[readCentroids]] against an already-read manifest snapshot (the
+    * [[SegmentStore.readSegments]] snapshot-overload convention) — what
+    * a coherent probe uses so its centroids and its rows come from ONE
+    * commit.
+    */
+  def readCentroids(spark: SparkSession, indexDir: String,
+                    m: SegmentStore.Manifest): DataFrame =
+    spark.read.parquet(s"$indexDir/${centroidsDir(m)}")
 
   /** [[Similarity.ivfTopKIndexed]] over the live view of an upsert/delete
     * index: query vectors route through the persisted centroids; the
@@ -113,7 +122,7 @@ object StreamingAnnIndex {
     val m = SegmentStore.readManifest(indexDir)
     ivfTopKLive(SegmentStore.readSegments(spark, indexDir, segSchema, m),
       SegmentStore.readDels(spark, indexDir, "vec_id", m),
-      spark.read.parquet(s"$indexDir/${centroidsDir(m)}"),
+      readCentroids(spark, indexDir, m),
       queries, k, nprobe)
   }
 

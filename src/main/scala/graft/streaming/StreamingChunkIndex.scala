@@ -210,7 +210,7 @@ object StreamingChunkIndex {
     val m = SegmentStore.readManifest(indexDir)
     ivfChunkHitsLive(SegmentStore.readSegments(spark, indexDir, vecSegSchema, m),
       SegmentStore.readDels(spark, indexDir, "doc_id", m),
-      spark.read.parquet(s"$indexDir/${StreamingAnnIndex.centroidsDir(m)}"),
+      readVecCentroids(spark, indexDir, m),
       queries, kChunks, nprobe)
   }
 
@@ -255,7 +255,7 @@ object StreamingChunkIndex {
       SegmentStore.readDels(spark, lexDir, "doc_id", lm),
       SegmentStore.readSegments(spark, vecDir, vecSegSchema, vm),
       SegmentStore.readDels(spark, vecDir, "doc_id", vm),
-      spark.read.parquet(s"$vecDir/${StreamingAnnIndex.centroidsDir(vm)}"),
+      readVecCentroids(spark, vecDir, vm),
       termQueries, qIdCol, termCol, vecQueries, kChunks, kDocs, nprobe, k0)
   }
 
@@ -270,8 +270,14 @@ object StreamingChunkIndex {
     * together.
     */
   def readVecCentroids(spark: SparkSession, indexDir: String): DataFrame =
-    spark.read.parquet(s"$indexDir/" +
-      StreamingAnnIndex.centroidsDir(SegmentStore.readManifest(indexDir)))
+    readVecCentroids(spark, indexDir, SegmentStore.readManifest(indexDir))
+
+  /** [[readVecCentroids]] against an already-read manifest snapshot (the
+    * [[SegmentStore.readSegments]] snapshot-overload convention).
+    */
+  def readVecCentroids(spark: SparkSession, indexDir: String,
+                       m: SegmentStore.Manifest): DataFrame =
+    spark.read.parquet(s"$indexDir/${StreamingAnnIndex.centroidsDir(m)}")
 
   /** Apply one micro-batch of chunk-embedding changes to the vector index
     * at `indexDir` — doc-level contract: an `opCol` "d" row deletes the

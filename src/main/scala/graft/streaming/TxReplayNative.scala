@@ -283,13 +283,18 @@ object TxReplayNative {
     *   not re-create undrainable state), with one refinement: a batch of
     *   sightings for a (tx, shard) key RESTARTS the whole key set's clock
     *   (throttled to twice per window, so a bulk tx spread over many
-    *   batches costs O(set) re-stamps per half-window, not per batch) —
-    *   expiry therefore requires the key to be SILENT for at least HALF
-    *   the window. A ghost set a late straggler re-created still expires
-    *   (written once, never touched again), while an active open
-    *   transaction keeps its sightings alive. The residual contract: half
-    *   the TTL must exceed the longest SILENT wait between a key's last
-    *   sighting and its release. Under stall eviction that wait is NOT
+    *   batches costs O(set) re-stamps per half-window, not per batch). A
+    *   ghost set a late straggler re-created still expires (written once,
+    *   never touched again), while an active open transaction keeps its
+    *   sightings alive. The PRECISE residual contract, because a touch
+    *   inside the half-window does NOT extend the clock: size the TTL so
+    *   that HALF of it exceeds the longest gap between CONSECUTIVE
+    *   touches of an open (tx, shard) key — every sighting-to-sighting
+    *   gap AND the final sighting-to-release gap. (With every gap under
+    *   TTL/2, some touch always lands inside (restamp + TTL/2,
+    *   restamp + TTL] and renews the set before anything expires; a
+    *   single gap above TTL/2 can let entries stamped before the gap
+    *   expire even though a later touch precedes the release.) Under stall eviction that wait is NOT
     *   just `stallTimeoutMs` — a complete transaction queues in the
     *   contiguity sequencer behind earlier stalled transactions, each
     *   evicting at its own first-sighting + stallTimeoutMs, so the wait
@@ -499,10 +504,10 @@ object TxReplayNative {
     require(shardDoneTtlMs.isEmpty || keyShards.isDefined,
       "shardDoneTtlMs applies to the sharded fan-out; set keyShards")
     // the key set shares the TTL; sightings refresh the clock on activity
-    // (see ShardFanout), so the binding quantity is the longest SILENT
-    // wait before a release — at least one stall window, and stall chains
-    // stack with arrival skew. This check is the FLOOR, not the
-    // recommendation: size the TTL a comfortable multiple above it.
+    // (see ShardFanout — throttled, so the binding quantity is the longest
+    // gap between CONSECUTIVE touches, and half the TTL must exceed it).
+    // Stalled chains stack with arrival skew, so this check is the FLOOR,
+    // not the recommendation: size the TTL a comfortable multiple above.
     require(shardDoneTtlMs.isEmpty || stallTimeoutMs.forall(_ < shardDoneTtlMs.get),
       "shardDoneTtlMs must exceed stallTimeoutMs (an open tx's key " +
         "sightings must not expire before its release or eviction; " +

@@ -81,13 +81,11 @@ object RefreshProfile {
       StreamingChunkIndex.processVecBatch(
         chunkVecs.withColumn("op", lit("u")), 0L, vdir, centroids,
         opCol = Some("op"))
-      val (_, vProbeBefore) = time(
-        StreamingChunkIndex.ivfChunkHitsLive(
-          StreamingChunkIndex.readVecSegments(spark, vdir),
-          StreamingChunkIndex.readDels(spark, vdir),
-          StreamingChunkIndex.readVecCentroids(spark, vdir),
+      def vProbe(): Unit =
+        StreamingChunkIndex.ivfChunkHitsLive(spark, vdir,
           queries, kChunks = 5, nprobe = 1)
-          .write.format("noop").mode("overwrite").save())
+          .write.format("noop").mode("overwrite").save()
+      val (_, vProbeBefore) = time(vProbe())
       val stableChunkDelta = chunkVecs.filter(col("doc_id") % 10 === 7)
         .select("ck", "embedding")
       val (_, vBaseBootT) = time(
@@ -96,13 +94,7 @@ object RefreshProfile {
         StreamingChunkIndex.maybeRefreshVecOnDrift(spark, vdir, stableChunkDelta))
       val (_, vRefreshT) = time(
         StreamingChunkIndex.refreshVecCentroids(spark, vdir, lloydIters = 1))
-      val (_, vProbeAfter) = time(
-        StreamingChunkIndex.ivfChunkHitsLive(
-          StreamingChunkIndex.readVecSegments(spark, vdir),
-          StreamingChunkIndex.readDels(spark, vdir),
-          StreamingChunkIndex.readVecCentroids(spark, vdir),
-          queries, kChunks = 5, nprobe = 1)
-          .write.format("noop").mode("overwrite").save())
+      val (_, vProbeAfter) = time(vProbe())
       val (vFiredAfter, vJudgeAfterT) = time(
         StreamingChunkIndex.maybeRefreshVecOnDrift(spark, vdir, stableChunkDelta))
       println(f"CHUNKPOLICY $sf: chunks=${2 * n} " +

@@ -287,11 +287,12 @@ class TxReplayNativeShardSpec extends AnyFunSuite with Matchers {
     // FIRST sightings (a stalled chain ahead of it in the sequencer)
     // would find them expired and silently lose those flushes. With
     // refresh-on-touch (throttled to twice per window), a sighting batch
-    // re-stamps the whole shard key set — expiry needs the key SILENT
-    // for at least half the window.
-    // Timeline (TTL 10 s): keys 1-2 at t0; key 3 at ~t0+6 s (> TTL/2
-    // since the t0 stamp → re-stamps 1-2); END at ~t0+12 s — past
-    // t0+TTL, inside refresh+TTL. All three keys must flush.
+    // past the half-window re-stamps the whole shard key set.
+    // Timeline (TTL 10 s): keys 1-2 at t0; key 3 at ~t0+7 s — the 2 s
+    // margin over TTL/2=5 s absorbs cold-start batch latency, so the
+    // throttle measures the gap as >5 s and re-stamps 1-2; END at
+    // ~t0+14 s — past t0+TTL (the old per-write clock WOULD have expired
+    // keys 1-2), inside restamp+TTL. All three keys must flush.
     withRocksDb {
       implicit val sqlCtx = spark.sqlContext
       val in = MemoryStream[NativeEv]
@@ -320,12 +321,12 @@ class TxReplayNativeShardSpec extends AnyFunSuite with Matchers {
           Seq(RightEv(1, 1, "c", 3, 1, LineRow(1, 1, 1.0)),
               RightEv(2, 1, "c", 4, 1, LineRow(1, 1, 2.0))),
           Seq.empty))
-        Thread.sleep(6000) // most of the window passes, tx still open
+        Thread.sleep(7000) // > TTL/2 with margin, tx still open
         in.addData(toNative(
           Seq(LeftEv(3, "c", 5, 1, OrderRow(3, "c"))),
           Seq(RightEv(3, 1, "c", 6, 1, LineRow(1, 1, 3.0))),
           Seq.empty)) // touch refreshes keys 1-2's clock
-        Thread.sleep(6000) // now > TTL since keys 1-2 were written
+        Thread.sleep(7000) // now > TTL since keys 1-2 were written
         in.addData(toNative(Seq.empty, Seq.empty, Seq(TxEnd(1, 100, 3, 3))))
         val deadline = System.currentTimeMillis() + 120000
         while (spark.table("shard_ttl_refresh").count() < 3 &&
