@@ -14,11 +14,14 @@ import graft.scale.{Chunking, NearDup, Retrieval, Sketches, TextOps}
 /** ONE document-change stream feeds every maintained artifact at once —
   * the deployment shape: a single CDC/crawl feed fans out (same
   * micro-batches, independent checkpoints) to the BM25 doc index, the
-  * chunk index, the MinHash index, the drift monitor, and the corpus
-  * sketches. After three batches of churn (ingest → truncating updates →
-  * deletes), every probe must equal its batch-built oracle over the
-  * surviving corpus — the per-artifact equivalence specs, demonstrated to
-  * hold simultaneously on one shared stream rather than in isolation.
+  * chunk index, the MinHash index, the drift monitor, the corpus
+  * sketches, AND (round 11) the self-refreshing chunk-vec index with the
+  * drift policy in its loop. After three batches of churn (ingest →
+  * truncating updates → deletes), every probe must equal its batch-built
+  * oracle over the surviving corpus — the per-artifact equivalence
+  * specs, demonstrated to hold simultaneously on one shared stream
+  * rather than in isolation — and the policy must NOT have fired (every
+  * batch draws from the same distribution).
   */
 class CompositeStreamSpec extends AnyFunSuite with Matchers {
 
@@ -26,20 +29,44 @@ class CompositeStreamSpec extends AnyFunSuite with Matchers {
   import spark.implicits._
   private val sf = "/root/testdata/sf0.01"
 
-  test("one stream, five artifacts: every probe equals its batch oracle") {
+  /** Deterministic stand-in for a passage embedder: a 4-dim vector hashed
+    * from the chunk text — identical on the stream side and in the batch
+    * oracle, non-degenerate geometry.
+    */
+  private def fakeVec(chunk: org.apache.spark.sql.Column) =
+    array((0 to 3).map(i =>
+      pmod(xxhash64(chunk, lit(i)), lit(1000)).cast("double") / 1000.0): _*)
+
+  test("one stream, six artifacts: every probe equals its batch oracle") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
-      .filter(col("doc_id") < 300) // keep five parallel pipelines quick
+      .filter(col("doc_id") < 300) // keep six parallel pipelines quick
     val shortened = array_join(slice(split(col("text"), " "), 1, 40), " ")
 
     def tmp(p: String) = Files.createTempDirectory(p).toString
-    val (bm25Dir, chunkDir, mhDir, monDir, skDir) =
-      (tmp("cs-bm25"), tmp("cs-chunk"), tmp("cs-mh"), tmp("cs-mon"), tmp("cs-sk"))
+    val (bm25Dir, chunkDir, mhDir, monDir, skDir, vecDir) =
+      (tmp("cs-bm25"), tmp("cs-chunk"), tmp("cs-mh"), tmp("cs-mon"),
+        tmp("cs-sk"), tmp("cs-vec"))
 
     val baseline = CorpusMonitor.profile(docs, "text")
+    val centroids = Seq(
+      (0L, Seq(0.9, 0.1, 0.1, 0.1)), (1L, Seq(0.1, 0.9, 0.1, 0.1)),
+      (2L, Seq(0.1, 0.1, 0.9, 0.1)), (3L, Seq(0.1, 0.1, 0.1, 0.9)))
+      .toDF("vec_id", "embedding")
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(Long, String, String)]
     val feed = input.toDS().toDF("doc_id", "text", "op")
     val upsertsOnly = feed.filter(col("op") =!= "d")
+    // the chunk-vec leg derives (ck, embedding) from the SAME feed: "u"
+    // rows chunk and embed (map-only, streaming-safe); "d" rows pass
+    // through as doc-level deletes (payload ignored by the store)
+    val vfeed = Chunking.chunkDocuments(upsertsOnly.select("doc_id", "text"),
+        "doc_id", "text", 32, 16)
+      .select(col("doc_id"),
+        Chunking.chunkKey(col("doc_id"), col("chunk_id")).as("ck"),
+        fakeVec(col("chunk")).as("embedding"), lit("u").as("op"))
+      .unionByName(feed.filter(col("op") === "d")
+        .select(col("doc_id"), lit(-1L).as("ck"),
+          fakeVec(col("text")).as("embedding"), lit("d").as("op")))
     val queries = Seq(
       StreamingRetrieval.attachIndexMaintenance(feed, bm25Dir, tmp("ck1"),
         opCol = Some("op")),
@@ -48,7 +75,11 @@ class CompositeStreamSpec extends AnyFunSuite with Matchers {
       StreamingDedupIndex.attachIndexMaintenance(feed, mhDir, tmp("ck3"),
         opCol = Some("op")),
       CorpusMonitor.attachMonitor(upsertsOnly, monDir, tmp("ck4"), baseline),
-      StreamingSketch.attachSketch(upsertsOnly, skDir, tmp("ck5")))
+      StreamingSketch.attachSketch(upsertsOnly, skDir, tmp("ck5")),
+      StreamingChunkIndex.attachVecIndexMaintenanceWithPolicy(vfeed, vecDir,
+        tmp("ck6"), centroids,
+        StreamingAnnIndex.RefreshPolicy(z = 3.0, minBatchRows = 3),
+        opCol = Some("op")))
 
     def sendAll(rows: DataFrame): Unit = {
       input.addData(rows.select("doc_id", "text", "op")
@@ -113,5 +144,25 @@ class CompositeStreamSpec extends AnyFunSuite with Matchers {
     StreamingSketch.readKmv(spark, skDir).select("kmv").as[Seq[Long]].head() shouldBe
       Sketches.kmvDistinct(streamedToks, Nil, "token", 64)
         .select("kmv").as[Seq[Long]].head()
+
+    // 6. chunk-vec index with the drift policy in the loop: the policy
+    // stayed quiet (every batch draws from one hash-uniform distribution
+    // — a fire here would be noise), and the semantic probe equals a
+    // fresh batch assignment of the surviving corpus's chunk vectors
+    StreamingChunkIndex.readManifest(vecDir).param shouldBe None
+    val survivorVecs = Chunking.chunkDocuments(survivors, "doc_id", "text", 32, 16)
+      .select(Chunking.chunkKey(col("doc_id"), col("chunk_id")).as("ck"),
+        fakeVec(col("chunk")).as("embedding"))
+    val vqueries = Seq(
+      (900001L, Seq(0.8, 0.2, 0.3, 0.1)), (900002L, Seq(0.1, 0.2, 0.8, 0.7)))
+      .toDF("vec_id", "embedding")
+    StreamingChunkIndex.ivfChunkHitsLive(spark, vecDir, vqueries,
+      kChunks = 5, nprobe = 2)
+      .select("q_id", "rank", "doc_id", "cos").collect().toSet shouldBe
+      graft.scale.Similarity.ivfTopKIndexed(
+        StreamingChunkIndex.buildChunkVecSegment(survivorVecs, centroids),
+        centroids, vqueries, k = 5, nprobe = 2, excludeSelf = false)
+        .withColumnRenamed("neighbor_id", "doc_id")
+        .select("q_id", "rank", "doc_id", "cos").collect().toSet
   }
 }
