@@ -136,6 +136,32 @@ object ScaleQueries {
         .ordered("doc_id")
     }),
 
+    // Total cosine under garbage embeddings: zero-norm vectors planted on
+    // BOTH sides (corpus twins at +1e8, two zeroed members of the frozen
+    // 3-query set) pin the below-range sentinel `Similarity.UndefinedCos`
+    // end-to-end against the oracle — every sentinel row must carry exactly
+    // −2.0, every well-formed pair the unchanged rounded cosine. The query
+    // set is frozen (ids 3/100/197 exist at every SF), so output grows
+    // linearly with the corpus and the probe side broadcasts.
+    "q_cos_undefined" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val v = col("embedding").cast(ArrayType(DoubleType))
+      val corpus = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id"), v.as("v"))
+        .unionByName(e.filter(col("vec_id") % 100 === 0)
+          .select((col("vec_id") + 100000000L).as("vec_id"),
+            transform(v, _ => lit(0.0)).as("v")))
+      val probes = e.filter(col("vec_id").isin(3L, 100L, 197L))
+        .select(col("vec_id").as("q_id"), v.as("qv"))
+        .unionByName(e.filter(col("vec_id").isin(3L, 197L))
+          .select((col("vec_id") + 100000000L).as("q_id"),
+            transform(v, _ => lit(0.0)).as("qv")))
+      probes.crossJoin(corpus)
+        .select(col("q_id"), col("vec_id").as("c_id"),
+          round(Similarity.cosine(col("qv"), col("v")), 6).as("cos"))
+        .ordered("q_id", "c_id")
+    }),
+
     // Exact cosine top-5 for the label-0 query set — the ANN baseline.
     "q_embed_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
@@ -1477,20 +1503,40 @@ object ScaleQueries {
     * pressure (reps climbing 31→85→92 s).
     */
   private val segCaches = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-  private def ownedCache(df: DataFrame, name: String): DataFrame = {
-    segCaches.remove(name).foreach(_.unpersist())
-    val cached = df.cache()
-    segCaches.put(name, cached)
-    cached
-  }
+  /** NOT safe under concurrent evaluation of the SAME query name: the swap
+    * below is atomic (so two racing evaluations can't double-unpersist or
+    * leak a generation), but the PREVIOUS generation is unpersisted while a
+    * concurrent scan of it may still be running — Spark recomputes, so
+    * results stay correct, but that evaluation is timed partly uncached.
+    * The measurement harnesses this exists for (Bench / Verify / the driver
+    * sweep) evaluate queries strictly sequentially, which is the supported
+    * mode; concurrent callers get correctness, not stable timings.
+    */
+  private def ownedCache(df: DataFrame, name: String): DataFrame =
+    segCaches.synchronized {
+      segCaches.remove(name).foreach(_.unpersist())
+      val cached = df.cache()
+      segCaches.put(name, cached)
+      cached
+    }
 
   /** DuckDB cosine matching the Spark arithmetic: double-cast vectors,
-    * elementwise product, sum, dot/sqrt(na*nb), round 6.
+    * elementwise product, sum, dot/sqrt(na*nb), round 6 — INCLUDING the
+    * zero-norm branch: `Similarity.pairCos` returns the below-range
+    * sentinel [[Similarity.UndefinedCos]] (−2.0) when either operand has
+    * no direction, so the oracle pins the same value instead of the
+    * NULL/inf DuckDB's raw division would yield. For non-zero norms the
+    * THEN branch is the pre-guard expression verbatim, so every oracle
+    * result on well-formed data is bit-identical.
     */
-  private def cosSql(a: String, b: String) =
-    s"""round(list_sum(list_transform(range(1, len($a)+1), i -> $a[i]*$b[i])) /
-      |  (sqrt(list_sum(list_transform(range(1, len($a)+1), i -> $a[i]*$a[i]))) *
-      |   sqrt(list_sum(list_transform(range(1, len($b)+1), i -> $b[i]*$b[i])))), 6)""".stripMargin
+  private def cosSql(a: String, b: String) = {
+    def n2(x: String) =
+      s"list_sum(list_transform(range(1, len($x)+1), i -> $x[i]*$x[i]))"
+    s"""CASE WHEN ${n2(a)} * ${n2(b)} > 0
+      | THEN round(list_sum(list_transform(range(1, len($a)+1), i -> $a[i]*$b[i])) /
+      |   (sqrt(${n2(a)}) * sqrt(${n2(b)})), 6)
+      | ELSE ${Similarity.UndefinedCos} END""".stripMargin
+  }
 
   /** Shared oracle fragment: distinct 3-word shingles per document. */
   private val shinglesCte =
@@ -1696,6 +1742,21 @@ object ScaleQueries {
         |LEFT JOIN nrem n USING (doc_id)
         |LEFT JOIN rebuilt r USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    "q_cos_undefined" ->
+      s"""WITH base AS (
+        | SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 50 = 0
+        | UNION ALL
+        | SELECT vec_id + 100000000, list_transform(embedding::DOUBLE[], x -> 0.0)
+        | FROM embeddings WHERE vec_id % 100 = 0),
+        |q AS (
+        | SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+        | FROM embeddings WHERE vec_id IN (3, 100, 197)
+        | UNION ALL
+        | SELECT vec_id + 100000000, list_transform(embedding::DOUBLE[], x -> 0.0)
+        | FROM embeddings WHERE vec_id IN (3, 197))
+        |SELECT q.q_id, c.vec_id AS c_id, ${cosSql("q.qv", "c.v")} AS cos
+        |FROM q CROSS JOIN base c ORDER BY q_id, c_id""".stripMargin,
 
     "q_embed_topk" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),

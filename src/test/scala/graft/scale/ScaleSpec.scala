@@ -97,6 +97,29 @@ class ScaleSpec extends AnyFunSuite with Matchers {
       Multimodal.decodeWavPcm16(0L, 0, Array[Byte](1, 2, 3))
   }
 
+  test("public cosine is total: zero-norm operands yield the sentinel, not DIVIDE_BY_ZERO") {
+    // ANSI mode (Spark 4 default) turns the unguarded dot/sqrt(n2) form
+    // into a batch-killing DIVIDE_BY_ZERO on the first garbage embedding;
+    // the guarded form pins the below-range sentinel on EITHER side's
+    // zero-norm while leaving well-formed pairs bit-identical.
+    val rows = Seq(
+      (1L, Array(1.0, 0.0), Array(1.0, 0.0)),   // identical → 1.0
+      (2L, Array(1.0, 0.0), Array(-1.0, 0.0)),  // antipodal → −1.0
+      (3L, Array(0.0, 0.0), Array(1.0, 2.0)),   // zero-norm left
+      (4L, Array(3.0, 4.0), Array(0.0, 0.0)),   // zero-norm right
+      (5L, Array(0.0, 0.0), Array(0.0, 0.0)))   // both
+      .toDF("id", "a", "b")
+    val got = rows.select(col("id"), round(Similarity.cosine(col("a"), col("b")), 6).as("cos"))
+      .as[(Long, Double)].collect().toMap
+    got(1L) shouldBe 1.0
+    got(2L) shouldBe -1.0
+    got(3L) shouldBe Similarity.UndefinedCos
+    got(4L) shouldBe Similarity.UndefinedCos
+    got(5L) shouldBe Similarity.UndefinedCos
+    // the sentinel sorts strictly under every attainable cosine
+    Similarity.UndefinedCos should be < -1.0
+  }
+
   test("IVF top-k recalls most brute-force neighbors on its own bucket") {
     val e = Tables.embeddings(spark, sf)
     val queries = e.filter(col("label") === 0)

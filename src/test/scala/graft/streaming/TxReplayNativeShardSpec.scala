@@ -288,10 +288,12 @@ class TxReplayNativeShardSpec extends AnyFunSuite with Matchers {
     // would find them expired and silently lose those flushes. With
     // refresh-on-touch (throttled to twice per window), a sighting batch
     // past the half-window re-stamps the whole shard key set.
-    // Timeline (TTL 10 s): keys 1-2 at t0; key 3 at ~t0+7 s — the 2 s
-    // margin over TTL/2=5 s absorbs cold-start batch latency, so the
-    // throttle measures the gap as >5 s and re-stamps 1-2; END at
-    // ~t0+14 s — past t0+TTL (the old per-write clock WOULD have expired
+    // Timeline (TTL 30 s): keys 1-2 at t0; key 3 at ~t0+20 s — the 5 s
+    // margin over TTL/2=15 s absorbs cold-start batch latency (so the
+    // throttle measures the gap as >15 s and re-stamps 1-2) and the 10 s
+    // headroom under the TTL tolerates a loaded host delaying the touch
+    // batch without letting keys 1-2 legitimately expire first; END at
+    // ~t0+40 s — past t0+TTL (the old per-write clock WOULD have expired
     // keys 1-2), inside restamp+TTL. All three keys must flush.
     withRocksDb {
       implicit val sqlCtx = spark.sqlContext
@@ -307,7 +309,7 @@ class TxReplayNativeShardSpec extends AnyFunSuite with Matchers {
           col("expected_right"))
       // keyShards = 1 so every sighting touches the one (tx, shard) key
       val q = TxReplayNative.docs(left, right, ends, keyShards = Some(1),
-          shardDoneTtlMs = Some(10000L))
+          shardDoneTtlMs = Some(30000L))
         .writeStream.format("memory").queryName("shard_ttl_refresh")
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
@@ -321,12 +323,12 @@ class TxReplayNativeShardSpec extends AnyFunSuite with Matchers {
           Seq(RightEv(1, 1, "c", 3, 1, LineRow(1, 1, 1.0)),
               RightEv(2, 1, "c", 4, 1, LineRow(1, 1, 2.0))),
           Seq.empty))
-        Thread.sleep(7000) // > TTL/2 with margin, tx still open
+        Thread.sleep(20000) // > TTL/2 with margin, well under TTL, tx still open
         in.addData(toNative(
           Seq(LeftEv(3, "c", 5, 1, OrderRow(3, "c"))),
           Seq(RightEv(3, 1, "c", 6, 1, LineRow(1, 1, 3.0))),
           Seq.empty)) // touch refreshes keys 1-2's clock
-        Thread.sleep(7000) // now > TTL since keys 1-2 were written
+        Thread.sleep(20000) // now > TTL since keys 1-2 were written
         in.addData(toNative(Seq.empty, Seq.empty, Seq(TxEnd(1, 100, 3, 3))))
         val deadline = System.currentTimeMillis() + 120000
         while (spark.table("shard_ttl_refresh").count() < 3 &&
