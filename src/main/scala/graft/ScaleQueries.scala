@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 
 import graft.Ordered._
 import graft.scale.{Bpe, Chunking, Classifier, Decontam, Dsir, Embeddings, LangModel, Multimodal, NearDup, Packing, Retrieval, Sampling, Similarity, Sketches, SpanDedup, TextOps}
-import graft.streaming.{CorpusMonitor, SegmentStore, StreamingChunkIndex, StreamingRetrieval}
+import graft.streaming.{CorpusMonitor, SegmentStore, StreamingAnnIndex, StreamingChunkIndex, StreamingRetrieval}
 
 /** Driver-verifiable queries for the training-data-pipeline operators
   * (`graft.scale`) over the `documents` table, each with a DuckDB oracle
@@ -963,6 +963,50 @@ object ScaleQueries {
         .ordered("q_id", "rank")
     }),
 
+    // Reproducible-corpus pins on the REAL LSM store (not a union
+    // stand-in): three committed batches build the IVF index on disk in a
+    // wiped scratch dir — all vectors at batch 0, %17 re-sent REVERSED at
+    // batch 1, then a pin taken, then %13 DELETED at batch 2 (which tips
+    // threshold compaction, physically dropping the pinned generation
+    // from the live manifest). The pinned probe must answer with the
+    // exact as-of-batch-1 state (reversals yes, deletes no) while the
+    // live probe answers from the final state — both graded against an
+    // oracle recomputing latest-wins as-of each view. The wipe makes
+    // every evaluation rebuild from scratch (processBatch skips batches
+    // at or below the committed id, so a stale manifest would silently
+    // no-op the builds).
+    "q_index_pinned" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("embedding"),
+          col("label"))
+      val centroids = e.filter(col("vec_id") % 10 === 3).select("vec_id", "embedding")
+      val queries = e.filter(col("label") === 0).select("vec_id", "embedding")
+      val dir = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft-q-index-pinned")
+      wipeDir(dir)
+      val idx = dir.toString
+      StreamingAnnIndex.processBatch(
+        e.select(col("vec_id"), col("embedding"), lit("u").as("op")),
+        0L, idx, centroids, opCol = Some("op"), compactSegments = 3)
+      StreamingAnnIndex.processBatch(
+        e.filter(col("vec_id") % 17 === 0)
+          .select(col("vec_id"), reverse(col("embedding")).as("embedding"),
+            lit("u").as("op")),
+        1L, idx, centroids, opCol = Some("op"), compactSegments = 3)
+      StreamingAnnIndex.pinIndex(idx, "asof1")
+      StreamingAnnIndex.processBatch(
+        e.filter(col("vec_id") % 13 === 0)
+          .select(col("vec_id"), col("embedding"), lit("d").as("op")),
+        2L, idx, centroids, opCol = Some("op"), compactSegments = 3)
+      val pinned = StreamingAnnIndex
+        .ivfTopKPinned(s, idx, "asof1", queries, k = 3, nprobe = 1)
+        .withColumn("vw", lit("pinned"))
+      val live = StreamingAnnIndex
+        .ivfTopKLive(s, idx, queries, k = 3, nprobe = 1)
+        .withColumn("vw", lit("live"))
+      pinned.unionByName(live).ordered("vw", "q_id", "rank")
+    }),
+
     // SemDeDup (cluster-then-prune semantic dedup): nearest-centroid
     // assignment + within-cluster cosine pruning, smallest id survives.
     // Direction-identical scaled copies (injected, cos = 1.0) are the
@@ -1502,6 +1546,17 @@ object ScaleQueries {
     * driver GC, so repeated in-session evaluations accumulate block
     * pressure (reps climbing 31→85→92 s).
     */
+  /** Remove a scratch index dir so a query evaluation rebuilds the real
+    * on-disk store from batch 0 (see `q_index_pinned`).
+    */
+  private def wipeDir(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      val s = java.nio.file.Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(java.nio.file.Files.delete(_))
+      finally s.close()
+    }
+
   private val segCaches = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
   /** NOT safe under concurrent evaluation of the SAME query name: the swap
     * below is atomic (so two racing evaluations can't double-unpersist or
@@ -2799,6 +2854,49 @@ object ScaleQueries {
         | SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank
         | FROM p)
         |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+
+    // Two IVF probes of the same stream: the pinned view sees the
+    // as-of-batch-1 corpus (%17 reversed, nothing deleted), the live view
+    // the final one (%13 also gone). Queries keep their original values.
+    "q_index_pinned" ->
+      s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+        |corpus1 AS (SELECT vec_id,
+        |  CASE WHEN vec_id % 17 = 0
+        |   THEN list_transform(generate_series(1, len(v)), i -> v[len(v)-i+1])
+        |   ELSE v END AS v
+        | FROM base),
+        |corpus2 AS (SELECT * FROM corpus1 WHERE vec_id % 13 <> 0),
+        |cent AS (SELECT vec_id AS centroid_id, v AS cv FROM base WHERE vec_id % 10 = 3),
+        |assign1 AS (
+        | SELECT vec_id, v, centroid_id AS bucket FROM (
+        |  SELECT c.vec_id, c.v, ct.centroid_id,
+        |   row_number() OVER (PARTITION BY c.vec_id
+        |     ORDER BY ${cosSql("c.v", "ct.cv")} DESC, ct.centroid_id) AS rn
+        |  FROM corpus1 c CROSS JOIN cent ct) WHERE rn = 1),
+        |assign2 AS (
+        | SELECT vec_id, v, centroid_id AS bucket FROM (
+        |  SELECT c.vec_id, c.v, ct.centroid_id,
+        |   row_number() OVER (PARTITION BY c.vec_id
+        |     ORDER BY ${cosSql("c.v", "ct.cv")} DESC, ct.centroid_id) AS rn
+        |  FROM corpus2 c CROSS JOIN cent ct) WHERE rn = 1),
+        |probes AS (
+        | SELECT vec_id AS q_id, v AS qv, centroid_id AS bucket FROM (
+        |  SELECT b.vec_id, b.v, ct.centroid_id,
+        |   row_number() OVER (PARTITION BY b.vec_id
+        |     ORDER BY ${cosSql("b.v", "ct.cv")} DESC, ct.centroid_id) AS rn
+        |  FROM base b CROSS JOIN cent ct WHERE b.label = 0) WHERE rn = 1),
+        |p AS (
+        | SELECT 'pinned' AS vw, q.q_id, c.vec_id AS neighbor_id,
+        |  ${cosSql("q.qv", "c.v")} AS cos
+        | FROM probes q JOIN assign1 c ON q.bucket = c.bucket AND q.q_id <> c.vec_id
+        | UNION ALL
+        | SELECT 'live' AS vw, q.q_id, c.vec_id AS neighbor_id,
+        |  ${cosSql("q.qv", "c.v")} AS cos
+        | FROM probes q JOIN assign2 c ON q.bucket = c.bucket AND q.q_id <> c.vec_id)
+        |SELECT vw, q_id, neighbor_id, cos, CAST(rank AS INTEGER) AS rank FROM (
+        | SELECT *, row_number() OVER (PARTITION BY vw, q_id ORDER BY cos DESC, neighbor_id) AS rank
+        | FROM p)
+        |WHERE rank <= 3 ORDER BY vw, q_id, rank""".stripMargin,
 
     // Nearest-centroid assignment (rounded cosine, ties → smallest
     // centroid), then within-bucket smaller-id pruning at cos >= 0.99.

@@ -88,6 +88,106 @@ object SegmentStore {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** A durable, named reference to one committed manifest — the
+    * reproducible-corpus primitive: pin the index before a training run,
+    * and every read through the pin returns the exact rows that run saw,
+    * bit-identical, no matter how many upserts, deletes, compactions, or
+    * parameter refreshes the live stream commits afterwards.
+    *
+    * `manifest` is the pinned commit (pending list empty — a pin
+    * references only the dirs a probe reads); `extraDirs` names
+    * non-segment artifacts the pinned read also needs (e.g.
+    * [[StreamingAnnIndex]]'s frozen centroid generation), protected from
+    * the family's own `extraDead` reclamation the same way segments are.
+    *
+    * Retention: a pinned dir that falls out of the live manifest rides
+    * the pending list like any dead dir, but when its grace window
+    * expires it is HELD (stays parked) instead of deleted, for as long as
+    * any pin references it. [[unpin]] releases the reference; the next
+    * maintenance commit's expiry check then reclaims the dirs. Pins
+    * therefore cost exactly the disk they reference and nothing else —
+    * no copy is ever made.
+    *
+    * Single-writer, like every maintenance entry point: create and
+    * release pins from the thread that owns the stream's commits (e.g.
+    * inside the same foreachBatch), never concurrently with one.
+    */
+  case class Pin(manifest: Manifest, extraDirs: Seq[String])
+
+  private def pinPath(dir: String, name: String): Path =
+    Paths.get(dir, "_pins", name)
+
+  private val PinName = "[A-Za-z0-9][A-Za-z0-9._-]*".r
+
+  /** Pin the CURRENT committed manifest under `name`. Fails loudly on an
+    * uncommitted index, a name already pinned (pins are immutable — release
+    * first if you mean to re-point), or an `extraDirs` entry that does not
+    * exist on disk (a typo here would surface as a missing-file error in
+    * some far-future pinned read). Returns the pinned manifest.
+    */
+  def pin(dir: String, name: String, extraDirs: Seq[String] = Nil): Manifest = {
+    require(PinName.matches(name),
+      s"pin name must match ${PinName.regex}, got '$name'")
+    val m = readManifest(dir)
+    require(m.lastBatch >= 0L, s"pin needs a committed index at $dir")
+    val p = pinPath(dir, name)
+    require(!Files.exists(p), s"pin '$name' already exists at $dir (unpin first)")
+    extraDirs.foreach { e =>
+      require(Files.exists(Paths.get(dir, e)),
+        s"pinned extra dir '$e' does not exist under $dir")
+    }
+    Files.createDirectories(p.getParent)
+    val tmp = p.getParent.resolve(s".$name.tmp")
+    Files.writeString(tmp, s"${m.lastBatch}\n${m.segs.mkString(",")}\n" +
+      s"${m.dels.mkString(",")}\n${extraDirs.mkString(",")}\n" +
+      m.param.getOrElse(""))
+    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    m.copy(pending = Nil)
+  }
+
+  def readPin(dir: String, name: String): Pin = {
+    val p = pinPath(dir, name)
+    require(Files.exists(p), s"no pin '$name' at $dir")
+    val lines = Files.readAllLines(p)
+    def names(i: Int): Seq[String] =
+      if (lines.size <= i || lines.get(i).isEmpty) Nil
+      else lines.get(i).split(",").toSeq
+    val param =
+      if (lines.size <= 4 || lines.get(4).isEmpty) None else Some(lines.get(4))
+    Pin(Manifest(lines.get(0).trim.toLong, names(1), names(2), Nil, param),
+      names(3))
+  }
+
+  def listPins(dir: String): Seq[String] = {
+    val base = Paths.get(dir, "_pins")
+    if (!Files.exists(base)) return Nil
+    val ls = Files.list(base)
+    try {
+      import scala.jdk.CollectionConverters._
+      ls.iterator().asScala.map(_.getFileName.toString)
+        .filterNot(_.startsWith(".")).toSeq.sorted
+    } finally ls.close()
+  }
+
+  /** Release a pin. Deletes only the reference — the dirs it protected
+    * are reclaimed by the NEXT maintenance commit's expiry check (so a
+    * probe planned against the pin just before release keeps its files
+    * through the usual single-writer discipline). Unknown names are a
+    * no-op, so release is idempotent.
+    */
+  def unpin(dir: String, name: String): Unit =
+    Files.deleteIfExists(pinPath(dir, name))
+
+  /** Every dir any pin references, in pending-list naming (`seg=…`,
+    * `_dels/…`, extras verbatim) — the hold set for expiry.
+    */
+  private[streaming] def pinnedDirs(dir: String): Set[String] =
+    listPins(dir).flatMap { n =>
+      val p = readPin(dir, n)
+      p.manifest.segs ++ p.manifest.dels.map("_dels/" + _) ++ p.extraDirs
+    }.toSet
+
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
       val s = Files.walk(p)
@@ -281,8 +381,13 @@ object SegmentStore {
       val newlyDead =
         (m.segs.filterNot(next.segs.contains) ++
           m.dels.filterNot(next.dels.contains).map("_dels/" + _)).map((_, batchId))
-      val (expired, parked) = (m.pending ++ newlyDead)
+      val (expired0, parked0) = (m.pending ++ newlyDead)
         .partition { case (_, deadAt) => deadAt <= batchId - pruneGraceBatches }
+      // grace-expired dirs a pin still references are HELD (stay parked)
+      // instead of deleted; a commit after the unpin reclaims them here
+      val pinned = pinnedDirs(dir)
+      val (held, expired) = expired0.partition { case (n, _) => pinned.contains(n) }
+      val parked = parked0 ++ held
       writeManifest(dir, next.copy(pending = parked))
       expired.foreach { case (n, _) => deleteRecursively(Paths.get(dir, n)) }
       prune(dir, next.copy(pending = parked))
@@ -334,8 +439,14 @@ object SegmentStore {
     val newlyDead =
       (m.segs.filterNot(next.segs.contains) ++ m.dels.map("_dels/" + _) ++
         extraDead).map((_, m.lastBatch))
-    val (expired, parked) = (m.pending ++ newlyDead)
+    val (expired0, parked0) = (m.pending ++ newlyDead)
       .partition { case (_, deadAt) => deadAt <= m.lastBatch - pruneGraceBatches }
+    // same hold rule as processBatch: pinned dirs survive their grace
+    // expiry — this is what keeps a pinned centroid generation readable
+    // after the refresh that parked it via extraDead
+    val pinned = pinnedDirs(dir)
+    val (held, expired) = expired0.partition { case (nm, _) => pinned.contains(nm) }
+    val parked = parked0 ++ held
     writeManifest(dir, next.copy(pending = parked))
     expired.foreach { case (nm, _) => deleteRecursively(Paths.get(dir, nm)) }
     prune(dir, next.copy(pending = parked))

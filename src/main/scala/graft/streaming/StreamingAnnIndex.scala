@@ -126,6 +126,36 @@ object StreamingAnnIndex {
       queries, k, nprobe)
   }
 
+  /** Pin the index's current commit under `name` — segments, delete
+    * markers, AND the frozen centroid generation — so [[ivfTopKPinned]]
+    * returns this exact corpus state bit-identically forever (the
+    * reproducible-training-run primitive), across any later upserts,
+    * deletes, compactions, and [[refreshCentroids]]
+    * re-parameterizations. No data is copied: the pin holds the
+    * referenced dirs in the store's pending list past their grace
+    * expiry. Release with [[SegmentStore.unpin]]; the next maintenance
+    * commit reclaims the held dirs. Single-writer like every
+    * maintenance entry point.
+    */
+  def pinIndex(indexDir: String, name: String): SegmentStore.Manifest = {
+    val m = SegmentStore.readManifest(indexDir)
+    SegmentStore.pin(indexDir, name, Seq(centroidsDir(m)))
+  }
+
+  /** [[ivfTopKLive]] against a pin: the same coherent probe, resolved
+    * through the pinned manifest instead of the live one — rows,
+    * tombstones, and routing centroids all from the pinned commit, even
+    * after a refresh superseded that centroid generation.
+    */
+  def ivfTopKPinned(spark: SparkSession, indexDir: String, pinName: String,
+                    queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val p = SegmentStore.readPin(indexDir, pinName)
+    ivfTopKLive(SegmentStore.readSegments(spark, indexDir, segSchema, p.manifest),
+      SegmentStore.readDels(spark, indexDir, "vec_id", p.manifest),
+      readCentroids(spark, indexDir, p.manifest),
+      queries, k, nprobe)
+  }
+
   /** Apply one micro-batch of vector changes to the index at `indexDir`
     * (`opCol` rows with "d" delete, others upsert; redelivered batches are
     * skipped). The first committed batch persists `centroids`; EVERY later

@@ -1,0 +1,171 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.{Tables, TestSpark}
+import graft.scale.Similarity
+
+/** Pinned snapshots: the reproducible-training-run primitive. A pin must
+  * return the EXACT pinned state, bit-identical, across upserts, deletes,
+  * compaction, grace expiry, and a centroid-generation refresh — while
+  * the live view moves on; releasing the pin must hand every held dir
+  * back to the normal reclamation path (pins cost only the disk they
+  * reference, and only while they exist).
+  */
+class SegmentStorePinSpec extends AnyFunSuite with Matchers {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val segSchema = StructType(Seq(
+    StructField("id", LongType), StructField("v", LongType)))
+  private val segSchemaB = StructType(segSchema.fields :+ StructField("batch", LongType))
+
+  private def identityBuild(ups: DataFrame): DataFrame =
+    ups.select(col("id"), col("id").as("v"))
+
+  private def send(dir: String, b: Long, rows: Seq[(Long, String)]): Unit =
+    SegmentStore.processBatch(rows.toDF("id", "op"), b, dir, "id", "id",
+      Some("op"), compactSegments = 3, identityBuild)
+
+  private def liveIds(dir: String): Set[Long] =
+    SegmentStore.liveRows(SegmentStore.readSegments(spark, dir, segSchemaB),
+      SegmentStore.readDels(spark, dir, "id"), "id")
+      .select("id").as[Long].collect().toSet
+
+  private def pinnedIds(dir: String, name: String): Set[Long] = {
+    val p = SegmentStore.readPin(dir, name)
+    SegmentStore.liveRows(
+      SegmentStore.readSegments(spark, dir, segSchemaB, p.manifest),
+      SegmentStore.readDels(spark, dir, "id", p.manifest), "id")
+      .select("id").as[Long].collect().toSet
+  }
+
+  test("a pin returns the exact pinned state across upserts, deletes, compaction, and grace expiry") {
+    val dir = Files.createTempDirectory("graft-pin-lsm").toString
+    send(dir, 0, Seq((1L, "u"), (2L, "u")))
+    send(dir, 1, Seq((3L, "u")))
+    SegmentStore.pin(dir, "train-run-1")
+    val asOf = Set(1L, 2L, 3L)
+    pinnedIds(dir, "train-run-1") shouldBe asOf
+
+    // the live stream moves on: id 2 deleted, id 1 superseded, and enough
+    // batches that compaction (threshold 3) runs AND the pinned dirs'
+    // grace window (2 commits) fully expires
+    send(dir, 2, Seq((2L, "d"), (1L, "u")))
+    send(dir, 3, Seq((4L, "u")))
+    send(dir, 4, Seq((5L, "u")))
+    send(dir, 5, Seq((6L, "u")))
+    liveIds(dir) shouldBe Set(1L, 3L, 4L, 5L, 6L)
+
+    // compaction replaced the pinned segments long ago, and their grace
+    // expired — but the pin holds them: on disk, parked in pending
+    val m = SegmentStore.readManifest(dir)
+    m.segs should not contain "seg=a0"
+    Files.exists(Paths.get(dir, "seg=a0")) shouldBe true
+    Files.exists(Paths.get(dir, "seg=a1")) shouldBe true
+    m.pending.map(_._1) should contain allOf ("seg=a0", "seg=a1")
+    // and the pinned read is still the exact as-of state
+    pinnedIds(dir, "train-run-1") shouldBe asOf
+
+    // a second pin of the CURRENT state coexists independently
+    SegmentStore.pin(dir, "train-run-2")
+    pinnedIds(dir, "train-run-2") shouldBe Set(1L, 3L, 4L, 5L, 6L)
+    SegmentStore.listPins(dir) shouldBe Seq("train-run-1", "train-run-2")
+    SegmentStore.unpin(dir, "train-run-2")
+
+    // release: the next commit reclaims the held dirs through the normal
+    // expiry path — nothing else references them
+    SegmentStore.unpin(dir, "train-run-1")
+    send(dir, 6, Seq((7L, "u")))
+    Files.exists(Paths.get(dir, "seg=a0")) shouldBe false
+    Files.exists(Paths.get(dir, "seg=a1")) shouldBe false
+    SegmentStore.readManifest(dir).pending.map(_._1) should not contain "seg=a0"
+    liveIds(dir) shouldBe Set(1L, 3L, 4L, 5L, 6L, 7L)
+  }
+
+  test("pin API edges: immutable names, committed-index requirement, idempotent release") {
+    val dir = Files.createTempDirectory("graft-pin-edges").toString
+    // no committed manifest yet
+    an[IllegalArgumentException] should be thrownBy SegmentStore.pin(dir, "p")
+    send(dir, 0, Seq((1L, "u")))
+    // bad names rejected (a '/' would escape _pins/)
+    an[IllegalArgumentException] should be thrownBy SegmentStore.pin(dir, "a/b")
+    an[IllegalArgumentException] should be thrownBy SegmentStore.pin(dir, ".hidden")
+    // a typo'd extra dir fails NOW, not as a missing-file error months later
+    an[IllegalArgumentException] should be thrownBy
+      SegmentStore.pin(dir, "p", Seq("_centroids_g9"))
+    SegmentStore.pin(dir, "p")
+    // pins are immutable references — re-pinning the name fails loudly
+    an[IllegalArgumentException] should be thrownBy SegmentStore.pin(dir, "p")
+    // roundtrip
+    val p = SegmentStore.readPin(dir, "p")
+    p.manifest.lastBatch shouldBe 0L
+    p.manifest.segs shouldBe Seq("seg=a0")
+    p.extraDirs shouldBe empty
+    // release is idempotent; unknown names are a no-op
+    SegmentStore.unpin(dir, "p")
+    SegmentStore.unpin(dir, "p")
+    SegmentStore.unpin(dir, "never-existed")
+    SegmentStore.listPins(dir) shouldBe empty
+  }
+
+  test("an ANN pin survives a centroid refresh: pinned probes route with the pinned generation") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"),
+        col("label"))
+    val centroids = e.filter(col("vec_id") % 10 === 3).select("vec_id", "embedding")
+    val queries = e.filter(col("label") === 0).select("vec_id", "embedding")
+    val indexDir = Files.createTempDirectory("graft-pin-ann").toString
+
+    StreamingAnnIndex.processBatch(
+      e.select(col("vec_id"), col("embedding"), lit("u").as("op")),
+      0L, indexDir, centroids, opCol = Some("op"), compactSegments = 10)
+    StreamingAnnIndex.pinIndex(indexDir, "asof0")
+    val before = StreamingAnnIndex
+      .ivfTopKPinned(spark, indexDir, "asof0", queries, k = 3, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1), r.getDouble(2))).toSet
+    before should not be empty
+
+    // the live index re-parameterizes: new centroid generation, every row
+    // re-bucketed, old generation parked via extraDead — then two more
+    // commits so the parked dirs' grace expires
+    StreamingAnnIndex.refreshCentroids(spark, indexDir, lloydIters = 2)
+    StreamingAnnIndex.processBatch(
+      Seq((900001L, Seq.fill(64)(0.5), "u")).toDF("vec_id", "embedding", "op"),
+      1L, indexDir, centroids, opCol = Some("op"), compactSegments = 10)
+    StreamingAnnIndex.processBatch(
+      Seq((900002L, Seq.fill(64)(0.25), "u")).toDF("vec_id", "embedding", "op"),
+      2L, indexDir, centroids, opCol = Some("op"), compactSegments = 10)
+
+    // the superseded generation is dead to the live index but held for
+    // the pin: dir on disk, probes bit-identical to the pre-refresh run
+    SegmentStore.readManifest(indexDir).param shouldBe Some("g1")
+    Files.exists(Paths.get(indexDir, "_centroids")) shouldBe true
+    val after = StreamingAnnIndex
+      .ivfTopKPinned(spark, indexDir, "asof0", queries, k = 3, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1), r.getDouble(2))).toSet
+    after shouldBe before
+    // the pinned probe must NOT see rows upserted after the pin
+    after.map(_._3) should contain noneOf (900001L, 900002L)
+
+    // live probes route with the refreshed generation; every query is a
+    // corpus member, so each answers from at least its own bucket
+    val live = StreamingAnnIndex.ivfTopKLive(spark, indexDir, queries, k = 3, nprobe = 1)
+    live.select("q_id").distinct().count() shouldBe queries.count()
+
+    // release + one more commit: the pinned generation is reclaimed
+    SegmentStore.unpin(indexDir, "asof0")
+    StreamingAnnIndex.processBatch(
+      Seq((900003L, Seq.fill(64)(0.75), "u")).toDF("vec_id", "embedding", "op"),
+      3L, indexDir, centroids, opCol = Some("op"), compactSegments = 10)
+    Files.exists(Paths.get(indexDir, "_centroids")) shouldBe false
+    Files.exists(Paths.get(indexDir, "seg=a0")) shouldBe false
+  }
+}
