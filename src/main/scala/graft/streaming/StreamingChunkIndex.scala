@@ -259,6 +259,50 @@ object StreamingChunkIndex {
       termQueries, qIdCol, termCol, vecQueries, kChunks, kDocs, nprobe, k0)
   }
 
+  /** Pin BOTH legs of the hybrid chunk index under one name — the lexical
+    * postings and the chunk-vec store (with its frozen centroid
+    * generation) — so [[fusedTopKPinnedDocs]] replays this exact
+    * retrieval state forever. Take the pin from the thread that owns both
+    * stores' commits (the composite foreachBatch), between batches, so
+    * the two legs reference the same corpus state. If the vec-side pin
+    * fails, the lexical pin is rolled back — never a half-pinned pair.
+    */
+  def pinIndex(lexDir: String, vecDir: String, name: String): Unit = {
+    SegmentStore.pin(lexDir, name)
+    try {
+      val vm = SegmentStore.readManifest(vecDir)
+      SegmentStore.pin(vecDir, name, Seq(StreamingAnnIndex.centroidsDir(vm)))
+    } catch { case t: Throwable => SegmentStore.unpin(lexDir, name); throw t }
+  }
+
+  /** Release both legs' pins (idempotent, like [[SegmentStore.unpin]]). */
+  def unpinIndex(lexDir: String, vecDir: String, name: String): Unit = {
+    SegmentStore.unpin(lexDir, name)
+    SegmentStore.unpin(vecDir, name)
+  }
+
+  /** [[fusedTopKLiveDocs]] against a pinned pair (see [[pinIndex]]): both
+    * legs, the RRF fusion, and the vec leg's routing centroids all
+    * resolve from the pinned commits — bit-identical retrieval no matter
+    * what the live stream (or its drift policy) has done since.
+    */
+  def fusedTopKPinnedDocs(spark: SparkSession, lexDir: String, vecDir: String,
+                          pinName: String,
+                          termQueries: DataFrame, qIdCol: String, termCol: String,
+                          vecQueries: DataFrame,
+                          kChunks: Int, kDocs: Int,
+                          nprobe: Int, k0: Int): DataFrame = {
+    val lp = SegmentStore.readPin(lexDir, pinName)
+    val vp = SegmentStore.readPin(vecDir, pinName)
+    fusedTopKLiveDocs(
+      SegmentStore.readSegments(spark, lexDir, segSchema, lp.manifest),
+      SegmentStore.readDels(spark, lexDir, "doc_id", lp.manifest),
+      SegmentStore.readSegments(spark, vecDir, vecSegSchema, vp.manifest),
+      SegmentStore.readDels(spark, vecDir, "doc_id", vp.manifest),
+      readVecCentroids(spark, vecDir, vp.manifest),
+      termQueries, qIdCol, termCol, vecQueries, kChunks, kDocs, nprobe, k0)
+  }
+
   /** The chunk-vec index's frozen routing parameter, persisted inside the
     * artifact by the first committed [[processVecBatch]] — columns
     * (vec_id, embedding), the [[StreamingAnnIndex.readCentroids]]

@@ -123,6 +123,21 @@ object StreamingRetrieval {
       queries, qIdCol, termCol, k)
   }
 
+  /** [[bm25TopKLive]] against a pin ([[SegmentStore.pin]] — the postings
+    * store has no frozen parameter, so the plain pin suffices): the exact
+    * pinned corpus ranked forever, across later upserts, deletes, and
+    * compactions. BM25's corpus statistics (N, avgdl, df) are recomputed
+    * from the pinned rows, so scores are as-of too, not just the row set.
+    */
+  def bm25TopKPinned(spark: SparkSession, indexDir: String, pinName: String,
+                     queries: DataFrame, qIdCol: String, termCol: String,
+                     k: Int): DataFrame = {
+    val p = SegmentStore.readPin(indexDir, pinName)
+    bm25TopKLive(SegmentStore.readSegments(spark, indexDir, segSchema, p.manifest),
+      SegmentStore.readDels(spark, indexDir, "doc_id", p.manifest),
+      queries, qIdCol, termCol, k)
+  }
+
   /** Apply one micro-batch of document changes to the index at `indexDir`.
     * `docs` columns: `idCol`, `textCol`, and optionally `opCol` — rows
     * with op `"d"` are deletes (text ignored), all others upserts; at most

@@ -168,4 +168,93 @@ class SegmentStorePinSpec extends AnyFunSuite with Matchers {
     Files.exists(Paths.get(indexDir, "_centroids")) shouldBe false
     Files.exists(Paths.get(indexDir, "seg=a0")) shouldBe false
   }
+
+  test("a BM25 pin freezes corpus statistics, not just the row set") {
+    // deleting a document changes N, avgdl, and every idf — a pinned
+    // ranking must keep the as-of SCORES, which only holds because the
+    // stats pass runs over the pinned rows, not a frozen stats artifact
+    val dir = Files.createTempDirectory("graft-pin-bm25").toString
+    val docs0 = Seq(
+      (1L, "zebra apple pear plum"),
+      (2L, "zebra zebra cat cat cat cat"),
+      (3L, "apple cat dog fish fowl moth lark wren"))
+      .toDF("doc_id", "text").withColumn("op", lit("u"))
+    StreamingRetrieval.processBatch(docs0, 0L, dir, opCol = Some("op"),
+      compactSegments = 3)
+    SegmentStore.pin(dir, "eval-set")
+    val probes = Seq((500L, "zebra"), (500L, "cat")).toDF("q_id", "term")
+    def ranked(df: org.apache.spark.sql.DataFrame): Seq[(Long, Int, Long, Double)] =
+      df.select("q_id", "rank", "doc_id", "score").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq.sorted
+    val before = ranked(StreamingRetrieval
+      .bm25TopKPinned(spark, dir, "eval-set", probes, "q_id", "term", k = 3))
+    before should not be empty
+
+    // doc 3 deleted, doc 1 rewritten without 'zebra' → live N/avgdl/idf
+    // all move, and doc 1 leaves the zebra postings
+    StreamingRetrieval.processBatch(
+      Seq((3L, "", "d"), (1L, "apple pear plum", "u")).toDF("doc_id", "text", "op"),
+      1L, dir, opCol = Some("op"), compactSegments = 3)
+    val live = ranked(StreamingRetrieval
+      .bm25TopKLive(spark, dir, probes, "q_id", "term", k = 3))
+    live should not be before
+    ranked(StreamingRetrieval
+      .bm25TopKPinned(spark, dir, "eval-set", probes, "q_id", "term", k = 3)) shouldBe before
+  }
+
+  test("a fused hybrid pin freezes both legs together; a half-pinned pair never exists") {
+    // the StreamingChunkIndexSpec fixture: doc 1's passage c1 carries
+    // both signals, doc 2 splits its evidence across two passages
+    val lexDir = Files.createTempDirectory("graft-pin-fused-lex").toString
+    val vecDir = Files.createTempDirectory("graft-pin-fused-vec").toString
+    val docs0 = Seq(
+      (1L, "filler filler filler filler zebra apple pear plum"),
+      (2L, "zebra zebra apple apple cat cat cat cat"))
+      .toDF("doc_id", "text").withColumn("op", lit("u"))
+    val vecs0 = Seq(
+      (1L, graft.scale.Chunking.key(1L, 0), Seq(0.0, 1.0)),
+      (1L, graft.scale.Chunking.key(1L, 1), Seq(0.995, 0.1)),
+      (2L, graft.scale.Chunking.key(2L, 0), Seq(0.0, 1.0)),
+      (2L, graft.scale.Chunking.key(2L, 1), Seq(1.0, 0.0)))
+      .toDF("doc_id", "ck", "embedding").withColumn("op", lit("u"))
+    val centroids = Seq((0L, Seq(1.0, 1.0))).toDF("vec_id", "embedding")
+
+    // pinning before the vec store's first commit must fail AND roll the
+    // lexical pin back — a half-pinned pair would silently fuse one
+    // leg's past with the other's present
+    StreamingChunkIndex.processBatch(docs0, 0, lexDir, window = 4, stride = 4,
+      opCol = Some("op"))
+    an[IllegalArgumentException] should be thrownBy
+      StreamingChunkIndex.pinIndex(lexDir, vecDir, "rag-eval")
+    SegmentStore.listPins(lexDir) shouldBe empty
+
+    StreamingChunkIndex.processVecBatch(vecs0, 0, vecDir, centroids,
+      opCol = Some("op"))
+    StreamingChunkIndex.pinIndex(lexDir, vecDir, "rag-eval")
+
+    val probes = Seq((500L, "zebra")).toDF("q_id", "term")
+    val vqueries = Seq((500L, Seq(1.0, 0.0))).toDF("vec_id", "embedding")
+    def fusedPinned(): Map[Int, (Long, Long)] = StreamingChunkIndex
+      .fusedTopKPinnedDocs(spark, lexDir, vecDir, "rag-eval",
+        probes, "q_id", "term", vqueries, kChunks = 20, kDocs = 2,
+        nprobe = 1, k0 = 60)
+      .select("rank", "doc_id", "best_chunk").collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val before = fusedPinned()
+    before(1) shouldBe ((1L, 1L)) // chunk-level fusion: both-signals passage wins
+
+    // both legs move on: doc 2 shrinks to one chunk in text AND vectors
+    StreamingChunkIndex.processBatch(
+      Seq((2L, "cat cat cat cat")).toDF("doc_id", "text").withColumn("op", lit("u")),
+      1, lexDir, window = 4, stride = 4, opCol = Some("op"))
+    StreamingChunkIndex.processVecBatch(
+      Seq((2L, graft.scale.Chunking.key(2L, 0), Seq(0.0, 1.0)))
+        .toDF("doc_id", "ck", "embedding").withColumn("op", lit("u")),
+      1, vecDir, centroids, opCol = Some("op"))
+
+    fusedPinned() shouldBe before
+    StreamingChunkIndex.unpinIndex(lexDir, vecDir, "rag-eval")
+    SegmentStore.listPins(lexDir) shouldBe empty
+    SegmentStore.listPins(vecDir) shouldBe empty
+  }
 }
