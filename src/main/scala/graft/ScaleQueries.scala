@@ -1295,6 +1295,49 @@ object ScaleQueries {
         .ordered("q_id", "rank")
     }),
 
+    // Pinned BM25 on the REAL postings store: the pin lands between an
+    // update batch and a delete batch that tips compaction, and the
+    // pinned ranking must carry AS-OF STATISTICS (N, avgdl, idf over the
+    // pinned corpus — deletes move all three in the live view), not just
+    // the as-of row set. Scratch store reused via the same content-stamp
+    // rule as q_index_pinned; the '-1 refreshed' probe discriminates the
+    // views (updates visible in both, deletes only in live).
+    "q_bm25_pinned" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val dir = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        "graft-q-bm25-pinned-" + tableStamp(d, "documents"))
+      val idx = dir.toString
+      val ready = SegmentStore.readManifest(idx).lastBatch == 2L &&
+        SegmentStore.listPins(idx).contains("asof1")
+      if (!ready) {
+        wipeDir(dir)
+        StreamingRetrieval.processBatch(docs.withColumn("op", lit("u")),
+          0L, idx, opCol = Some("op"), compactSegments = 3)
+        StreamingRetrieval.processBatch(
+          docs.filter(col("doc_id") % 23 === 0)
+            .withColumn("text", concat(col("text"), lit(" refreshed v2")))
+            .withColumn("op", lit("u")),
+          1L, idx, opCol = Some("op"), compactSegments = 3)
+        SegmentStore.pin(idx, "asof1")
+        StreamingRetrieval.processBatch(
+          docs.filter(col("doc_id") % 31 === 0).withColumn("op", lit("d")),
+          2L, idx, opCol = Some("op"), compactSegments = 3)
+      }
+      val probes = docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("q_id"),
+          explode(array_distinct(slice(split(col("text"), " "), 1, 4))).as("term"))
+        .unionByName(Seq((-1L, "refreshed")).toDF("q_id", "term"))
+      val pinned = StreamingRetrieval
+        .bm25TopKPinned(s, idx, "asof1", probes, "q_id", "term", k = 10)
+        .withColumn("vw", lit("pinned"))
+      val live = StreamingRetrieval
+        .bm25TopKLive(s, idx, probes, "q_id", "term", k = 10)
+        .withColumn("vw", lit("live"))
+      pinned.unionByName(live).ordered("vw", "q_id", "rank")
+    }),
+
     // Hybrid retrieval fusion: the same probe documents retrieve through
     // BOTH modalities — BM25 over their leading text terms and exact
     // cosine over their embedding — and the two top-10 lists fuse by
@@ -3506,6 +3549,50 @@ object ScaleQueries {
         | SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank
         | FROM scored)
         |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+
+    // BM25 twice over the same stream: the pinned view's stats come from
+    // the full updated corpus (no deletes), the live view's from the
+    // survivors — same scoring arithmetic, different N/avgdl/df.
+    "q_bm25_pinned" ->
+      """WITH corpus1 AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 23 = 0 THEN text || ' refreshed v2' ELSE text END AS text
+        | FROM documents),
+        |corpus2 AS (SELECT * FROM corpus1 WHERE doc_id % 31 <> 0),
+        |q AS (SELECT doc_id AS q_id,
+        |  unnest(list_distinct((string_split(text, ' '))[1:4])) AS token
+        | FROM documents WHERE doc_id % 97 = 0
+        | UNION ALL SELECT -1 AS q_id, 'refreshed' AS token),
+        |post1 AS (SELECT doc_id, token, count(*) AS tf FROM
+        |  (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM corpus1)
+        | GROUP BY 1, 2),
+        |dl1 AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl FROM corpus1),
+        |stats1 AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl1),
+        |dfq1 AS (SELECT token, count(*) AS df FROM post1
+        | WHERE token IN (SELECT DISTINCT token FROM q) GROUP BY 1),
+        |scored1 AS (SELECT 'pinned' AS vw, q.q_id, p.doc_id,
+        |  round(sum(ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+        |    * p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))), 4) AS score
+        | FROM post1 p JOIN q ON p.token = q.token JOIN dfq1 f ON p.token = f.token
+        | JOIN dl1 dl ON p.doc_id = dl.doc_id CROSS JOIN stats1 s
+        | GROUP BY 1, 2, 3),
+        |post2 AS (SELECT doc_id, token, count(*) AS tf FROM
+        |  (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM corpus2)
+        | GROUP BY 1, 2),
+        |dl2 AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl FROM corpus2),
+        |stats2 AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl2),
+        |dfq2 AS (SELECT token, count(*) AS df FROM post2
+        | WHERE token IN (SELECT DISTINCT token FROM q) GROUP BY 1),
+        |scored2 AS (SELECT 'live' AS vw, q.q_id, p.doc_id,
+        |  round(sum(ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+        |    * p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))), 4) AS score
+        | FROM post2 p JOIN q ON p.token = q.token JOIN dfq2 f ON p.token = f.token
+        | JOIN dl2 dl ON p.doc_id = dl.doc_id CROSS JOIN stats2 s
+        | GROUP BY 1, 2, 3),
+        |u AS (SELECT * FROM scored1 UNION ALL SELECT * FROM scored2)
+        |SELECT vw, q_id, doc_id, score, CAST(rank AS INTEGER) AS rank FROM (
+        | SELECT *, row_number() OVER (PARTITION BY vw, q_id ORDER BY score DESC, doc_id) AS rank
+        | FROM u)
+        |WHERE rank <= 10 ORDER BY vw, q_id, rank""".stripMargin,
 
     "q_gopher_gate" ->
       s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
