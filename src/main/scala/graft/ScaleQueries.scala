@@ -958,8 +958,16 @@ object ScaleQueries {
       val dels = e.filter(col("vec_id") % 13 === 0)
         .select(col("vec_id"), lit(2L).as("batch"))
       val queries = e.filter(col("label") === 0).select("vec_id", "embedding")
-      graft.streaming.StreamingAnnIndex.ivfTopKLive(
-        seg0.unionByName(seg1), dels, centroids, queries, k = 3, nprobe = 1)
+      // cache = the streaming contract's materialized segment files (the
+      // r11 owned-cache wave missed this query). Measured NEUTRAL at sf1
+      // (12.7 vs 13.1 s isolated min-of-3): the probe's second segment
+      // read (the versions pass) column-prunes the quadratic assignment
+      // expressions away, so only one unpruned build runs either way —
+      // the fence is kept for sibling consistency and as insurance
+      // against a future plan shape that stops pruning.
+      val segs = ownedCache(seg0.unionByName(seg1), "ann-upsert")
+      StreamingAnnIndex.ivfTopKLive(
+        segs, dels, centroids, queries, k = 3, nprobe = 1)
         .ordered("q_id", "rank")
     }),
 
