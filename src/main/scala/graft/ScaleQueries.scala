@@ -979,42 +979,38 @@ object ScaleQueries {
     // from the live manifest). The pinned probe must answer with the
     // exact as-of-batch-1 state (reversals yes, deletes no) while the
     // live probe answers from the final state — both graded against an
-    // oracle recomputing latest-wins as-of each view. The store is
-    // rebuilt only when the scratch dir (keyed by sf dir — verify and
-    // bench must not share state across scales) is not already the
-    // finished 3-batch shape: the builds are a pure function of the
-    // input table, so reuse is bit-identical, and repeated evaluations
-    // time the PROBES — the files are state a deployment's maintenance
-    // stream already wrote (the inline-index cache adjudication,
-    // SCALING.md round 9).
+    // oracle recomputing latest-wins as-of each view. The store is built
+    // through `scratchStore` (content-stamped, recipe-tokened, file-locked
+    // reuse): the builds are a pure function of the input table, so reuse
+    // is bit-identical, and repeated evaluations time the PROBES — the
+    // files are state a deployment's maintenance stream already wrote
+    // (the inline-index cache adjudication, SCALING.md round 9).
     "q_index_pinned" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("embedding"),
           col("label"))
       val centroids = e.filter(col("vec_id") % 10 === 3).select("vec_id", "embedding")
       val queries = e.filter(col("label") === 0).select("vec_id", "embedding")
-      val dir = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"),
-        "graft-q-index-pinned-" + tableStamp(d, "embeddings"))
-      val idx = dir.toString
-      val ready = SegmentStore.readManifest(idx).lastBatch == 2L &&
-        SegmentStore.listPins(idx).contains("asof1")
-      if (!ready) {
-        wipeDir(dir)
-        StreamingAnnIndex.processBatch(
-          e.select(col("vec_id"), col("embedding"), lit("u").as("op")),
-          0L, idx, centroids, opCol = Some("op"), compactSegments = 3)
-        StreamingAnnIndex.processBatch(
-          e.filter(col("vec_id") % 17 === 0)
-            .select(col("vec_id"), reverse(col("embedding")).as("embedding"),
-              lit("u").as("op")),
-          1L, idx, centroids, opCol = Some("op"), compactSegments = 3)
-        StreamingAnnIndex.pinIndex(idx, "asof1")
-        StreamingAnnIndex.processBatch(
-          e.filter(col("vec_id") % 13 === 0)
-            .select(col("vec_id"), col("embedding"), lit("d").as("op")),
-          2L, idx, centroids, opCol = Some("op"), compactSegments = 3)
-      }
+      // r1: b0 all, b1 %17 reversed, pin asof1, b2 %13 deleted, K=%10,
+      // compactSegments 3 — bump the token when any of that changes
+      val idx = scratchStore("graft-q-index-pinned", "r1", tableStamp(d, "embeddings"),
+        ready = p => SegmentStore.readManifest(p).lastBatch == 2L &&
+          SegmentStore.listPins(p).contains("asof1"),
+        build = p => {
+          StreamingAnnIndex.processBatch(
+            e.select(col("vec_id"), col("embedding"), lit("u").as("op")),
+            0L, p, centroids, opCol = Some("op"), compactSegments = 3)
+          StreamingAnnIndex.processBatch(
+            e.filter(col("vec_id") % 17 === 0)
+              .select(col("vec_id"), reverse(col("embedding")).as("embedding"),
+                lit("u").as("op")),
+            1L, p, centroids, opCol = Some("op"), compactSegments = 3)
+          StreamingAnnIndex.pinIndex(p, "asof1")
+          StreamingAnnIndex.processBatch(
+            e.filter(col("vec_id") % 13 === 0)
+              .select(col("vec_id"), col("embedding"), lit("d").as("op")),
+            2L, p, centroids, opCol = Some("op"), compactSegments = 3)
+        })
       val pinned = StreamingAnnIndex
         .ivfTopKPinned(s, idx, "asof1", queries, k = 3, nprobe = 1)
         .withColumn("vw", lit("pinned"))
@@ -1313,26 +1309,24 @@ object ScaleQueries {
     "q_bm25_pinned" -> ((s, d) => {
       import s.implicits._
       val docs = Tables.documents(s, d).select("doc_id", "text")
-      val dir = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"),
-        "graft-q-bm25-pinned-" + tableStamp(d, "documents"))
-      val idx = dir.toString
-      val ready = SegmentStore.readManifest(idx).lastBatch == 2L &&
-        SegmentStore.listPins(idx).contains("asof1")
-      if (!ready) {
-        wipeDir(dir)
-        StreamingRetrieval.processBatch(docs.withColumn("op", lit("u")),
-          0L, idx, opCol = Some("op"), compactSegments = 3)
-        StreamingRetrieval.processBatch(
-          docs.filter(col("doc_id") % 23 === 0)
-            .withColumn("text", concat(col("text"), lit(" refreshed v2")))
-            .withColumn("op", lit("u")),
-          1L, idx, opCol = Some("op"), compactSegments = 3)
-        SegmentStore.pin(idx, "asof1")
-        StreamingRetrieval.processBatch(
-          docs.filter(col("doc_id") % 31 === 0).withColumn("op", lit("d")),
-          2L, idx, opCol = Some("op"), compactSegments = 3)
-      }
+      // r1: b0 all, b1 %23 '+refreshed v2', pin asof1, b2 %31 deleted,
+      // compactSegments 3 — bump the token when any of that changes
+      val idx = scratchStore("graft-q-bm25-pinned", "r1", tableStamp(d, "documents"),
+        ready = p => SegmentStore.readManifest(p).lastBatch == 2L &&
+          SegmentStore.listPins(p).contains("asof1"),
+        build = p => {
+          StreamingRetrieval.processBatch(docs.withColumn("op", lit("u")),
+            0L, p, opCol = Some("op"), compactSegments = 3)
+          StreamingRetrieval.processBatch(
+            docs.filter(col("doc_id") % 23 === 0)
+              .withColumn("text", concat(col("text"), lit(" refreshed v2")))
+              .withColumn("op", lit("u")),
+            1L, p, opCol = Some("op"), compactSegments = 3)
+          SegmentStore.pin(p, "asof1")
+          StreamingRetrieval.processBatch(
+            docs.filter(col("doc_id") % 31 === 0).withColumn("op", lit("d")),
+            2L, p, opCol = Some("op"), compactSegments = 3)
+        })
       val probes = docs.filter(col("doc_id") % 97 === 0)
         .select(col("doc_id").as("q_id"),
           explode(array_distinct(slice(split(col("text"), " "), 1, 4))).as("term"))
@@ -1629,15 +1623,58 @@ object ScaleQueries {
   }
 
   /** Remove a scratch index dir so a query evaluation rebuilds the real
-    * on-disk store from batch 0 (see `q_index_pinned`).
+    * on-disk store from batch 0. The manifest is deleted FIRST (one
+    * atomic unlink): a wipe or rebuild killed at any later point leaves a
+    * store whose `ready` check fails (readManifest → lastBatch −1), so a
+    * crash can never poison the reuse path with a manifest that
+    * references deleted segment files.
     */
   private def wipeDir(p: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(p)) {
-      val s = java.nio.file.Files.walk(p)
-      try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(java.nio.file.Files.delete(_))
-      finally s.close()
+      java.nio.file.Files.deleteIfExists(p.resolve("_manifest"))
+      SegmentStore.deleteRecursively(p)
     }
+
+  /** Build-or-reuse guard for the REAL scratch SegmentStores the pinned
+    * queries drive (`q_index_pinned`, `q_bm25_pinned`). The store lives at
+    * `tmpdir/<prefix>-<recipe>-<stamp>`:
+    *   - `stamp` fingerprints the input table, so regenerated test data
+    *     can never be served from a previous generation's store;
+    *   - `recipe` is a hand-bumped token naming the batch construction —
+    *     a code change to any batch's filter/transform MUST bump it, or
+    *     the ready check would reuse a store built by the old code;
+    *   - the ready/build section runs under an exclusive cross-process
+    *     file lock (two JVMs evaluating concurrently serialize here
+    *     instead of racing wipe against build);
+    *   - on any rebuild, sibling dirs of the same prefix (older stamps or
+    *     recipes, or the half-built current dir) are wiped first, so the
+    *     tmp footprint is bounded at one generation per prefix.
+    */
+  private def scratchStore(prefix: String, recipe: String, stamp: String,
+                           ready: String => Boolean,
+                           build: String => Unit): String = {
+    import java.nio.file.{Files, Paths, StandardOpenOption}
+    val tmp = Paths.get(System.getProperty("java.io.tmpdir"))
+    val dir = tmp.resolve(s"$prefix-$recipe-$stamp")
+    val ch = java.nio.channels.FileChannel.open(tmp.resolve(s"$prefix.lock"),
+      StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+    try {
+      val fl = ch.lock()
+      try {
+        if (!ready(dir.toString)) {
+          val ls = Files.list(tmp)
+          try {
+            import scala.jdk.CollectionConverters._
+            ls.iterator().asScala
+              .filter(_.getFileName.toString.startsWith(s"$prefix-"))
+              .foreach(wipeDir)
+          } finally ls.close()
+          build(dir.toString)
+        }
+      } finally fl.release()
+    } finally ch.close()
+    dir.toString
+  }
 
   private val segCaches = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
   /** NOT safe under concurrent evaluation of the SAME query name: the swap

@@ -31,17 +31,21 @@ object Similarity {
   def dot(a: Column, b: Column): Column =
     graft.functions.VectorFunctions.vecDot(a, b)
 
-  /** Cosine similarity, computed as dot / sqrt(|a|²·|b|²) — TOTAL: a
-    * zero-norm operand has no direction, so the result is the below-range
-    * sentinel [[UndefinedCos]], same rule as the internal ranking paths
-    * ([[pairCos]]). Without the guard, Spark 4's default ANSI mode throws
-    * DIVIDE_BY_ZERO on the first garbage embedding, killing the job.
-    * Unlike [[pairCos]] this public helper does not round — callers own
-    * their precision (round(…, 6) matches the DuckDB oracle convention).
+  /** Cosine similarity, computed as dot / (‖a‖·‖b‖) — the PRODUCT of the
+    * two square-rooted norms, never sqrt(n²a·n²b): the two float
+    * expressions differ by up to 1 ulp, and this repo's rounded-to-6
+    * oracle parity ([[pairCos]], the DuckDB `cosSql` fragment) is pinned
+    * to the product-of-sqrts association. TOTAL: a zero-norm operand has
+    * no direction, so the result is the below-range sentinel
+    * [[UndefinedCos]], same rule as the internal ranking paths. Without
+    * the guard, Spark 4's default ANSI mode throws DIVIDE_BY_ZERO on the
+    * first garbage embedding, killing the job. Unlike [[pairCos]] this
+    * public helper does not round — callers own their precision
+    * (round(…, 6) matches the oracle convention).
     */
   def cosine(a: Column, b: Column): Column = {
-    val n2 = dot(a, a) * dot(b, b)
-    when(n2 > 0, dot(a, b) / sqrt(n2)).otherwise(lit(UndefinedCos))
+    val n = sqrt(dot(a, a)) * sqrt(dot(b, b))
+    when(n > 0, dot(a, b) / n).otherwise(lit(UndefinedCos))
   }
 
   private def asDouble(c: Column): Column = c.cast(ArrayType(DoubleType))

@@ -60,33 +60,46 @@ object SegmentStore {
 
   private def manifestPath(dir: String): Path = Paths.get(dir, "_manifest")
 
+  /** Shared line-list field parser for the manifest and pin formats (one
+    * CSV of names per line; missing/empty line = empty).
+    */
+  private def parseNames(lines: java.util.List[String], i: Int): Seq[String] =
+    if (lines.size <= i || lines.get(i).isEmpty) Nil
+    else lines.get(i).split(",").toSeq
+
+  private def parseParam(lines: java.util.List[String], i: Int): Option[String] =
+    if (lines.size <= i || lines.get(i).isEmpty) None else Some(lines.get(i))
+
+  /** tmp-file + atomic-move write, the durability rule both the manifest
+    * and pin files ride (a reader sees the old content or the new, never
+    * a torn write).
+    */
+  private def atomicWrite(target: Path, tmp: Path, content: String): Unit = {
+    Files.createDirectories(target.getParent)
+    Files.writeString(tmp, content)
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
   def readManifest(dir: String): Manifest = {
     val p = manifestPath(dir)
     if (!Files.exists(p)) return Manifest(-1L, Nil, Nil)
     val lines = Files.readAllLines(p)
-    def names(i: Int): Seq[String] =
-      if (lines.size <= i || lines.get(i).isEmpty) Nil
-      else lines.get(i).split(",").toSeq
     // line 4 (absent in pre-round-9 manifests): pending dirs as name@batch
-    val pending = names(3).map { s =>
+    val pending = parseNames(lines, 3).map { s =>
       val at = s.lastIndexOf('@')
       (s.substring(0, at), s.substring(at + 1).toLong)
     }
     // line 5: the opaque derivation-parameter pointer
-    val param =
-      if (lines.size <= 4 || lines.get(4).isEmpty) None else Some(lines.get(4))
-    Manifest(lines.get(0).trim.toLong, names(1), names(2), pending, param)
+    Manifest(lines.get(0).trim.toLong, parseNames(lines, 1), parseNames(lines, 2),
+      pending, parseParam(lines, 4))
   }
 
-  private def writeManifest(dir: String, m: Manifest): Unit = {
-    val tmp = Paths.get(dir, "_manifest.tmp")
-    Files.createDirectories(Paths.get(dir))
-    Files.writeString(tmp, s"${m.lastBatch}\n${m.segs.mkString(",")}\n${m.dels.mkString(",")}\n" +
-      m.pending.map { case (n, b) => s"$n@$b" }.mkString(",") +
-      "\n" + m.param.getOrElse(""))
-    Files.move(tmp, manifestPath(dir), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-  }
+  private def writeManifest(dir: String, m: Manifest): Unit =
+    atomicWrite(manifestPath(dir), Paths.get(dir, "_manifest.tmp"),
+      s"${m.lastBatch}\n${m.segs.mkString(",")}\n${m.dels.mkString(",")}\n" +
+        m.pending.map { case (n, b) => s"$n@$b" }.mkString(",") +
+        "\n" + m.param.getOrElse(""))
 
   /** A durable, named reference to one committed manifest — the
     * reproducible-corpus primitive: pin the index before a training run,
@@ -136,13 +149,10 @@ object SegmentStore {
       require(Files.exists(Paths.get(dir, e)),
         s"pinned extra dir '$e' does not exist under $dir")
     }
-    Files.createDirectories(p.getParent)
-    val tmp = p.getParent.resolve(s".$name.tmp")
-    Files.writeString(tmp, s"${m.lastBatch}\n${m.segs.mkString(",")}\n" +
-      s"${m.dels.mkString(",")}\n${extraDirs.mkString(",")}\n" +
-      m.param.getOrElse(""))
-    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    atomicWrite(p, p.getParent.resolve(s".$name.tmp"),
+      s"${m.lastBatch}\n${m.segs.mkString(",")}\n" +
+        s"${m.dels.mkString(",")}\n${extraDirs.mkString(",")}\n" +
+        m.param.getOrElse(""))
     m.copy(pending = Nil)
   }
 
@@ -150,13 +160,8 @@ object SegmentStore {
     val p = pinPath(dir, name)
     require(Files.exists(p), s"no pin '$name' at $dir")
     val lines = Files.readAllLines(p)
-    def names(i: Int): Seq[String] =
-      if (lines.size <= i || lines.get(i).isEmpty) Nil
-      else lines.get(i).split(",").toSeq
-    val param =
-      if (lines.size <= 4 || lines.get(4).isEmpty) None else Some(lines.get(4))
-    Pin(Manifest(lines.get(0).trim.toLong, names(1), names(2), Nil, param),
-      names(3))
+    Pin(Manifest(lines.get(0).trim.toLong, parseNames(lines, 1),
+      parseNames(lines, 2), Nil, parseParam(lines, 4)), parseNames(lines, 3))
   }
 
   def listPins(dir: String): Seq[String] = {
@@ -188,7 +193,11 @@ object SegmentStore {
       p.manifest.segs ++ p.manifest.dels.map("_dels/" + _) ++ p.extraDirs
     }.toSet
 
-  private def deleteRecursively(p: Path): Unit =
+  /** Exposed to the package so scratch-store harnesses (ScaleQueries'
+    * real-store queries) reuse the one recursive delete instead of
+    * copying it.
+    */
+  private[graft] def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
       val s = Files.walk(p)
       try s.sorted(Comparator.reverseOrder[Path]()).forEach(Files.delete(_))
@@ -384,8 +393,11 @@ object SegmentStore {
       val (expired0, parked0) = (m.pending ++ newlyDead)
         .partition { case (_, deadAt) => deadAt <= batchId - pruneGraceBatches }
       // grace-expired dirs a pin still references are HELD (stay parked)
-      // instead of deleted; a commit after the unpin reclaims them here
-      val pinned = pinnedDirs(dir)
+      // instead of deleted; a commit after the unpin reclaims them here.
+      // The pin files are read only when something actually expired, so a
+      // commit with nothing to reclaim costs no filesystem reads — the
+      // no-pin hot path stays byte-identical to the pre-pin store.
+      val pinned = if (expired0.isEmpty) Set.empty[String] else pinnedDirs(dir)
       val (held, expired) = expired0.partition { case (n, _) => pinned.contains(n) }
       val parked = parked0 ++ held
       writeManifest(dir, next.copy(pending = parked))
@@ -443,8 +455,9 @@ object SegmentStore {
       .partition { case (_, deadAt) => deadAt <= m.lastBatch - pruneGraceBatches }
     // same hold rule as processBatch: pinned dirs survive their grace
     // expiry — this is what keeps a pinned centroid generation readable
-    // after the refresh that parked it via extraDead
-    val pinned = pinnedDirs(dir)
+    // after the refresh that parked it via extraDead (same fast path:
+    // pins are read only when something expired)
+    val pinned = if (expired0.isEmpty) Set.empty[String] else pinnedDirs(dir)
     val (held, expired) = expired0.partition { case (nm, _) => pinned.contains(nm) }
     val parked = parked0 ++ held
     writeManifest(dir, next.copy(pending = parked))

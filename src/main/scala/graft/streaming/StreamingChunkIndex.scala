@@ -264,10 +264,23 @@ object StreamingChunkIndex {
     * generation) — so [[fusedTopKPinnedDocs]] replays this exact
     * retrieval state forever. Take the pin from the thread that owns both
     * stores' commits (the composite foreachBatch), between batches, so
-    * the two legs reference the same corpus state. If the vec-side pin
-    * fails, the lexical pin is rolled back — never a half-pinned pair.
+    * the two legs reference the same corpus state. A half-pinned pair
+    * never survives: if the vec-side pin fails the lexical pin is rolled
+    * back, and a stale half-pair left by a CRASH between the two pins
+    * (where no rollback could run) is repaired on the next attempt —
+    * the surviving half is released and both legs re-pin from the
+    * current commits.
     */
   def pinIndex(lexDir: String, vecDir: String, name: String): Unit = {
+    val lexHas = SegmentStore.listPins(lexDir).contains(name)
+    val vecHas = SegmentStore.listPins(vecDir).contains(name)
+    if (lexHas && vecHas)
+      throw new IllegalArgumentException(
+        s"pin '$name' already exists on both legs (unpinIndex first)")
+    if (lexHas != vecHas) { // crashed attempt's orphan half — release it
+      SegmentStore.unpin(lexDir, name)
+      SegmentStore.unpin(vecDir, name)
+    }
     SegmentStore.pin(lexDir, name)
     try {
       val vm = SegmentStore.readManifest(vecDir)

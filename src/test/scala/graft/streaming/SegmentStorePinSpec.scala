@@ -256,5 +256,18 @@ class SegmentStorePinSpec extends AnyFunSuite with Matchers {
     StreamingChunkIndex.unpinIndex(lexDir, vecDir, "rag-eval")
     SegmentStore.listPins(lexDir) shouldBe empty
     SegmentStore.listPins(vecDir) shouldBe empty
+
+    // a crash BETWEEN the two pins leaves a durable orphan half (no
+    // rollback could run); the next pinIndex attempt must repair it —
+    // release the survivor and re-pin both legs — not fail forever on
+    // the lex side's already-exists check
+    SegmentStore.pin(lexDir, "half")
+    StreamingChunkIndex.pinIndex(lexDir, vecDir, "half")
+    SegmentStore.listPins(lexDir) shouldBe Seq("half")
+    SegmentStore.listPins(vecDir) shouldBe Seq("half")
+    // both legs present → immutable, like any pin
+    an[IllegalArgumentException] should be thrownBy
+      StreamingChunkIndex.pinIndex(lexDir, vecDir, "half")
+    StreamingChunkIndex.unpinIndex(lexDir, vecDir, "half")
   }
 }
