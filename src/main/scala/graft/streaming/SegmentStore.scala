@@ -193,6 +193,45 @@ object SegmentStore {
       p.manifest.segs ++ p.manifest.dels.map("_dels/" + _) ++ p.extraDirs
     }.toSet
 
+  /** One dashboard row per pin: the commit it references, how many of
+    * its dirs are still live in the CURRENT manifest vs held (dead —
+    * on disk only because a pin references them), and the held bytes.
+    */
+  case class PinReport(name: String, lastBatch: Long, dirs: Int,
+                       liveDirs: Int, heldDirs: Int, heldBytes: Long)
+
+  private def dirBytes(p: Path): Long =
+    if (!Files.exists(p)) 0L
+    else {
+      val s = Files.walk(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(Files.isRegularFile(_))
+          .map(Files.size).sum
+      } finally s.close()
+    }
+
+  /** The operator view of pin retention cost — the "forgotten pin"
+    * dashboard: a pin whose `heldBytes` never drops is holding a
+    * superseded generation on disk; release it and the next maintenance
+    * commit reclaims the space. `liveExtras` names the param artifacts
+    * the CURRENT generation still uses (family-specific — e.g.
+    * [[StreamingAnnIndex]] passes its centroid + baseline dirs), so a
+    * pin of the live generation reports 0 held. Dirs held by several
+    * pins count toward each (release ALL of them to reclaim).
+    */
+  def pinReport(dir: String, liveExtras: Seq[String] = Nil): Seq[PinReport] = {
+    val m = readManifest(dir)
+    val live = m.segs.toSet ++ m.dels.map("_dels/" + _) ++ liveExtras
+    listPins(dir).map { n =>
+      val p = readPin(dir, n)
+      val refs = p.manifest.segs ++ p.manifest.dels.map("_dels/" + _) ++ p.extraDirs
+      val (liveRefs, held) = refs.partition(live.contains)
+      PinReport(n, p.manifest.lastBatch, refs.size, liveRefs.size, held.size,
+        held.map(h => dirBytes(Paths.get(dir, h))).sum)
+    }
+  }
+
   /** Exposed to the package so scratch-store harnesses (ScaleQueries'
     * real-store queries) reuse the one recursive delete instead of
     * copying it.

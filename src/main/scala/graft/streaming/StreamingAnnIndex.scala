@@ -142,6 +142,15 @@ object StreamingAnnIndex {
     SegmentStore.pin(indexDir, name, Seq(centroidsDir(m)))
   }
 
+  /** [[SegmentStore.pinReport]] with this family's live param artifacts
+    * (the current centroid generation and its baseline) counted as live,
+    * so a pin of the current generation reports zero held bytes.
+    */
+  def pinReport(indexDir: String): Seq[SegmentStore.PinReport] = {
+    val m = SegmentStore.readManifest(indexDir)
+    SegmentStore.pinReport(indexDir, Seq(centroidsDir(m), baselineDir(m)))
+  }
+
   /** [[ivfTopKLive]] against a pin: the same coherent probe, resolved
     * through the pinned manifest instead of the live one — rows,
     * tombstones, and routing centroids all from the pinned commit, even

@@ -78,6 +78,15 @@ class SegmentStorePinSpec extends AnyFunSuite with Matchers {
     SegmentStore.pin(dir, "train-run-2")
     pinnedIds(dir, "train-run-2") shouldBe Set(1L, 3L, 4L, 5L, 6L)
     SegmentStore.listPins(dir) shouldBe Seq("train-run-1", "train-run-2")
+
+    // the operator dashboard: the old pin is holding its dead dirs (and
+    // paying bytes for them), the current-state pin holds nothing
+    val report = SegmentStore.pinReport(dir).map(r => r.name -> r).toMap
+    report("train-run-1").heldDirs shouldBe 2 // seg=a0, seg=a1
+    report("train-run-1").heldBytes should be > 0L
+    report("train-run-1").liveDirs shouldBe 0
+    report("train-run-2").heldDirs shouldBe 0
+    report("train-run-2").heldBytes shouldBe 0L
     SegmentStore.unpin(dir, "train-run-2")
 
     // release: the next commit reclaims the held dirs through the normal
@@ -145,9 +154,15 @@ class SegmentStorePinSpec extends AnyFunSuite with Matchers {
       2L, indexDir, centroids, opCol = Some("op"), compactSegments = 10)
 
     // the superseded generation is dead to the live index but held for
-    // the pin: dir on disk, probes bit-identical to the pre-refresh run
+    // the pin: dir on disk, probes bit-identical to the pre-refresh run;
+    // the family dashboard prices the hold (the pinned g0 centroids are
+    // dead to the live g1 index, so they count as held bytes)
     SegmentStore.readManifest(indexDir).param shouldBe Some("g1")
     Files.exists(Paths.get(indexDir, "_centroids")) shouldBe true
+    val annReport = StreamingAnnIndex.pinReport(indexDir)
+    annReport.map(_.name) shouldBe Seq("asof0")
+    annReport.head.heldDirs should be >= 2 // seg=a0 + the g0 centroids
+    annReport.head.heldBytes should be > 0L
     val after = StreamingAnnIndex
       .ivfTopKPinned(spark, indexDir, "asof0", queries, k = 3, nprobe = 1)
       .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1), r.getDouble(2))).toSet
