@@ -1643,36 +1643,50 @@ object ScaleQueries {
     *   - `recipe` is a hand-bumped token naming the batch construction —
     *     a code change to any batch's filter/transform MUST bump it, or
     *     the ready check would reuse a store built by the old code;
-    *   - the ready/build section runs under an exclusive cross-process
-    *     file lock (two JVMs evaluating concurrently serialize here
-    *     instead of racing wipe against build);
-    *   - on any rebuild, sibling dirs of the same prefix (older stamps or
-    *     recipes, or the half-built current dir) are wiped first, so the
-    *     tmp footprint is bounded at one generation per prefix.
+    *   - the ready/build section runs under a per-prefix JVM monitor
+    *     (same-process threads serialize — `FileChannel.lock` would
+    *     THROW OverlappingFileLockException for them, not wait) plus an
+    *     exclusive cross-process file lock (two JVMs serialize instead
+    *     of racing wipe against build);
+    *   - on a rebuild, only STALE-RECIPE siblings (and the half-built
+    *     current dir) are wiped. Other stamps of the current recipe —
+    *     other scales' stores, which a multi-scale session's lazily
+    *     scanned DataFrames may still be reading — coexist; the
+    *     footprint is bounded at one dir per (prefix, scale) plus at
+    *     most one orphan per in-session data regeneration, and the
+    *     round lifecycle clears tmp between rounds.
     */
+  private val scratchMonitors =
+    scala.collection.concurrent.TrieMap.empty[String, Object]
   private def scratchStore(prefix: String, recipe: String, stamp: String,
                            ready: String => Boolean,
                            build: String => Unit): String = {
     import java.nio.file.{Files, Paths, StandardOpenOption}
     val tmp = Paths.get(System.getProperty("java.io.tmpdir"))
     val dir = tmp.resolve(s"$prefix-$recipe-$stamp")
-    val ch = java.nio.channels.FileChannel.open(tmp.resolve(s"$prefix.lock"),
-      StandardOpenOption.CREATE, StandardOpenOption.WRITE)
-    try {
-      val fl = ch.lock()
+    scratchMonitors.getOrElseUpdate(prefix, new Object).synchronized {
+      val ch = java.nio.channels.FileChannel.open(tmp.resolve(s"$prefix.lock"),
+        StandardOpenOption.CREATE, StandardOpenOption.WRITE)
       try {
-        if (!ready(dir.toString)) {
-          val ls = Files.list(tmp)
-          try {
-            import scala.jdk.CollectionConverters._
-            ls.iterator().asScala
-              .filter(_.getFileName.toString.startsWith(s"$prefix-"))
-              .foreach(wipeDir)
-          } finally ls.close()
-          build(dir.toString)
-        }
-      } finally fl.release()
-    } finally ch.close()
+        val fl = ch.lock()
+        try {
+          if (!ready(dir.toString)) {
+            val ls = Files.list(tmp)
+            try {
+              import scala.jdk.CollectionConverters._
+              ls.iterator().asScala
+                .filter { p =>
+                  val n = p.getFileName.toString
+                  n.startsWith(s"$prefix-") && !n.startsWith(s"$prefix-$recipe-")
+                }
+                .foreach(wipeDir)
+            } finally ls.close()
+            wipeDir(dir) // a half-built current dir, if any
+            build(dir.toString)
+          }
+        } finally fl.release()
+      } finally ch.close()
+    }
     dir.toString
   }
 

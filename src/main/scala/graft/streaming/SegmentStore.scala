@@ -194,11 +194,16 @@ object SegmentStore {
     }.toSet
 
   /** One dashboard row per pin: the commit it references, how many of
-    * its dirs are still live in the CURRENT manifest vs held (dead —
-    * on disk only because a pin references them), and the held bytes.
+    * its dirs are still live in the CURRENT manifest, parked (dead but
+    * still inside the prune grace window — they would survive with zero
+    * pins), or held (past grace — on disk ONLY because a pin references
+    * them), and the held bytes. `heldBytes` is the number the forgotten-
+    * pin signal watches: the disk releasing this pin would actually hand
+    * back at the next commit.
     */
   case class PinReport(name: String, lastBatch: Long, dirs: Int,
-                       liveDirs: Int, heldDirs: Int, heldBytes: Long)
+                       liveDirs: Int, parkedDirs: Int, heldDirs: Int,
+                       heldBytes: Long)
 
   private def dirBytes(p: Path): Long =
     if (!Files.exists(p)) 0L
@@ -217,18 +222,28 @@ object SegmentStore {
     * commit reclaims the space. `liveExtras` names the param artifacts
     * the CURRENT generation still uses (family-specific — e.g.
     * [[StreamingAnnIndex]] passes its centroid + baseline dirs), so a
-    * pin of the live generation reports 0 held. Dirs held by several
-    * pins count toward each (release ALL of them to reclaim).
+    * pin of the live generation reports 0 held. `pruneGraceBatches` must
+    * match the store's configured grace (the manifest does not record
+    * it): a dead dir still inside the window counts as PARKED, not held
+    * — it survives with zero pins, so attributing its bytes to the pin
+    * would overstate the signal for any pin younger than the grace
+    * window. Dirs held by several pins count toward each (release ALL
+    * of them to reclaim).
     */
-  def pinReport(dir: String, liveExtras: Seq[String] = Nil): Seq[PinReport] = {
+  def pinReport(dir: String, liveExtras: Seq[String] = Nil,
+                pruneGraceBatches: Int = 2): Seq[PinReport] = {
     val m = readManifest(dir)
     val live = m.segs.toSet ++ m.dels.map("_dels/" + _) ++ liveExtras
+    val deadAt = m.pending.toMap
+    def inGrace(n: String): Boolean =
+      deadAt.get(n).exists(_ > m.lastBatch - pruneGraceBatches)
     listPins(dir).map { n =>
       val p = readPin(dir, n)
       val refs = p.manifest.segs ++ p.manifest.dels.map("_dels/" + _) ++ p.extraDirs
-      val (liveRefs, held) = refs.partition(live.contains)
-      PinReport(n, p.manifest.lastBatch, refs.size, liveRefs.size, held.size,
-        held.map(h => dirBytes(Paths.get(dir, h))).sum)
+      val (liveRefs, dead) = refs.partition(live.contains)
+      val (parked, held) = dead.partition(inGrace)
+      PinReport(n, p.manifest.lastBatch, refs.size, liveRefs.size, parked.size,
+        held.size, held.map(h => dirBytes(Paths.get(dir, h))).sum)
     }
   }
 

@@ -264,20 +264,31 @@ object StreamingChunkIndex {
     * generation) — so [[fusedTopKPinnedDocs]] replays this exact
     * retrieval state forever. Take the pin from the thread that owns both
     * stores' commits (the composite foreachBatch), between batches, so
-    * the two legs reference the same corpus state. A half-pinned pair
-    * never survives: if the vec-side pin fails the lexical pin is rolled
-    * back, and a stale half-pair left by a CRASH between the two pins
-    * (where no rollback could run) is repaired on the next attempt —
-    * the surviving half is released and both legs re-pin from the
-    * current commits.
+    * the two legs reference the same corpus state. If the vec-side pin
+    * fails the lexical pin is rolled back; a crash BETWEEN the two pins
+    * (where no rollback could run) leaves a durable single-leg orphan
+    * that later attempts report loudly — the store cannot distinguish
+    * it from a deliberate store-level pin someone took under the same
+    * name, and silently releasing a real pin would break its
+    * reproducibility promise. Pass `repairOrphan = true` once you've
+    * confirmed the half-pair IS a crashed attempt: the surviving half is
+    * released and both legs re-pin from the current commits.
     */
-  def pinIndex(lexDir: String, vecDir: String, name: String): Unit = {
+  def pinIndex(lexDir: String, vecDir: String, name: String,
+               repairOrphan: Boolean = false): Unit = {
     val lexHas = SegmentStore.listPins(lexDir).contains(name)
     val vecHas = SegmentStore.listPins(vecDir).contains(name)
     if (lexHas && vecHas)
       throw new IllegalArgumentException(
         s"pin '$name' already exists on both legs (unpinIndex first)")
-    if (lexHas != vecHas) { // crashed attempt's orphan half — release it
+    if (lexHas != vecHas) {
+      if (!repairOrphan)
+        throw new IllegalArgumentException(
+          s"pin '$name' exists on ${if (lexHas) "only the lexical" else "only the vec"} " +
+            "leg — either a crashed pinIndex attempt or a deliberate " +
+            "store-level pin under the same name. Confirm which, then " +
+            "retry with repairOrphan = true (releases the survivor and " +
+            "re-pins both legs from the CURRENT commits) or unpin it.")
       SegmentStore.unpin(lexDir, name)
       SegmentStore.unpin(vecDir, name)
     }

@@ -59,6 +59,14 @@ class SegmentStorePinSpec extends AnyFunSuite with Matchers {
     // batches that compaction (threshold 3) runs AND the pinned dirs'
     // grace window (2 commits) fully expires
     send(dir, 2, Seq((2L, "d"), (1L, "u")))
+    // just after compaction the pinned dirs are dead but STILL INSIDE the
+    // grace window — they'd survive with zero pins, so the dashboard must
+    // report them parked, not held (held bytes are the release-to-reclaim
+    // signal, and releasing now would reclaim nothing until grace expiry)
+    val young = SegmentStore.pinReport(dir).head
+    young.parkedDirs shouldBe 2
+    young.heldDirs shouldBe 0
+    young.heldBytes shouldBe 0L
     send(dir, 3, Seq((4L, "u")))
     send(dir, 4, Seq((5L, "u")))
     send(dir, 5, Seq((6L, "u")))
@@ -82,9 +90,10 @@ class SegmentStorePinSpec extends AnyFunSuite with Matchers {
     // the operator dashboard: the old pin is holding its dead dirs (and
     // paying bytes for them), the current-state pin holds nothing
     val report = SegmentStore.pinReport(dir).map(r => r.name -> r).toMap
-    report("train-run-1").heldDirs shouldBe 2 // seg=a0, seg=a1
+    report("train-run-1").heldDirs shouldBe 2 // seg=a0, seg=a1 — past grace
     report("train-run-1").heldBytes should be > 0L
     report("train-run-1").liveDirs shouldBe 0
+    report("train-run-1").parkedDirs shouldBe 0
     report("train-run-2").heldDirs shouldBe 0
     report("train-run-2").heldBytes shouldBe 0L
     SegmentStore.unpin(dir, "train-run-2")
@@ -273,16 +282,21 @@ class SegmentStorePinSpec extends AnyFunSuite with Matchers {
     SegmentStore.listPins(vecDir) shouldBe empty
 
     // a crash BETWEEN the two pins leaves a durable orphan half (no
-    // rollback could run); the next pinIndex attempt must repair it —
-    // release the survivor and re-pin both legs — not fail forever on
-    // the lex side's already-exists check
+    // rollback could run) — indistinguishable from a deliberate
+    // store-level pin under the same name, so the default is LOUD
+    // failure (never silently release a pin that might be real), and
+    // repair is an explicit opt-in that re-pins both legs
     SegmentStore.pin(lexDir, "half")
-    StreamingChunkIndex.pinIndex(lexDir, vecDir, "half")
-    SegmentStore.listPins(lexDir) shouldBe Seq("half")
-    SegmentStore.listPins(vecDir) shouldBe Seq("half")
-    // both legs present → immutable, like any pin
     an[IllegalArgumentException] should be thrownBy
       StreamingChunkIndex.pinIndex(lexDir, vecDir, "half")
+    SegmentStore.listPins(lexDir) shouldBe Seq("half") // untouched by the refusal
+    StreamingChunkIndex.pinIndex(lexDir, vecDir, "half", repairOrphan = true)
+    SegmentStore.listPins(lexDir) shouldBe Seq("half")
+    SegmentStore.listPins(vecDir) shouldBe Seq("half")
+    // both legs present → immutable, like any pin (repair flag included —
+    // a complete pair is never an orphan)
+    an[IllegalArgumentException] should be thrownBy
+      StreamingChunkIndex.pinIndex(lexDir, vecDir, "half", repairOrphan = true)
     StreamingChunkIndex.unpinIndex(lexDir, vecDir, "half")
   }
 }
