@@ -146,10 +146,27 @@ class SegmentStorePinSpec extends AnyFunSuite with Matchers {
       e.select(col("vec_id"), col("embedding"), lit("u").as("op")),
       0L, indexDir, centroids, opCol = Some("op"), compactSegments = 10)
     StreamingAnnIndex.pinIndex(indexDir, "asof0")
-    val before = StreamingAnnIndex
+    val pinnedDf = StreamingAnnIndex
       .ivfTopKPinned(spark, indexDir, "asof0", queries, k = 3, nprobe = 1)
+    val before = pinnedDf
       .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1), r.getDouble(2))).toSet
     before should not be empty
+
+    // the scale contract SCALING.md claims: a pinned probe runs the LIVE
+    // probe's plan — same operators in the same shape, no separate
+    // "pinned path" to keep fast. Compared post-execution (AQE final),
+    // over the identical file set the pin references at this commit.
+    def shape(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      df.collect() // finalize AQE
+      val p = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case other => other
+      }
+      p.collect { case n => n.getClass.getSimpleName }
+    }
+    val liveDf = StreamingAnnIndex.ivfTopKLive(spark, indexDir, queries, k = 3, nprobe = 1)
+    shape(pinnedDf) shouldBe shape(liveDf)
 
     // the live index re-parameterizes: new centroid generation, every row
     // re-bucketed, old generation parked via extraDead — then two more
