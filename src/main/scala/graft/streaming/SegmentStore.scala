@@ -53,10 +53,22 @@ object SegmentStore {
     * parameter (e.g. [[StreamingAnnIndex]]'s centroid generation), swapped
     * atomically WITH the segment set by [[rewrite]] so a probe can never
     * pair one generation's parameter with another generation's rows.
+    * `held`: the pending entries currently surviving PAST their grace
+    * window only because a pin references them — the flag is what lets a
+    * later commit tell "this dir's pin just disappeared" (re-stamp it
+    * with a fresh grace window) apart from "this dir's own grace just
+    * ran out" (delete it now).
+    * `grace`: the `pruneGraceBatches` the last commit ran with, recorded
+    * so readers ([[pinReport]]) classify parked-vs-held with the SAME
+    * window the expiry check uses instead of trusting a caller to repeat
+    * the store's configuration. Absent in pre-round-13 manifests (= the
+    * default 2).
     */
   case class Manifest(lastBatch: Long, segs: Seq[String], dels: Seq[String],
                       pending: Seq[(String, Long)] = Nil,
-                      param: Option[String] = None)
+                      param: Option[String] = None,
+                      held: Set[String] = Set.empty,
+                      grace: Option[Int] = None)
 
   private def manifestPath(dir: String): Path = Paths.get(dir, "_manifest")
 
@@ -85,21 +97,28 @@ object SegmentStore {
     val p = manifestPath(dir)
     if (!Files.exists(p)) return Manifest(-1L, Nil, Nil)
     val lines = Files.readAllLines(p)
-    // line 4 (absent in pre-round-9 manifests): pending dirs as name@batch
-    val pending = parseNames(lines, 3).map { s =>
-      val at = s.lastIndexOf('@')
-      (s.substring(0, at), s.substring(at + 1).toLong)
+    // line 4 (absent in pre-round-9 manifests): pending dirs as
+    // name@batch, with a trailing "@h" on entries held by a pin
+    val entries = parseNames(lines, 3).map { s =>
+      val (core, held) = if (s.endsWith("@h")) (s.dropRight(2), true) else (s, false)
+      val at = core.lastIndexOf('@')
+      (core.substring(0, at), core.substring(at + 1).toLong, held)
     }
     // line 5: the opaque derivation-parameter pointer
+    // line 6 (absent pre-round-13): the grace window the commit ran with
     Manifest(lines.get(0).trim.toLong, parseNames(lines, 1), parseNames(lines, 2),
-      pending, parseParam(lines, 4))
+      entries.map { case (n, b, _) => (n, b) }, parseParam(lines, 4),
+      entries.collect { case (n, _, true) => n }.toSet,
+      parseParam(lines, 5).map(_.trim.toInt))
   }
 
   private def writeManifest(dir: String, m: Manifest): Unit =
     atomicWrite(manifestPath(dir), Paths.get(dir, "_manifest.tmp"),
       s"${m.lastBatch}\n${m.segs.mkString(",")}\n${m.dels.mkString(",")}\n" +
-        m.pending.map { case (n, b) => s"$n@$b" }.mkString(",") +
-        "\n" + m.param.getOrElse(""))
+        m.pending.map { case (n, b) =>
+          s"$n@$b" + (if (m.held.contains(n)) "@h" else "") }.mkString(",") +
+        "\n" + m.param.getOrElse("") +
+        "\n" + m.grace.fold("")(_.toString))
 
   /** A durable, named reference to one committed manifest — the
     * reproducible-corpus primitive: pin the index before a training run,
@@ -175,11 +194,14 @@ object SegmentStore {
     } finally ls.close()
   }
 
-  /** Release a pin. Deletes only the reference — the dirs it protected
-    * are reclaimed by the NEXT maintenance commit's expiry check (so a
-    * probe planned against the pin just before release keeps its files
-    * through the usual single-writer discipline). Unknown names are a
-    * no-op, so release is idempotent.
+  /** Release a pin. Deletes only the reference — nothing is reclaimed
+    * here. The NEXT maintenance commit notices the held dirs lost their
+    * pin and RE-STAMPS them with a fresh grace window (deadAt = that
+    * commit's batch), so they are physically deleted `pruneGraceBatches`
+    * commits after the release is first observed — a probe planned
+    * against the pin just before the unpin gets the same slack a
+    * live-manifest probe gets, never a mid-scan missing-file error.
+    * Unknown names are a no-op, so release is idempotent.
     */
   def unpin(dir: String, name: String): Unit =
     Files.deleteIfExists(pinPath(dir, name))
@@ -192,6 +214,74 @@ object SegmentStore {
       val p = readPin(dir, n)
       p.manifest.segs ++ p.manifest.dels.map("_dels/" + _) ++ p.extraDirs
     }.toSet
+
+  /** Settle the pending list at a commit: split `entries` (old pending +
+    * newly dead, as (dir, deadAt)) into what stays parked and what is
+    * physically deleted now. Encodes the full pin retention rule:
+    *   - a past-grace dir some pin references is HELD — parked with its
+    *     original deadAt (so dashboards see it as past-grace) and flagged
+    *     in the manifest's held set;
+    *   - a held dir whose pin reference DISAPPEARED since the last commit
+    *     is RELEASED — re-stamped to `atBatch` for one fresh grace window
+    *     before deletion, so a probe planned against the pin just before
+    *     the unpin keeps its files with a live-manifest probe's slack;
+    *   - a past-grace dir that is neither pinned nor freshly released is
+    *     deleted now.
+    * Pin files are read only when something actually expired — a commit
+    * with nothing to reclaim costs no extra filesystem reads, keeping the
+    * no-pin hot path byte-identical to the pre-pin store.
+    */
+  private def settlePending(dir: String, entries: Seq[(String, Long)],
+                            prevHeld: Set[String], atBatch: Long,
+                            grace: Int): (Seq[(String, Long)], Set[String], Seq[String]) = {
+    val (expired0, parked0) = entries
+      .partition { case (_, deadAt) => deadAt <= atBatch - grace }
+    val pinned = if (expired0.isEmpty) Set.empty[String] else pinnedDirs(dir)
+    val (held, unpinned) = expired0.partition { case (n, _) => pinned.contains(n) }
+    val (released, dead) = unpinned.partition { case (n, _) => prevHeld.contains(n) }
+    (parked0 ++ held ++ released.map { case (n, _) => (n, atBatch) },
+      held.map(_._1).toSet, dead.map(_._1))
+  }
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(SegmentStore.getClass)
+
+  /** One-shot forgotten-pin warnings already fired, keyed `"<dir>#<pin>"`
+    * with the pin age (in batches) observed at the crossing — the
+    * scrapeable form of the log warning, the [[graft.streaming.GraftMetricsListener.stateRowsWarnings]]
+    * precedent. A released pin's entry is dropped, so a later pin reusing
+    * the name starts its own clock.
+    */
+  def forgottenPinWarnings: Map[String, Long] = pinAgeWarned.toMap
+
+  private val pinAgeWarned =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  /** The forgotten-pin tripwire ([[processBatch]]/[[rewrite]]'s
+    * `pinAgeWarnBatches`): a pin is immortal by design — it holds its
+    * generation on disk until released — so a FORGOTTEN one silently
+    * retains superseded segments forever. When a pin's age (current
+    * commit minus the batch it pinned) crosses the threshold, log exactly
+    * one warning for it and record it in [[forgottenPinWarnings]]; a pin
+    * released before the threshold stays silent, and releasing a warned
+    * pin clears its entry. Age is the trigger (cheap: one small file per
+    * pin, no byte walk); `pinReport` prices the actual held bytes.
+    */
+  private def warnOldPins(dir: String, atBatch: Long, warnAt: Option[Long]): Unit =
+    warnAt.foreach { at =>
+      val names = listPins(dir)
+      pinAgeWarned.keysIterator
+        .filter(k => k.startsWith(s"$dir#") &&
+          !names.contains(k.substring(dir.length + 1)))
+        .foreach(pinAgeWarned.remove)
+      names.foreach { n =>
+        val age = atBatch - readPin(dir, n).manifest.lastBatch
+        if (age >= at && pinAgeWarned.putIfAbsent(s"$dir#$n", age).isEmpty)
+          log.warn(s"pin '$n' at $dir is $age batches old (threshold $at): " +
+            "a forgotten pin holds its superseded generations on disk " +
+            "forever — price it with SegmentStore.pinReport and unpin when " +
+            "the run that needed it is done")
+      }
+    }
 
   /** One dashboard row per pin: the commit it references, how many of
     * its dirs are still live in the CURRENT manifest, parked (dead but
@@ -222,21 +312,24 @@ object SegmentStore {
     * commit reclaims the space. `liveExtras` names the param artifacts
     * the CURRENT generation still uses (family-specific — e.g.
     * [[StreamingAnnIndex]] passes its centroid + baseline dirs), so a
-    * pin of the live generation reports 0 held. `pruneGraceBatches` must
-    * match the store's configured grace (the manifest does not record
-    * it): a dead dir still inside the window counts as PARKED, not held
-    * — it survives with zero pins, so attributing its bytes to the pin
-    * would overstate the signal for any pin younger than the grace
-    * window. Dirs held by several pins count toward each (release ALL
-    * of them to reclaim).
+    * pin of the live generation reports 0 held. The grace window is read
+    * from the manifest (recorded by every commit since round 13), so the
+    * dashboard classifies parked-vs-held with the SAME window the expiry
+    * check ran with; `pruneGraceBatches` is only the fallback for a
+    * pre-round-13 manifest that never recorded it. A dead dir still
+    * inside the window counts as PARKED, not held — it survives with
+    * zero pins, so attributing its bytes to the pin would overstate the
+    * signal for any pin younger than the grace window. Dirs held by
+    * several pins count toward each (release ALL of them to reclaim).
     */
   def pinReport(dir: String, liveExtras: Seq[String] = Nil,
                 pruneGraceBatches: Int = 2): Seq[PinReport] = {
     val m = readManifest(dir)
+    val grace = m.grace.getOrElse(pruneGraceBatches)
     val live = m.segs.toSet ++ m.dels.map("_dels/" + _) ++ liveExtras
     val deadAt = m.pending.toMap
     def inGrace(n: String): Boolean =
-      deadAt.get(n).exists(_ > m.lastBatch - pruneGraceBatches)
+      deadAt.get(n).exists(_ > m.lastBatch - grace)
     listPins(dir).map { n =>
       val p = readPin(dir, n)
       val refs = p.manifest.segs ++ p.manifest.dels.map("_dels/" + _) ++ p.extraDirs
@@ -377,11 +470,16 @@ object SegmentStore {
     *   `pruneGraceBatches` commits keeps its files. 0 restores immediate
     *   pruning (safe only when probes never overlap maintenance).
     */
+  /** @param pinAgeWarnBatches opt-in forgotten-pin tripwire: when any
+    *   pin's age (this batch minus the batch it pinned) reaches the
+    *   threshold, log ONE warning for it (see [[forgottenPinWarnings]]).
+    */
   def processBatch(docs: DataFrame, batchId: Long, dir: String,
                    inputIdCol: String, idCol: String, opCol: Option[String],
                    compactSegments: Int,
                    buildSegment: DataFrame => DataFrame,
-                   pruneGraceBatches: Int = 2): Unit = {
+                   pruneGraceBatches: Int = 2,
+                   pinAgeWarnBatches: Option[Long] = None): Unit = {
     require(compactSegments >= 2, s"compactSegments must be >= 2, got $compactSegments")
     require(pruneGraceBatches >= 0, s"pruneGraceBatches must be >= 0, got $pruneGraceBatches")
     val spark = docs.sparkSession
@@ -439,24 +537,19 @@ object SegmentStore {
       val next = next0.copy(param = m.param) // the frozen parameter rides along
       // dirs this commit stops referencing were visible to probes of the
       // OLD manifest → park them in the grace window instead of deleting;
-      // entries whose window has passed are deleted now (prune removes
-      // whatever the written manifest no longer mentions)
+      // expired entries are settled by the pin retention rule (held /
+      // released / deleted — see settlePending) and prune removes
+      // whatever the written manifest no longer mentions
       val newlyDead =
         (m.segs.filterNot(next.segs.contains) ++
           m.dels.filterNot(next.dels.contains).map("_dels/" + _)).map((_, batchId))
-      val (expired0, parked0) = (m.pending ++ newlyDead)
-        .partition { case (_, deadAt) => deadAt <= batchId - pruneGraceBatches }
-      // grace-expired dirs a pin still references are HELD (stay parked)
-      // instead of deleted; a commit after the unpin reclaims them here.
-      // The pin files are read only when something actually expired, so a
-      // commit with nothing to reclaim costs no filesystem reads — the
-      // no-pin hot path stays byte-identical to the pre-pin store.
-      val pinned = if (expired0.isEmpty) Set.empty[String] else pinnedDirs(dir)
-      val (held, expired) = expired0.partition { case (n, _) => pinned.contains(n) }
-      val parked = parked0 ++ held
-      writeManifest(dir, next.copy(pending = parked))
-      expired.foreach { case (n, _) => deleteRecursively(Paths.get(dir, n)) }
+      val (parked, held, dead) = settlePending(dir, m.pending ++ newlyDead,
+        m.held, batchId, pruneGraceBatches)
+      writeManifest(dir, next.copy(pending = parked, held = held,
+        grace = Some(pruneGraceBatches)))
+      dead.foreach(n => deleteRecursively(Paths.get(dir, n)))
       prune(dir, next.copy(pending = parked))
+      warnOldPins(dir, batchId, pinAgeWarnBatches)
     } finally batch.unpersist()
   }
 
@@ -484,7 +577,8 @@ object SegmentStore {
   def rewrite(spark: SparkSession, dir: String, schema: StructType,
               idCol: String, buildRows: DataFrame => DataFrame,
               newParam: Option[String], extraDead: Seq[String] = Nil,
-              pruneGraceBatches: Int = 2): Unit = {
+              pruneGraceBatches: Int = 2,
+              pinAgeWarnBatches: Option[Long] = None): Unit = {
     require(pruneGraceBatches >= 0, s"pruneGraceBatches must be >= 0, got $pruneGraceBatches")
     val m = readManifest(dir)
     require(m.lastBatch >= 0L, s"rewrite needs a committed index at $dir")
@@ -505,17 +599,16 @@ object SegmentStore {
     val newlyDead =
       (m.segs.filterNot(next.segs.contains) ++ m.dels.map("_dels/" + _) ++
         extraDead).map((_, m.lastBatch))
-    val (expired0, parked0) = (m.pending ++ newlyDead)
-      .partition { case (_, deadAt) => deadAt <= m.lastBatch - pruneGraceBatches }
-    // same hold rule as processBatch: pinned dirs survive their grace
-    // expiry — this is what keeps a pinned centroid generation readable
-    // after the refresh that parked it via extraDead (same fast path:
-    // pins are read only when something expired)
-    val pinned = if (expired0.isEmpty) Set.empty[String] else pinnedDirs(dir)
-    val (held, expired) = expired0.partition { case (nm, _) => pinned.contains(nm) }
-    val parked = parked0 ++ held
-    writeManifest(dir, next.copy(pending = parked))
-    expired.foreach { case (nm, _) => deleteRecursively(Paths.get(dir, nm)) }
+    // same settle rule as processBatch: pinned dirs survive their grace
+    // expiry (what keeps a pinned centroid generation readable after the
+    // refresh that parked it via extraDead), released holds get a fresh
+    // grace window, and pins are read only when something expired
+    val (parked, held, dead) = settlePending(dir, m.pending ++ newlyDead,
+      m.held, m.lastBatch, pruneGraceBatches)
+    writeManifest(dir, next.copy(pending = parked, held = held,
+      grace = Some(pruneGraceBatches)))
+    dead.foreach(nm => deleteRecursively(Paths.get(dir, nm)))
     prune(dir, next.copy(pending = parked))
+    warnOldPins(dir, m.lastBatch, pinAgeWarnBatches)
   }
 }

@@ -73,12 +73,16 @@ class SegmentStorePinSpec extends AnyFunSuite with Matchers {
     liveIds(dir) shouldBe Set(1L, 3L, 4L, 5L, 6L)
 
     // compaction replaced the pinned segments long ago, and their grace
-    // expired — but the pin holds them: on disk, parked in pending
+    // expired — but the pin holds them: on disk, parked in pending, and
+    // FLAGGED held (so a later commit can tell a released hold apart from
+    // an ordinary grace expiry); the commit also records its grace window
     val m = SegmentStore.readManifest(dir)
     m.segs should not contain "seg=a0"
     Files.exists(Paths.get(dir, "seg=a0")) shouldBe true
     Files.exists(Paths.get(dir, "seg=a1")) shouldBe true
     m.pending.map(_._1) should contain allOf ("seg=a0", "seg=a1")
+    m.held should contain allOf ("seg=a0", "seg=a1")
+    m.grace shouldBe Some(2)
     // and the pinned read is still the exact as-of state
     pinnedIds(dir, "train-run-1") shouldBe asOf
 
@@ -98,14 +102,24 @@ class SegmentStorePinSpec extends AnyFunSuite with Matchers {
     report("train-run-2").heldBytes shouldBe 0L
     SegmentStore.unpin(dir, "train-run-2")
 
-    // release: the next commit reclaims the held dirs through the normal
-    // expiry path — nothing else references them
+    // release: the first commit after the unpin does NOT delete the held
+    // dirs — it re-stamps them with a fresh grace window (an in-flight
+    // probe planned against the pin just before the unpin gets the same
+    // slack a live-manifest probe gets, never a mid-scan missing file)
     SegmentStore.unpin(dir, "train-run-1")
     send(dir, 6, Seq((7L, "u")))
+    Files.exists(Paths.get(dir, "seg=a0")) shouldBe true
+    Files.exists(Paths.get(dir, "seg=a1")) shouldBe true
+    val released = SegmentStore.readManifest(dir)
+    released.pending.toMap.apply("seg=a0") shouldBe 6L // re-stamped, not original
+    released.held shouldBe empty // parked normally now, no longer held
+    // ...and the fresh window then expires like any other parked dir
+    send(dir, 7, Seq((8L, "u")))
+    send(dir, 8, Seq((9L, "u")))
     Files.exists(Paths.get(dir, "seg=a0")) shouldBe false
     Files.exists(Paths.get(dir, "seg=a1")) shouldBe false
     SegmentStore.readManifest(dir).pending.map(_._1) should not contain "seg=a0"
-    liveIds(dir) shouldBe Set(1L, 3L, 4L, 5L, 6L, 7L)
+    liveIds(dir) shouldBe Set(1L, 3L, 4L, 5L, 6L, 7L, 8L, 9L)
   }
 
   test("pin API edges: immutable names, committed-index requirement, idempotent release") {
@@ -201,13 +215,149 @@ class SegmentStorePinSpec extends AnyFunSuite with Matchers {
     val live = StreamingAnnIndex.ivfTopKLive(spark, indexDir, queries, k = 3, nprobe = 1)
     live.select("q_id").distinct().count() shouldBe queries.count()
 
-    // release + one more commit: the pinned generation is reclaimed
+    // release: the first commit re-stamps the held generation with a
+    // fresh grace window (in-flight pinned probes keep their files); the
+    // window then expires and the generation is physically reclaimed
     SegmentStore.unpin(indexDir, "asof0")
     StreamingAnnIndex.processBatch(
       Seq((900003L, Seq.fill(64)(0.75), "u")).toDF("vec_id", "embedding", "op"),
       3L, indexDir, centroids, opCol = Some("op"), compactSegments = 10)
+    Files.exists(Paths.get(indexDir, "_centroids")) shouldBe true // fresh grace
+    StreamingAnnIndex.processBatch(
+      Seq((900004L, Seq.fill(64)(0.1), "u")).toDF("vec_id", "embedding", "op"),
+      4L, indexDir, centroids, opCol = Some("op"), compactSegments = 10)
+    StreamingAnnIndex.processBatch(
+      Seq((900005L, Seq.fill(64)(0.9), "u")).toDF("vec_id", "embedding", "op"),
+      5L, indexDir, centroids, opCol = Some("op"), compactSegments = 10)
     Files.exists(Paths.get(indexDir, "_centroids")) shouldBe false
     Files.exists(Paths.get(indexDir, "seg=a0")) shouldBe false
+  }
+
+  test("k pins hold at most k generations: held bytes plateau and drop stepwise on release") {
+    // the SCALING.md retention bound, asserted: with compactSegments = 2
+    // every second batch compacts into one segment (a "generation"), and
+    // a pin taken right after a compaction references exactly that one
+    // segment. k such pins must hold exactly their k generations — no
+    // matter how many more generations churn past — and releasing them
+    // one at a time must step the held set down pin by pin.
+    val dir = Files.createTempDirectory("graft-pin-bound").toString
+    def sendC2(b: Long, id: Long): Unit =
+      SegmentStore.processBatch(Seq((id, "u")).toDF("id", "op"), b, dir, "id",
+        "id", Some("op"), compactSegments = 2, identityBuild)
+    def heldDirs(): Set[String] = {
+      val m = SegmentStore.readManifest(dir)
+      m.held.foreach(h => Files.exists(Paths.get(dir, h)) shouldBe true)
+      m.held
+    }
+    var b = 0L
+    def generation(pinName: String): String = {
+      sendC2(b, b + 100); b += 1
+      sendC2(b, b + 100) // second segment tips compaction -> seg=c<b>
+      val gen = s"seg=c$b"; b += 1
+      SegmentStore.readManifest(dir).segs shouldBe Seq(gen)
+      SegmentStore.pin(dir, pinName)
+      gen
+    }
+    val g1 = generation("p1")
+    val g2 = generation("p2")
+    val g3 = generation("p3")
+    // churn: three more unpinned generations — the held set must plateau
+    // at exactly the 3 pinned generations (k pins -> k generations), the
+    // later generations expiring through the ordinary grace path
+    generation("p4"); SegmentStore.unpin(dir, "p4")
+    generation("p5"); SegmentStore.unpin(dir, "p5")
+    generation("p6"); SegmentStore.unpin(dir, "p6")
+    sendC2(b, b + 100); b += 1
+    sendC2(b, b + 100); b += 1
+    sendC2(b, b + 100); b += 1
+    sendC2(b, b + 100); b += 1
+    heldDirs() shouldBe Set(g1, g2, g3)
+    val bytesAt3 = SegmentStore.pinReport(dir).map(_.heldBytes).sum
+    bytesAt3 should be > 0L
+
+    // stepwise release: each unpin + a grace window's worth of commits
+    // drops exactly that pin's generation from the held set and its bytes
+    // from the report
+    SegmentStore.unpin(dir, "p1")
+    sendC2(b, b + 100); b += 1 // observes the release, re-stamps g1
+    sendC2(b, b + 100); b += 1
+    sendC2(b, b + 100); b += 1 // g1's fresh grace expires
+    heldDirs() shouldBe Set(g2, g3)
+    Files.exists(Paths.get(dir, g1)) shouldBe false
+    val bytesAt2 = SegmentStore.pinReport(dir).map(_.heldBytes).sum
+    bytesAt2 should be < bytesAt3
+
+    SegmentStore.unpin(dir, "p2")
+    sendC2(b, b + 100); b += 1
+    sendC2(b, b + 100); b += 1
+    sendC2(b, b + 100); b += 1
+    heldDirs() shouldBe Set(g3)
+    Files.exists(Paths.get(dir, g2)) shouldBe false
+    SegmentStore.pinReport(dir).map(_.heldBytes).sum should be < bytesAt2
+
+    SegmentStore.unpin(dir, "p3")
+    sendC2(b, b + 100); b += 1
+    sendC2(b, b + 100); b += 1
+    sendC2(b, b + 100); b += 1
+    heldDirs() shouldBe empty
+    Files.exists(Paths.get(dir, g3)) shouldBe false
+    SegmentStore.pinReport(dir) shouldBe empty
+  }
+
+  test("the forgotten-pin tripwire: one warning past the age threshold, silence for released pins") {
+    val dir = Files.createTempDirectory("graft-pin-warn").toString
+    def sendWarn(b: Long, id: Long): Unit =
+      SegmentStore.processBatch(Seq((id, "u")).toDF("id", "op"), b, dir, "id",
+        "id", Some("op"), compactSegments = 10, identityBuild,
+        pinAgeWarnBatches = Some(2L))
+    def warnings: Map[String, Long] =
+      SegmentStore.forgottenPinWarnings.collect {
+        case (k, v) if k.startsWith(s"$dir#") => k.substring(dir.length + 1) -> v
+      }
+    sendWarn(0, 1L)
+    SegmentStore.pin(dir, "training-run") // pinned at lastBatch 0
+    sendWarn(1, 2L) // age 1 < 2: silent
+    warnings shouldBe empty
+    sendWarn(2, 3L) // age 2 crosses the threshold: exactly one warning
+    warnings shouldBe Map("training-run" -> 2L)
+    sendWarn(3, 4L) // still just the one entry — no re-fire
+    warnings shouldBe Map("training-run" -> 2L)
+
+    // a pin released before its age crosses the threshold never warns
+    SegmentStore.pin(dir, "short-lived") // pinned at lastBatch 3
+    sendWarn(4, 5L) // age 1: silent
+    SegmentStore.unpin(dir, "short-lived")
+    sendWarn(5, 6L)
+    warnings.keySet should not contain "short-lived"
+
+    // releasing the warned pin clears its scrapeable entry (a later pin
+    // reusing the name would start its own clock)
+    SegmentStore.unpin(dir, "training-run")
+    sendWarn(6, 7L)
+    warnings shouldBe empty
+  }
+
+  test("pinReport reads the grace window from the manifest, not the caller") {
+    // a store running a NON-DEFAULT grace (4): a dir dead 3 commits is
+    // still inside the store's window — it survives with zero pins, so
+    // the dashboard must report it PARKED even when the caller supplies
+    // nothing (the old default-2 argument would have called it held and
+    // overstated the forgotten-pin signal)
+    val dir = Files.createTempDirectory("graft-pin-grace").toString
+    def sendG4(b: Long, rows: Seq[(Long, String)]): Unit =
+      SegmentStore.processBatch(rows.toDF("id", "op"), b, dir, "id", "id",
+        Some("op"), compactSegments = 3, identityBuild, pruneGraceBatches = 4)
+    sendG4(0, Seq((1L, "u")))
+    SegmentStore.pin(dir, "p")
+    sendG4(1, Seq((2L, "u")))
+    sendG4(2, Seq((3L, "u"))) // 3 dirs tip compaction: seg=a0 dies at batch 2
+    sendG4(3, Seq((4L, "u")))
+    sendG4(4, Seq((5L, "u"))) // dead 2 commits: inside grace 4, outside default 2
+    SegmentStore.readManifest(dir).grace shouldBe Some(4)
+    val r = SegmentStore.pinReport(dir).head
+    r.parkedDirs should be >= 1
+    r.heldDirs shouldBe 0
+    r.heldBytes shouldBe 0L
   }
 
   test("a BM25 pin freezes corpus statistics, not just the row set") {
