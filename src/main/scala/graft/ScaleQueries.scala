@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 
 import graft.Ordered._
 import graft.scale.{Bpe, Chunking, Classifier, Decontam, Dsir, Embeddings, LangModel, Multimodal, NearDup, Packing, Retrieval, Sampling, Similarity, Sketches, SpanDedup, TextOps}
-import graft.streaming.{CorpusMonitor, SegmentStore, StreamingAnnIndex, StreamingChunkIndex, StreamingRetrieval}
+import graft.streaming.{CorpusMonitor, SegmentStore, StreamingAnnIndex, StreamingChunkIndex, StreamingDedupIndex, StreamingRetrieval}
 
 /** Driver-verifiable queries for the training-data-pipeline operators
   * (`graft.scale`) over the `documents` table, each with a DuckDB oracle
@@ -935,6 +935,50 @@ object ScaleQueries {
           .select((col("doc_id") + 10000).as("doc_id"), col("text")))
       NearDup.incrementalMinHashDedup(live, delta, "doc_id", "text", threshold = 0.7)
         .ordered("id")
+    }),
+
+    // Pinned dedup verdicts on the REAL signature store: the pin lands
+    // between an update batch and a delete batch (which tips compaction,
+    // physically dropping the pinned generation from the live manifest),
+    // and the pinned probe must keep claiming dup_of verdicts from the
+    // deleted documents while the live probe has stopped — completing the
+    // pin surface across all four maintained index families, so a
+    // reproducible run gets its dedup/decontam decisions as-of the SAME
+    // snapshot its retrieval indexes are pinned to. Exact delta copies of
+    // docs that are both %7-copied and %31-deleted are J = 1 matches that
+    // exist only in the pinned view, forcing the two views to disagree.
+    // Store reused via the same content-stamp rule as q_bm25_pinned.
+    "q_dedup_pinned" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+      // r1: b0 corpus, b1 %23 '+refreshed v2', pin asof1, b2 %31 deleted,
+      // compactSegments 3 — bump the token when any of that changes
+      val idx = scratchStore("graft-q-dedup-pinned", "r1", tableStamp(d, "documents"),
+        ready = p => SegmentStore.readManifest(p).lastBatch == 2L &&
+          SegmentStore.listPins(p).contains("asof1"),
+        build = p => {
+          StreamingDedupIndex.processBatch(corpus.withColumn("op", lit("u")),
+            0L, p, opCol = Some("op"), compactSegments = 3)
+          StreamingDedupIndex.processBatch(
+            corpus.filter(col("doc_id") % 23 === 0)
+              .withColumn("text", concat(col("text"), lit(" refreshed v2")))
+              .withColumn("op", lit("u")),
+            1L, p, opCol = Some("op"), compactSegments = 3)
+          SegmentStore.pin(p, "asof1")
+          StreamingDedupIndex.processBatch(
+            corpus.filter(col("doc_id") % 31 === 0).withColumn("op", lit("d")),
+            2L, p, opCol = Some("op"), compactSegments = 3)
+        })
+      val delta = docs.filter(col("doc_id") % 3 === 0)
+        .unionByName(docs.filter(col("doc_id") % 7 === 1)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      val pinned = StreamingDedupIndex
+        .probePinned(s, idx, "asof1", delta, "doc_id", "text", threshold = 0.7)
+        .withColumn("vw", lit("pinned"))
+      val live = StreamingDedupIndex
+        .probe(s, idx, delta, "doc_id", "text", threshold = 0.7)
+        .withColumn("vw", lit("live"))
+      pinned.unionByName(live).ordered("vw", "id")
     }),
 
     // The IVF embedding index under the LSM upsert/delete contract
@@ -2955,6 +2999,59 @@ object ScaleQueries {
         | best.dup_of IS NULL AS is_new
         |FROM delta LEFT JOIN best ON best.id = delta.doc_id
         |ORDER BY id""".stripMargin,
+
+    // two corpus views of the same stream: the pinned one keeps the %31
+    // docs (deleted only after the pin), the live one drops them; both
+    // carry the %23 batch-1 (latest) text, which landed before the pin
+    "q_dedup_pinned" ->
+      """WITH corpus1 AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 23 = 0 THEN text || ' refreshed v2' ELSE text END AS text
+        | FROM documents WHERE doc_id % 3 <> 0),
+        |corpus2 AS (SELECT * FROM corpus1 WHERE doc_id % 31 <> 0),
+        |delta AS (
+        | SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+        | UNION ALL
+        | SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 7 = 1),
+        |sh_c1 AS (
+        | SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks)-2),
+        |     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+        | FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus1)),
+        |sh_c2 AS (SELECT * FROM sh_c1 WHERE doc_id % 31 <> 0),
+        |sh_d AS (
+        | SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks)-2),
+        |     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+        | FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM delta)),
+        |dd AS (
+        | SELECT d.doc_id AS id, o.doc_id AS other_id,
+        |  CAST(len(list_intersect(d.shingles, o.shingles)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(d.shingles, o.shingles))) AS jac
+        | FROM sh_d d JOIN sh_d o ON o.doc_id < d.doc_id),
+        |pairs1 AS (
+        | SELECT d.doc_id AS id, o.doc_id AS other_id,
+        |  CAST(len(list_intersect(d.shingles, o.shingles)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(d.shingles, o.shingles))) AS jac
+        | FROM sh_d d CROSS JOIN sh_c1 o
+        | UNION ALL SELECT * FROM dd),
+        |pairs2 AS (
+        | SELECT d.doc_id AS id, o.doc_id AS other_id,
+        |  CAST(len(list_intersect(d.shingles, o.shingles)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(d.shingles, o.shingles))) AS jac
+        | FROM sh_d d CROSS JOIN sh_c2 o
+        | UNION ALL SELECT * FROM dd),
+        |best1 AS (
+        | SELECT id, min(other_id) AS dup_of, arg_min(jac, other_id) AS jac
+        | FROM pairs1 WHERE jac >= 0.7 GROUP BY id),
+        |best2 AS (
+        | SELECT id, min(other_id) AS dup_of, arg_min(jac, other_id) AS jac
+        | FROM pairs2 WHERE jac >= 0.7 GROUP BY id)
+        |SELECT 'pinned' AS vw, delta.doc_id AS id, best1.dup_of, best1.jac,
+        | best1.dup_of IS NULL AS is_new
+        |FROM delta LEFT JOIN best1 ON best1.id = delta.doc_id
+        |UNION ALL
+        |SELECT 'live' AS vw, delta.doc_id AS id, best2.dup_of, best2.jac,
+        | best2.dup_of IS NULL AS is_new
+        |FROM delta LEFT JOIN best2 ON best2.id = delta.doc_id
+        |ORDER BY vw, id""".stripMargin,
 
     // IVF probe over the surviving latest-version corpus: %13 vectors
     // gone, %17 vectors reversed (re-assigned from their new direction);

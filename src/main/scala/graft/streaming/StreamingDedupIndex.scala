@@ -64,6 +64,18 @@ object StreamingDedupIndex {
       SegmentStore.readDels(spark, indexDir, "id", m), "id").drop("batch")
   }
 
+  /** The pinned index view — [[liveIndex]] resolved through a pin
+    * ([[SegmentStore.pin]]; the signature store has no frozen parameter,
+    * so the plain pin suffices) instead of the live manifest: the exact
+    * signature rows of the pinned commit, bit-identical across any later
+    * upserts, deletes, and compactions.
+    */
+  def pinnedIndex(spark: SparkSession, indexDir: String, pinName: String): DataFrame = {
+    val p = SegmentStore.readPin(indexDir, pinName)
+    SegmentStore.liveRows(SegmentStore.readSegments(spark, indexDir, segSchema, p.manifest),
+      SegmentStore.readDels(spark, indexDir, "id", p.manifest), "id").drop("batch")
+  }
+
   /** Near-dedup an arriving delta against the maintained index as of the
     * last committed batch — [[NearDup.incrementalMinHashDedup]] over the
     * live view. Output: (id, dup_of, jac, is_new) per delta document.
@@ -73,6 +85,23 @@ object StreamingDedupIndex {
             bands: Int = 32, rowsPerBand: Int = 3,
             shingleK: Int = 3): DataFrame =
     NearDup.incrementalMinHashDedup(liveIndex(spark, indexDir), delta,
+      idCol, textCol, threshold, bands, rowsPerBand, shingleK)
+
+  /** [[probe]] against a pin: dedup verdicts as-of the pinned corpus — the
+    * reproducible-training-run form its retrieval siblings
+    * ([[StreamingAnnIndex.ivfTopKPinned]], [[StreamingRetrieval.bm25TopKPinned]])
+    * already have, so a run can pin its dedup/decontam decisions to the
+    * SAME snapshot its retrieval indexes are pinned to. A document deleted
+    * after the pin keeps claiming `dup_of` verdicts in the pinned view
+    * while the live view has already stopped matching it. Runs the live
+    * probe's plan — the only difference is which manifest resolves the
+    * segment set.
+    */
+  def probePinned(spark: SparkSession, indexDir: String, pinName: String,
+                  delta: DataFrame, idCol: String, textCol: String,
+                  threshold: Double = 0.7, bands: Int = 32,
+                  rowsPerBand: Int = 3, shingleK: Int = 3): DataFrame =
+    NearDup.incrementalMinHashDedup(pinnedIndex(spark, indexDir, pinName), delta,
       idCol, textCol, threshold, bands, rowsPerBand, shingleK)
 
   /** Apply one micro-batch of corpus changes to the index at `indexDir`

@@ -360,6 +360,56 @@ class SegmentStorePinSpec extends AnyFunSuite with Matchers {
     r.heldBytes shouldBe 0L
   }
 
+  test("a dedup pin keeps claiming verdicts from documents deleted after the pin") {
+    // the reproducible-run contract for the fourth maintained family: a
+    // training run pins its corpus, and its dedup verdicts must stay
+    // as-of that snapshot — a document deleted later keeps claiming
+    // dup_of in the pinned view while the live view calls the same delta
+    // document new
+    val dir = Files.createTempDirectory("graft-pin-dedup").toString
+    val text1 = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs0 = Seq(
+      (1L, text1),
+      (2L, "an entirely different document about segment stores and manifests here"))
+      .toDF("doc_id", "text").withColumn("op", lit("u"))
+    StreamingDedupIndex.processBatch(docs0, 0L, dir, opCol = Some("op"))
+    SegmentStore.pin(dir, "train-corpus")
+
+    val delta = Seq((100L, text1)).toDF("doc_id", "text") // exact copy: J = 1
+    def verdict(df: org.apache.spark.sql.DataFrame): (Option[Long], Boolean) = {
+      val r = df.filter(col("id") === 100L).collect().head
+      (if (r.isNullAt(r.fieldIndex("dup_of"))) None
+       else Some(r.getLong(r.fieldIndex("dup_of"))),
+        r.getBoolean(r.fieldIndex("is_new")))
+    }
+    val pinnedDf = StreamingDedupIndex.probePinned(spark, dir, "train-corpus",
+      delta, "doc_id", "text")
+    verdict(pinnedDf) shouldBe ((Some(1L), false))
+
+    // a pinned probe runs the live probe's plan — same operators in the
+    // same shape (the SCALING.md claim, pinned like the ANN family's)
+    def shape(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      df.collect() // finalize AQE
+      val p = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case other => other
+      }
+      p.collect { case n => n.getClass.getSimpleName }
+    }
+    shape(pinnedDf) shouldBe
+      shape(StreamingDedupIndex.probe(spark, dir, delta, "doc_id", "text"))
+
+    // doc 1 deleted: the live probe stops matching, the pin does not
+    StreamingDedupIndex.processBatch(
+      Seq((1L, "", "d")).toDF("doc_id", "text", "op"), 1L, dir, opCol = Some("op"))
+    verdict(StreamingDedupIndex.probe(spark, dir, delta, "doc_id", "text")) shouldBe
+      ((None, true))
+    verdict(StreamingDedupIndex.probePinned(spark, dir, "train-corpus",
+      delta, "doc_id", "text")) shouldBe ((Some(1L), false))
+    SegmentStore.unpin(dir, "train-corpus")
+  }
+
   test("a BM25 pin freezes corpus statistics, not just the row set") {
     // deleting a document changes N, avgdl, and every idf — a pinned
     // ranking must keep the as-of SCORES, which only holds because the
