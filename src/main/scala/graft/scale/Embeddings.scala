@@ -141,11 +141,14 @@ object Embeddings {
     var iters = 0
     var moved = Double.MaxValue
     while (iters < maxIters && moved > tol) {
+      // narrow hash-agg (packed arg-min, no vsub in the buffer — a
+      // first(array) buffer is a second SortAggregate trigger); the
+      // subvector rejoins from the CACHED subs table on (id, m)
       val assigned = subs.join(broadcast(cb), Seq("m"))
         .withColumn("_d", subDist(col("vsub"), col("sub")))
         .groupBy(col(idCol), col("m"))
-        .agg(min_by(col("code_id"), struct(col("_d"), col("code_id"))).as("code"),
-          first(col("vsub")).as("vsub"))
+        .agg(min_by(col("code_id"), packedDistCode(col("_d"), col("code_id"))).as("code"))
+        .join(subs, Seq(idCol, "m"))
       val means = assigned
         .select(col("m"), col("code").as("code_id"),
           posexplode(col("vsub")).as(Seq("dim", "x")))
@@ -192,6 +195,19 @@ object Embeddings {
       zip_with(vsub, sub, (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, v) => acc + v), 6)
 
+  /** The lexicographic (dist, code_id) arg-min order packed into ONE
+    * Decimal(38,0): `min_by(code, struct(dist, code))` keeps a struct in
+    * its aggregation buffer, which is not UnsafeRow-mutable, so every PQ
+    * assignment pass fell back to Sort + SortAggregate over the corpus×K
+    * expansion. dist is 6dp-rounded and non-negative, so dist·1e6 is an
+    * exact integer; code_id < 256 by the codebook contract — the packing
+    * is order-isomorphic and the buffer becomes a mutable decimal, so the
+    * pass is one HashAggregate with no sort (the assignBucketsScored
+    * rule).
+    */
+  private def packedDistCode(dist: Column, codeId: Column): Column =
+    (dist * 1e6).cast(DecimalType(32, 0)) * 256 + codeId
+
   /** Encode every vector: per subspace the code with the minimum rounded
     * L2² distance (ties → smallest code_id). Output: idCol, codes
     * (ARRAY<INT> in subspace order), err (DECIMAL-exact sum of the M
@@ -204,7 +220,7 @@ object Embeddings {
     subs.join(broadcast(codebook), Seq("m"))
       .withColumn("_dist", subDist(col("vsub"), col("sub")))
       .groupBy(col(idCol), col("m"))
-      .agg(min_by(col("code_id"), struct(col("_dist"), col("code_id"))).as("code"),
+      .agg(min_by(col("code_id"), packedDistCode(col("_dist"), col("code_id"))).as("code"),
         min(col("_dist")).as("dist"))
       .groupBy(idCol)
       .agg(

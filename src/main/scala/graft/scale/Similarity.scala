@@ -127,13 +127,32 @@ object Similarity {
     val c = normed(corpus, idCol, vecCol, "v").repartition(n, col("v_id"))
     val cent = normed(centroids, idCol, vecCol, "cent")
       .withColumnRenamed("cent_id", "centroid_id")
-    c.join(broadcast(cent))
+    // The arg-max reduction hash-aggregates: a `max_by(id, struct(ccos,
+    // -id))` buffer holds a struct, which is not UnsafeRow-mutable, so the
+    // whole corpus×K expansion fell back to Sort + SortAggregate — sorting
+    // |corpus|·K rows that each CARRIED the vector payload (first(vec) in
+    // the same buffer was a second, independent SortAggregate trigger).
+    // Packing the (ccos, -centroid_id) lexicographic order into ONE
+    // Decimal(38,0) is order-isomorphic — ccos is 6dp-rounded (or the −2.0
+    // sentinel), so ccos·1e6 is an exact integer in [−2e6, 1e6], and
+    // 2⁶³ − id ∈ (0, 2⁶⁴] reverses the id tiebreak for ANY long id — and a
+    // decimal buffer is mutable, so the pass is one HashAggregate with no
+    // sort. vec/norm rejoin from the same repartition exchange (reused, not
+    // recomputed): ids are unique by the index contract, so the join-back
+    // returns exactly the group's own vector.
+    val two63 = lit(BigDecimal(2).pow(63)).cast(DecimalType(38, 0))
+    val two64 = lit(BigDecimal(2).pow(64)).cast(DecimalType(38, 0))
+    val packed = (col("ccos") * 1e6).cast(DecimalType(23, 0)) * two64 +
+      (two63 - col("centroid_id"))
+    val best = c.join(broadcast(cent))
       .withColumn("ccos",
         pairCos(col("v_vec"), col("cent_vec"), col("v_norm"), col("cent_norm")))
-      .groupBy(col("v_id").as("vec_id"))
-      .agg(max_by(col("centroid_id"), struct(col("ccos"), -col("centroid_id"))).as("bucket"),
-        first(col("v_vec")).as("vec"), first(col("v_norm")).as("norm"),
+      .groupBy(col("v_id"))
+      .agg(max_by(col("centroid_id"), packed).as("bucket"),
         max(col("ccos")).as("acos"))
+    c.join(best, Seq("v_id"))
+      .select(col("v_id").as("vec_id"), col("bucket"),
+        col("v_vec").as("vec"), col("v_norm").as("norm"), col("acos"))
   }
 
   /** Deterministic pseudo-random hyperplane weights (xorshift over a fixed

@@ -14,7 +14,12 @@ object StageProfile {
   def main(args: Array[String]): Unit = {
     val spark = Sessions.build("stage-profile")
     val sf = if (args.length > 1) args(0) else "/root/testdata/sf0.1"
-    val name = args.last
+    args.last.split(",").map(_.trim).filter(_.nonEmpty).foreach(profile(spark, sf, _))
+    spark.stop()
+  }
+
+  private def profile(spark: org.apache.spark.sql.SparkSession,
+                      sf: String, name: String): Unit = {
     val q = SparkEntry.queries(name)
 
     // warmup (codegen, parquet footers)
@@ -22,7 +27,8 @@ object StageProfile {
     spark.catalog.clearCache()
 
     case class St(job: Int, id: Int, name: String, tasks: Int,
-                  ms: Long, shufRead: Long, shufWrite: Long, input: Long)
+                  ms: Long, cpuMs: Long, shufRead: Long, shufWrite: Long,
+                  input: Long)
     val stages = mutable.ArrayBuffer.empty[St]
     val stageToJob = mutable.Map.empty[Int, Int]
     var jobs = 0
@@ -36,6 +42,7 @@ object StageProfile {
         val ms = (for {s <- si.submissionTime; c <- si.completionTime} yield c - s).getOrElse(-1L)
         stages += St(stageToJob.getOrElse(si.stageId, -1), si.stageId,
           si.name.takeWhile(_ != '\n').take(60), si.numTasks, ms,
+          si.taskMetrics.executorCpuTime / 1000000L,
           si.taskMetrics.shuffleReadMetrics.totalBytesRead,
           si.taskMetrics.shuffleWriteMetrics.bytesWritten,
           si.taskMetrics.inputMetrics.bytesRead)
@@ -48,15 +55,16 @@ object StageProfile {
     spark.sparkContext.removeSparkListener(listener)
     Thread.sleep(500) // let the listener bus drain
 
+    // executorCpuTime is the A/B metric on this noisy shared host: actual
+    // CPU burned is load-independent where wall time swings ±25% run-to-run
     println(f"\nPROFILE $name: $secs%.2f s, $jobs jobs, ${stages.size} stages, " +
-      f"${stages.map(_.ms).sum} stage-ms (sum)")
-    println(f"${"job"}%4s ${"stage"}%5s ${"ms"}%7s ${"tasks"}%5s " +
+      f"${stages.map(_.ms).sum} stage-ms (sum), ${stages.map(_.cpuMs).sum} cpu-ms (sum)")
+    println(f"${"job"}%4s ${"stage"}%5s ${"ms"}%7s ${"cpuMs"}%7s ${"tasks"}%5s " +
       f"${"input"}%10s ${"shufR"}%10s ${"shufW"}%10s  name")
     stages.sortBy(_.id).foreach { s =>
-      println(f"${s.job}%4d ${s.id}%5d ${s.ms}%7d ${s.tasks}%5d " +
+      println(f"${s.job}%4d ${s.id}%5d ${s.ms}%7d ${s.cpuMs}%7d ${s.tasks}%5d " +
         f"${s.input}%10d ${s.shufRead}%10d ${s.shufWrite}%10d  ${s.name}")
     }
     spark.catalog.clearCache()
-    spark.stop()
   }
 }
