@@ -1424,6 +1424,10 @@ object ScaleQueries {
       val probes = docs.filter(col("doc_id") % 97 === 0)
         .select(col("doc_id").as("q_id"),
           explode(array_distinct(slice(split(col("text"), " "), 1, 4))).as("term"))
+      // NOT ownedCache'd like q_bm25_upsert's segs: measured r13 (min of 3
+      // JVM runs, buddy-normalized against q_retrieval_fused) — caching both
+      // legs read 6.45s vs 5.34s uncached; the columnar cache write of the
+      // wide vec rows costs more than the recomputation it saves here
       val lex = StreamingRetrieval.bm25TopKLive(seg0.unionByName(seg1), delsT,
         probes, "q_id", "term", k = 10)
 

@@ -147,10 +147,13 @@ object Chunking {
                       window: Int, stride: Int): DataFrame = {
     val chunks = chunkDocuments(df, idCol, textCol, window, stride)
       .select(col(idCol), col("chunk_id"), TextOps.fingerprint(col("chunk")).as("fp"))
+    // packed arg-min (HashAggregate, no sort of the chunk explosion —
+    // min(struct(doc, chunk)) fell back to SortAggregate); chunk_id is an
+    // int sequence index, so TextOps.packedLexLongInt's range holds
+    val ck = TextOps.packedLexLongInt(col(idCol), col("chunk_id"))
     val winners = chunks
       .groupBy("fp")
-      .agg(min(struct(col(idCol), col("chunk_id"))).as("w"))
-      .select(col("fp"), col("w")(idCol).as("w_doc"), col("w")("chunk_id").as("w_chunk"))
+      .agg(min_by(col(idCol), ck).as("w_doc"), min_by(col("chunk_id"), ck).as("w_chunk"))
     chunks.join(winners, "fp")
       .withColumn("kept",
         (col(idCol) === col("w_doc") && col("chunk_id") === col("w_chunk")).cast("int"))

@@ -72,29 +72,34 @@ object Retrieval {
     require(k > 0, s"k must be positive, got $k")
     require(maxDfFrac > 0.0 && maxDfFrac <= 1.0,
       s"maxDfFrac must be in (0, 1], got $maxDfFrac")
-    val post = postings(docs, idCol, textCol)
     val qterms = queries
       .select(col(qIdCol).as("q_id"), col(termCol).as("token")).distinct()
     val qtokens = qterms.select("token").distinct()
 
-    // the ONE corpus-sized postings pass: joined to the broadcast distinct
+    // the ONE corpus-sized postings pass, with dl DENORMALIZED onto the
+    // row (the buildBm25Index shape): joined to the broadcast distinct
     // query-TOKEN set (not the (q_id, token) pairs — the q_id fanout must
     // not multiply rows before df is counted). Everything downstream is
-    // candidate-sized, and the plan stays LINEAR: document frequency is a
-    // window count over this same candidate set instead of a second
-    // aggregate branch, so no cache is needed and the corpus is scanned
-    // once. (The earlier two-branch design cached here; a plan-keyed cache
-    // on a reread index path silently serves stale candidates after new
-    // data lands — engineered away rather than documented.)
-    val cand1 = post.join(broadcast(qtokens), Seq("token"))
+    // candidate-sized and the plan stays LINEAR: df is a window count
+    // over this same candidate set (no cache, no second aggregate
+    // branch), and — r13 — dl riding the candidate row replaces the
+    // former corpus-sized dl⋈candidates scoring join outright, which was
+    // the corpus's THIRD full tokenization. (Deriving the stats below
+    // from this index subtree instead was measured and rejected: column
+    // pruning cannot remove `token` from the build's grouping keys, so
+    // the stats pass re-ran the whole explode+shuffle+agg where a
+    // map-only size(tokens) projection suffices.)
+    val cand1 = buildBm25Index(docs, idCol, textCol)
+      .join(broadcast(qtokens), Seq("token"))
       .withColumn("df", count(lit(1)).over(Window.partitionBy("token")))
 
-    // corpus stats: N and average document length (one tiny aggregate,
-    // broadcast into the scoring join as a 1-row dimension)
-    val dl = docs.select(col(idCol).as("doc_id"),
-      size(TextOps.tokens(col(textCol))).cast(DoubleType).as("dl"))
-    val stats = dl.agg(count(lit(1)).cast(DoubleType).as("n_docs"),
-      avg("dl").as("avgdl"))
+    // corpus stats: N and average document length — one map-only
+    // tokenize-and-count pass into a 1-row broadcast dimension, never an
+    // explode (same values as the index's (doc_id, dl) pairs: every
+    // non-null text yields at least one token)
+    val stats = docs
+      .select(size(TextOps.tokens(col(textCol))).cast(DoubleType).as("dl"))
+      .agg(count(lit(1)).cast(DoubleType).as("n_docs"), avg("dl").as("avgdl"))
 
     // df cap, then the q_id fanout via the broadcast (q_id, token) pairs.
     // NO broadcast hint on the scoring join: candidates are usually small
@@ -102,10 +107,9 @@ object Retrieval {
     // every doc matching every term — can make them table-sized, and a
     // forced broadcast would then bottleneck on the driver (the LangModel
     // advisory lesson).
-    val cand = cand1.crossJoin(broadcast(stats))
+    val scored = cand1.crossJoin(broadcast(stats))
       .filter(col("df") <= lit(maxDfFrac) * col("n_docs"))
       .join(broadcast(qterms), Seq("token"))
-    val scored = dl.join(cand, Seq("doc_id"))
       .withColumn("idf",
         log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
       .withColumn("tfn",

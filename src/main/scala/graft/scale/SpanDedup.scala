@@ -77,13 +77,19 @@ object SpanDedup {
     // tokenize+md5 pipeline, which stays inside whole-stage codegen.
 
     // one hash-agg: canonical (min (doc,pos)) + occurrence count per gram,
-    // keeping only grams that actually repeat
+    // keeping only grams that actually repeat. The arg-min rides the packed
+    // decimal order (TextOps.packedLexLongInt): min(struct(id, pos)) kept a
+    // struct buffer and fell back to Sort + SortAggregate — sorting the
+    // corpus×k gram explosion this operator's scale story is built on NOT
+    // sorting; _pos is a posexplode index, so the int-range precondition
+    // holds for any input.
+    val gk = TextOps.packedLexLongInt(id, col("_pos"))
     val canon = grams
       .groupBy("_g")
-      .agg(min(struct(id.as("_cid"), col("_pos").as("_cpos"))).as("_min"),
+      .agg(min_by(id, gk).as("_cid"), min_by(col("_pos"), gk).as("_cpos"),
         count(lit(1)).as("_n"))
       .filter(col("_n") > 1)
-      .select(col("_g"), col("_min._cid").as("_cid"), col("_min._cpos").as("_cpos"))
+      .select("_g", "_cid", "_cpos")
 
     // non-canonical occurrences of duplicated grams -> covered positions
     val removed = grams

@@ -14,6 +14,22 @@ import org.apache.spark.sql.types._
   */
 object TextOps {
 
+  /** Lexicographic (a, b) order packed into one Decimal(38,0), so arg-min /
+    * arg-max reductions over it HASH-aggregate: a `min(struct(a, b))` (or
+    * `min_by(v, struct(a, b))`) buffer holds a struct, which is not
+    * UnsafeRow-mutable, and the whole aggregation falls back to
+    * Sort + SortAggregate — a full sort of the corpus-sized input (the
+    * assignBucketsScored rule; see Similarity). A decimal buffer IS
+    * mutable. Order-isomorphic for ANY long `a` (lifted by 2⁶³ into
+    * [0, 2⁶⁴), computed in decimal so nothing overflows) and int `b` in
+    * [0, 2³¹) — the posexplode/sequence position columns these call sites
+    * order by. Injective, so min_by(a, packed) + min_by(b, packed) under
+    * ties return the same (a, b) pair min(struct(a, b)) would.
+    */
+  private[scale] def packedLexLongInt(a: Column, b: Column): Column =
+    (lit(BigDecimal(2).pow(63)).cast(DecimalType(38, 0)) + a) *
+      lit(BigDecimal(2).pow(31)).cast(DecimalType(38, 0)) + b
+
   /** Whitespace tokens. The synthetic corpus is single-space separated;
     * for real corpora swap in a regex (`split(col, "\\s+")`).
     */
@@ -317,9 +333,11 @@ object TextOps {
         posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
           .as(Seq("pos", "line")))
       .cache()
+    // packed arg-min (one HashAggregate, no sort of the exploded lines —
+    // min(struct(id, pos)) fell back to SortAggregate; see packedLexLongInt)
+    val lk = packedLexLongInt(col("id"), col("pos"))
     val winners = lines.groupBy("line")
-      .agg(min(struct(col("id"), col("pos"))).as("w"))
-      .select(col("line"), col("w.id").as("id"), col("w.pos").as("pos"))
+      .agg(min_by(col("id"), lk).as("id"), min_by(col("pos"), lk).as("pos"))
     val kept = lines.join(winners, Seq("line", "id", "pos"))
     val rebuilt = kept.groupBy("id")
       .agg(array_join(transform(array_sort(collect_list(struct(col("pos"), col("line")))),
