@@ -224,7 +224,12 @@ class TxReplayNativeShardSpec extends AnyFunSuite with Matchers {
     // listener's stateRowsWarnAt tripwire fires once when total state rows
     // cross the bound. The same workload under a short TTL expires its
     // tombstones as it goes and never crosses.
-    // 40 single-event txs × 4 shards = 160 tombstones; threshold 120.
+    // 40 single-event txs × 4 shards = 160 tombstones; threshold 150: the
+    // unbounded arm still crosses deterministically (160 >= 150, and only
+    // at the final wave), while the TTL arm now misfires only if nearly
+    // FOUR waves sit unexpired at once — r13 widened this from 120 after
+    // a loaded host starved the 100 ms expiry trigger for three waves
+    // (128 live rows) and tripped the old margin; passes isolated at both.
     def wave(t0: Int, n: Int): Seq[NativeEv] = toNative(
       (t0 until t0 + n).map(t =>
         LeftEv((t % 4).toLong + 1, "c", 2L * t, t, OrderRow(t % 4 + 1, s"a$t"))),
@@ -234,7 +239,7 @@ class TxReplayNativeShardSpec extends AnyFunSuite with Matchers {
 
     def run(name: String, doneTtl: Option[Long]): Map[String, Long] = withRocksDb {
       implicit val sqlCtx = spark.sqlContext
-      val listener = new GraftMetricsListener(stateRowsWarnAt = Some(120L))
+      val listener = new GraftMetricsListener(stateRowsWarnAt = Some(150L))
       spark.streams.addListener(listener)
       val in = MemoryStream[NativeEv]
       val df = in.toDF()
@@ -276,7 +281,7 @@ class TxReplayNativeShardSpec extends AnyFunSuite with Matchers {
 
     val unbounded = run("shard_warn_unbounded", None)
     unbounded.keySet shouldBe Set("shard_warn_unbounded")
-    unbounded("shard_warn_unbounded") should be >= 120L
+    unbounded("shard_warn_unbounded") should be >= 150L
 
     run("shard_warn_ttl", Some(700L)) shouldBe empty
   }
