@@ -148,6 +148,10 @@ object Embeddings {
         .withColumn("_d", subDist(col("vsub"), col("sub")))
         .groupBy(col(idCol), col("m"))
         .agg(min_by(col("code_id"), packedDistCode(col("_d"), col("code_id"))).as("code"))
+        // SHUFFLE_HASH, build = the narrow code side: corpus-sized, so it
+        // must never broadcast (the assignBucketsScored rule), and the
+        // hash join streams the cached subvectors without sorting them
+        .hint("shuffle_hash")
         .join(subs, Seq(idCol, "m"))
       val means = assigned
         .select(col("m"), col("code").as("code_id"),
@@ -206,7 +210,14 @@ object Embeddings {
     * rule).
     */
   private def packedDistCode(dist: Column, codeId: Column): Column =
-    (dist * 1e6).cast(DecimalType(32, 0)) * 256 + codeId
+    // NaN/∞ distances (garbage input elements) ranked ABOVE every real
+    // value in the old struct order; they saturate at 1e26 here — above
+    // any representable embedding's L2² — instead of killing the batch on
+    // an ANSI NaN→decimal cast. Distances at or past 1e26 tie (argmin then
+    // breaks by code_id); finite real-world distances are orders of
+    // magnitude below.
+    (least(nanvl(dist, lit(Double.PositiveInfinity)), lit(1e26)) * 1e6)
+      .cast(DecimalType(33, 0)) * 256 + codeId
 
   /** Encode every vector: per subspace the code with the minimum rounded
     * L2² distance (ties → smallest code_id). Output: idCol, codes

@@ -140,17 +140,29 @@ object Similarity {
     // sort. vec/norm rejoin from the same repartition exchange (reused, not
     // recomputed): ids are unique by the index contract, so the join-back
     // returns exactly the group's own vector.
+    // nanvl: a NaN cosine (NaN input elements — garbage, like the zero-norm
+    // vectors pairCos sentinels) sorted ABOVE every real value in the old
+    // struct order (Spark ranks NaN greatest); +2.0 is above the whole
+    // [−2, 1] range so the packed order agrees — and without it the ANSI
+    // NaN→decimal cast would kill the batch on one garbage embedding, the
+    // failure mode the −2.0 sentinel exists to prevent.
     val two63 = lit(BigDecimal(2).pow(63)).cast(DecimalType(38, 0))
     val two64 = lit(BigDecimal(2).pow(64)).cast(DecimalType(38, 0))
-    val packed = (col("ccos") * 1e6).cast(DecimalType(23, 0)) * two64 +
-      (two63 - col("centroid_id"))
+    val packed = (greatest(least(nanvl(col("ccos"), lit(2.0)), lit(2.0)), lit(-3.0))
+      * 1e6).cast(DecimalType(23, 0)) * two64 + (two63 - col("centroid_id"))
     val best = c.join(broadcast(cent))
       .withColumn("ccos",
         pairCos(col("v_vec"), col("cent_vec"), col("v_norm"), col("cent_norm")))
       .groupBy(col("v_id"))
       .agg(max_by(col("centroid_id"), packed).as("bucket"),
         max(col("ccos")).as("acos"))
-    c.join(best, Seq("v_id"))
+    // SHUFFLE_HASH, build = the narrow agg side: both sides already carry
+    // hashpartitioning(v_id) from the ONE repartition exchange (reused),
+    // so the join adds no exchange and — unlike sort-merge — no sort; and
+    // unlike the planner's default it can never BROADCAST `best`, which is
+    // corpus-sized (small enough only at toy scale — the PlanShapeSpec
+    // "corpus is never broadcast" invariant).
+    c.join(best.hint("shuffle_hash"), Seq("v_id"))
       .select(col("v_id").as("vec_id"), col("bucket"),
         col("v_vec").as("vec"), col("v_norm").as("norm"), col("acos"))
   }

@@ -431,8 +431,11 @@ class PlanShapeSpec extends AnyFunSuite with Matchers {
       shuffles.count(_.contains("hashpartitioning(fp")) shouldBe 1
       shuffles.count(_.contains("hashpartitioning(doc_id")) shouldBe 1
       // winner election is partial-aggregated map-side (skew-safe against
-      // a corpus-wide boilerplate chunk: no single-partition fp window)
-      plan should include("partial_min(struct(doc_id")
+      // a corpus-wide boilerplate chunk: no single-partition fp window) —
+      // and since r13 it is the PACKED arg-min (decimal ordering), so the
+      // reduction hash-aggregates instead of sorting the chunk explosion
+      plan should include("partial_min_by(doc_id")
+      plan should not include "SortAggregate"
     }
   }
 }
