@@ -73,6 +73,40 @@ object TxQueries {
     }
   }
 
+  /** END dimension + reachable-tx set from ONE pass over the event streams.
+    *
+    * These queries synthesize `expected_*` FROM the actual per-tx counts, so
+    * letting [[TxReplay.replay]] derive completeness internally re-aggregates
+    * both event streams a second time (replay can't know the END counts came
+    * from the same aggregation). Computing the counts once (cached — a
+    * tx-DIMENSION table, one row per tx), deriving the END events from it,
+    * and handing replay the precomputed `reachable` set through its
+    * streaming-caller parameter halves the event-side aggregation passes.
+    * Same emission bit-for-bit: [[TxReplay.txCompletenessFromCounts]] is
+    * exactly the aggregation replay would run ([[TxReplay.txCompleteness]]
+    * delegates to it).
+    *
+    * @param tamper  post-processing of the END dimension (phantom expected
+    *   counts — the completeness-stall probes); applied BEFORE reachability
+    *   so the stall rule sees the tampered counts, as replay's internal path
+    *   would.
+    */
+  private def endsAndReachable(left: DataFrame, right: DataFrame,
+                               tamper: DataFrame => DataFrame = identity)
+      : (DataFrame, DataFrame) = {
+    val counts = left.groupBy("tx_id").agg(count(lit(1)).as("n_left"))
+      .join(right.groupBy("tx_id").agg(count(lit(1)).as("n_right")), Seq("tx_id"), "full")
+      .na.fill(0L, Seq("n_left", "n_right"))
+      .cache()
+    val ends = tamper(counts.select(col("tx_id"),
+      col("n_left").as("expected_left"), col("n_right").as("expected_right"),
+      (lit(TxBase) + col("tx_id")).as("commit_lsn")))
+    val reachable = TxReplay.txCompletenessFromCounts(counts, ends)
+      .filter(col("reachable")).select("tx_id", "commit_lsn")
+      .cache()
+    (ends, reachable)
+  }
+
   /** Flatten the replay output for the oracle compare: header columns at top
     * level, lines as canonical JSON text, total order on (key, commit_lsn).
     */
@@ -96,12 +130,13 @@ object TxQueries {
       val l = leftEvents(s, d)
       val r = rightEvents(s, d)
       val maxTx = l.agg(max("tx_id").as("max_tx"))
-      val ends = txEnds(l, r).crossJoin(broadcast(maxTx))
-        .withColumn("expected_right",
-          when(col("tx_id") === col("max_tx") - 3, col("expected_right") + 1)
-            .otherwise(col("expected_right")))
-        .drop("max_tx")
-      present(TxReplay.replay(l, r, ends))
+      val (ends, reachable) = endsAndReachable(l, r, tamper = base =>
+        base.crossJoin(broadcast(maxTx))
+          .withColumn("expected_right",
+            when(col("tx_id") === col("max_tx") - 3, col("expected_right") + 1)
+              .otherwise(col("expected_right")))
+          .drop("max_tx"))
+      present(TxReplay.replay(l, r, ends, reachable = Some(reachable)))
     }),
 
     // The same end-to-end replay through the sorted per-key scan form —
@@ -110,12 +145,13 @@ object TxQueries {
       val l = leftEvents(s, d)
       val r = rightEvents(s, d)
       val maxTx = l.agg(max("tx_id").as("max_tx"))
-      val ends = txEnds(l, r).crossJoin(broadcast(maxTx))
-        .withColumn("expected_right",
-          when(col("tx_id") === col("max_tx") - 3, col("expected_right") + 1)
-            .otherwise(col("expected_right")))
-        .drop("max_tx")
-      present(TxReplay.replaySorted(l, r, ends))
+      val (ends, reachable) = endsAndReachable(l, r, tamper = base =>
+        base.crossJoin(broadcast(maxTx))
+          .withColumn("expected_right",
+            when(col("tx_id") === col("max_tx") - 3, col("expected_right") + 1)
+              .otherwise(col("expected_right")))
+          .drop("max_tx"))
+      present(TxReplay.replaySorted(l, r, ends, reachable = Some(reachable)))
     }),
 
     // A1 accumulation across transactions (IT scenario 3 shape): odd-suppkey
@@ -127,7 +163,8 @@ object TxQueries {
       val r0 = rightEvents(s, d)
       val r = r0.withColumn("tx_id",
         when(col("line_id") % 2 === 0, col("tx_id") + 50000).otherwise(col("tx_id")))
-      present(TxReplay.replay(l, r, txEnds(l, r)))
+      val (ends, reachable) = endsAndReachable(l, r)
+      present(TxReplay.replay(l, r, ends, reachable = Some(reachable)))
     }),
 
     // O10/S8 tombstones: orders with status 'F' get a delete event in a late
@@ -143,8 +180,9 @@ object TxQueries {
           col("o_orderdate"), col("o_orderpriority")).as("row"))
       val l = l0.unionByName(deletes)
       val r = rightEvents(s, d)
+      val (ends, reachable) = endsAndReachable(l, r)
       // timestampFormat matches DuckDB's JSON timestamp rendering
-      TxReplay.replay(l, r, txEnds(l, r)).select(
+      TxReplay.replay(l, r, ends, reachable = Some(reachable)).select(
         col("key"), col("commit_lsn"),
         when(col("deleted"), lit(null).cast(StringType))
           .otherwise(to_json(struct(col("row"), col("lines")),

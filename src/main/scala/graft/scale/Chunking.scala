@@ -149,11 +149,18 @@ object Chunking {
       .select(col(idCol), col("chunk_id"), TextOps.fingerprint(col("chunk")).as("fp"))
     // packed arg-min (HashAggregate, no sort of the chunk explosion —
     // min(struct(doc, chunk)) fell back to SortAggregate); chunk_id is an
-    // int sequence index, so TextOps.packedLexLongInt's range holds
-    val ck = TextOps.packedLexLongInt(col(idCol), col("chunk_id"))
-    val winners = chunks
-      .groupBy("fp")
-      .agg(min_by(col(idCol), ck).as("w_doc"), min_by(col("chunk_id"), ck).as("w_chunk"))
+    // int sequence index, so TextOps.packedLexLongInt's range holds.
+    // Non-integral doc ids keep the struct order (the packing would
+    // re-order string/decimal keys — see packedLexLongInt).
+    val winners =
+      if (TextOps.integralIdType(df.schema(idCol).dataType)) {
+        val ck = TextOps.packedLexLongInt(col(idCol), col("chunk_id"))
+        chunks.groupBy("fp")
+          .agg(min_by(col(idCol), ck).as("w_doc"), min_by(col("chunk_id"), ck).as("w_chunk"))
+      } else
+        chunks.groupBy("fp")
+          .agg(min(struct(col(idCol).as("i"), col("chunk_id").as("c"))).as("_w"))
+          .select(col("fp"), col("_w.i").as("w_doc"), col("_w.c").as("w_chunk"))
     chunks.join(winners, "fp")
       .withColumn("kept",
         (col(idCol) === col("w_doc") && col("chunk_id") === col("w_chunk")).cast("int"))

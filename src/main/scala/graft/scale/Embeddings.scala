@@ -215,7 +215,13 @@ object Embeddings {
     // any representable embedding's L2² — instead of killing the batch on
     // an ANSI NaN→decimal cast. Distances at or past 1e26 tie (argmin then
     // breaks by code_id); finite real-world distances are orders of
-    // magnitude below.
+    // magnitude below. DIVERGENCE from the pre-r13 struct order on that
+    // degenerate class ONLY: the struct order still distinguished finite
+    // distances ≥ 1e26 by value and ranked NaN above +∞, so when EVERY
+    // codeword distance is degenerate the elected code can differ from
+    // pre-r13 behavior (then: argmin among the garbage; now: smallest
+    // code_id). No representable real embedding reaches the class, and
+    // pre-r13 such rows threw under ANSI instead of encoding at all.
     (least(nanvl(dist, lit(Double.PositiveInfinity)), lit(1e26)) * 1e6)
       .cast(DecimalType(33, 0)) * 256 + codeId
 

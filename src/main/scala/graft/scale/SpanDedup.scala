@@ -82,12 +82,19 @@ object SpanDedup {
     // struct buffer and fell back to Sort + SortAggregate — sorting the
     // corpus×k gram explosion this operator's scale story is built on NOT
     // sorting; _pos is a posexplode index, so the int-range precondition
-    // holds for any input.
-    val gk = TextOps.packedLexLongInt(id, col("_pos"))
-    val canon = grams
-      .groupBy("_g")
-      .agg(min_by(id, gk).as("_cid"), min_by(col("_pos"), gk).as("_cpos"),
-        count(lit(1)).as("_n"))
+    // holds for any input. Non-integral ids keep the struct order (the
+    // packing would re-order string/decimal keys — see packedLexLongInt).
+    val canon = (if (TextOps.integralIdType(df.schema(idCol).dataType)) {
+        val gk = TextOps.packedLexLongInt(id, col("_pos"))
+        grams.groupBy("_g")
+          .agg(min_by(id, gk).as("_cid"), min_by(col("_pos"), gk).as("_cpos"),
+            count(lit(1)).as("_n"))
+      } else
+        grams.groupBy("_g")
+          .agg(min(struct(id.as("i"), col("_pos").as("p"))).as("_w"),
+            count(lit(1)).as("_n"))
+          .select(col("_g"), col("_w.i").as("_cid"), col("_w.p").as("_cpos"),
+            col("_n")))
       .filter(col("_n") > 1)
       .select("_g", "_cid", "_cpos")
 

@@ -25,10 +25,30 @@ object TextOps {
     * [0, 2³¹) — the posexplode/sequence position columns these call sites
     * order by. Injective, so min_by(a, packed) + min_by(b, packed) under
     * ties return the same (a, b) pair min(struct(a, b)) would.
+    *
+    * PRECONDITION — `a` must be a NON-NULL INTEGRAL column. A string id
+    * would order numerically (or throw under ANSI cast) where the struct
+    * order was lexicographic, and a NULL id makes the packed key NULL,
+    * which `min_by` skips where `min(struct)` ranked it first. Public
+    * entry points guard with [[integralIdType]] and fall back to the
+    * struct order for anything else, so the packing is never applied to a
+    * column it could mis-order (the checkedCodeId rule: enforce the
+    * contract, don't assume it).
     */
   private[scale] def packedLexLongInt(a: Column, b: Column): Column =
     (lit(BigDecimal(2).pow(63)).cast(DecimalType(38, 0)) + a) *
       lit(BigDecimal(2).pow(31)).cast(DecimalType(38, 0)) + b
+
+  /** True iff `dt` is an integral type [[packedLexLongInt]] orders
+    * correctly (byte/short/int/long). Fractional, decimal, string, and
+    * everything else keep the legacy `min(struct(...))` winner election:
+    * value-identical ordering at the cost of the SortAggregate fallback.
+    */
+  private[scale] def integralIdType(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
 
   /** Whitespace tokens. The synthetic corpus is single-space separated;
     * for real corpora swap in a regex (`split(col, "\\s+")`).
@@ -334,10 +354,19 @@ object TextOps {
           .as(Seq("pos", "line")))
       .cache()
     // packed arg-min (one HashAggregate, no sort of the exploded lines —
-    // min(struct(id, pos)) fell back to SortAggregate; see packedLexLongInt)
-    val lk = packedLexLongInt(col("id"), col("pos"))
-    val winners = lines.groupBy("line")
-      .agg(min_by(col("id"), lk).as("id"), min_by(col("pos"), lk).as("pos"))
+    // min(struct(id, pos)) fell back to SortAggregate; see packedLexLongInt).
+    // Non-integral ids (string keys, decimals) keep the struct order: the
+    // packing would elect a NUMERICALLY smallest winner where the old
+    // contract was the type's own ordering.
+    val winners =
+      if (integralIdType(df.schema(idCol).dataType)) {
+        val lk = packedLexLongInt(col("id"), col("pos"))
+        lines.groupBy("line")
+          .agg(min_by(col("id"), lk).as("id"), min_by(col("pos"), lk).as("pos"))
+      } else
+        lines.groupBy("line")
+          .agg(min(struct(col("id"), col("pos"))).as("_w"))
+          .select(col("line"), col("_w.id").as("id"), col("_w.pos").as("pos"))
     val kept = lines.join(winners, Seq("line", "id", "pos"))
     val rebuilt = kept.groupBy("id")
       .agg(array_join(transform(array_sort(collect_list(struct(col("pos"), col("line")))),

@@ -224,22 +224,34 @@ class TxReplayNativeShardSpec extends AnyFunSuite with Matchers {
     // listener's stateRowsWarnAt tripwire fires once when total state rows
     // cross the bound. The same workload under a short TTL expires its
     // tombstones as it goes and never crosses.
-    // 40 single-event txs × 4 shards = 160 tombstones; threshold 150: the
-    // unbounded arm still crosses deterministically (160 >= 150, and only
-    // at the final wave), while the TTL arm now misfires only if nearly
-    // FOUR waves sit unexpired at once — r13 widened this from 120 after
-    // a loaded host starved the 100 ms expiry trigger for three waves
-    // (128 live rows) and tripped the old margin; passes isolated at both.
+    // Workload and threshold derive from one set of constants so their
+    // relationship is ENFORCED, not re-tuned per host (r13 moved a literal
+    // 120→150 after a loaded host starved the 100 ms expiry trigger for
+    // three waves): the unbounded arm crosses deterministically — and only
+    // at the final wave — because warnAt ∈ (total − wave, total]; the TTL
+    // arm stays silent even if EVERY wave but the last sits unexpired
+    // because warnAt > (waves−1) waves of tombstones.
+    val shards = 4
+    val waves = 4
+    val txsPerWave = 10
+    val keys = 4 // distinct doc keys the events cycle through
+    val tombstonesPerWave = txsPerWave * shards // one done-tombstone per (tx, shard)
+    val totalTombstones = waves * tombstonesPerWave
+    val warnAt = totalTombstones - tombstonesPerWave / 4
+    assert(warnAt <= totalTombstones && warnAt > totalTombstones - tombstonesPerWave,
+      "unbounded arm must cross exactly at the final wave")
+    assert(warnAt > (waves - 1) * tombstonesPerWave,
+      "TTL arm must tolerate all but the last wave sitting unexpired")
     def wave(t0: Int, n: Int): Seq[NativeEv] = toNative(
       (t0 until t0 + n).map(t =>
-        LeftEv((t % 4).toLong + 1, "c", 2L * t, t, OrderRow(t % 4 + 1, s"a$t"))),
+        LeftEv((t % keys).toLong + 1, "c", 2L * t, t, OrderRow(t % keys + 1, s"a$t"))),
       (t0 until t0 + n).map(t =>
-        RightEv((t % 4).toLong + 1, 1, "c", 2L * t + 1, t, LineRow(1, t, 1.0))),
+        RightEv((t % keys).toLong + 1, 1, "c", 2L * t + 1, t, LineRow(1, t, 1.0))),
       (t0 until t0 + n).map(t => TxEnd(t, 1000L + t, 1, 1)))
 
     def run(name: String, doneTtl: Option[Long]): Map[String, Long] = withRocksDb {
       implicit val sqlCtx = spark.sqlContext
-      val listener = new GraftMetricsListener(stateRowsWarnAt = Some(150L))
+      val listener = new GraftMetricsListener(stateRowsWarnAt = Some(warnAt.toLong))
       spark.streams.addListener(listener)
       val in = MemoryStream[NativeEv]
       val df = in.toDF()
@@ -251,7 +263,7 @@ class TxReplayNativeShardSpec extends AnyFunSuite with Matchers {
       val ends = df.filter(col("stream") === "t")
         .select(col("tx_id"), col("commit_lsn"), col("expected_left"),
           col("expected_right"))
-      val writer = TxReplayNative.docs(left, right, ends, keyShards = Some(4),
+      val writer = TxReplayNative.docs(left, right, ends, keyShards = Some(shards),
           shardDoneTtlMs = doneTtl)
         .writeStream.format("memory").queryName(name).outputMode("append")
         .option("checkpointLocation", Files.createTempDirectory(s"graft-$name").toString)
@@ -260,17 +272,18 @@ class TxReplayNativeShardSpec extends AnyFunSuite with Matchers {
           org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
       }.start()
       try {
-        // four waves of 10 txs; under the TTL each wave's tombstones
-        // expire before the next finishes, so live state never nears 160
-        (0 until 4).foreach { w =>
-          in.addData(wave(1 + w * 10, 10))
+        // waves of txs; under the TTL each wave's tombstones expire
+        // before the next finishes, so live state never nears the total
+        (0 until waves).foreach { w =>
+          in.addData(wave(1 + w * txsPerWave, txsPerWave))
           if (doneTtl.isEmpty) q.processAllAvailable()
           else Thread.sleep(1500) // > TTL: the wave's tombstones expire
         }
+        val expectedDocs = (waves * txsPerWave).toLong
         val deadline = System.currentTimeMillis() + 60000
-        while (spark.table(name).count() < 40 &&
+        while (spark.table(name).count() < expectedDocs &&
                System.currentTimeMillis() < deadline) Thread.sleep(100)
-        spark.table(name).count() shouldBe 40L // semantics identical either way
+        spark.table(name).count() shouldBe expectedDocs // semantics identical either way
         // listener delivery is async; give the final progress events time
         val warnDeadline = System.currentTimeMillis() + 10000
         while (doneTtl.isEmpty && listener.stateRowsWarnings.isEmpty &&
@@ -281,7 +294,7 @@ class TxReplayNativeShardSpec extends AnyFunSuite with Matchers {
 
     val unbounded = run("shard_warn_unbounded", None)
     unbounded.keySet shouldBe Set("shard_warn_unbounded")
-    unbounded("shard_warn_unbounded") should be >= 150L
+    unbounded("shard_warn_unbounded") should be >= warnAt.toLong
 
     run("shard_warn_ttl", Some(700L)) shouldBe empty
   }
