@@ -1107,7 +1107,12 @@ object ScaleQueries {
         .select(col("doc_id"), three.as("text"))
         .unionByName(docs.filter(col("doc_id") % 7 === 1)
           .select((col("doc_id") + 10000).as("doc_id"), three.as("text")))
-      val cleaned = TextOps.dedupLines(delta0, "doc_id", "text")
+      // cache(): `cleaned` is referenced three times (the delta index
+      // build, the verdict's id frame, the quality pass) and each
+      // reference re-ran the whole line-dedup chain (the
+      // q_corpus_pipeline5 gate pattern); the delta is churn-sized by
+      // contract, so the fence is small
+      val cleaned = TextOps.dedupLines(delta0, "doc_id", "text").cache()
       val index = ownedCache(
         NearDup.buildMinHashIndex(corpus, "doc_id", "text"), "pipeline4-index")
       val verdict = NearDup.incrementalMinHashDedup(index,
@@ -1524,8 +1529,16 @@ object ScaleQueries {
     // composed declaratively; the rollup is one hash-agg on source.
     "q_corpus_pipeline5" -> ((s, d) => {
       val docs = Tables.documents(s, d)
+      // cache(): the gate is a tiny (doc_id, n_tokens) dimension, but
+      // `survivors` is referenced THREE times (the minhash input, the
+      // cluster id set, the final rollup join) and each reference re-ran
+      // the gate's explode + two aggregation exchanges (r14 StageProfile:
+      // the same ~1.6 MB token-agg shuffle written 3×). The fence makes
+      // the gopher pass once-per-query, the pattern a deployment gets by
+      // materializing the gate verdict next to the corpus.
       val gate = TextOps.gopherGate(docs, "doc_id", "text")
         .filter(col("pass")).select("doc_id", "n_tokens")
+        .cache()
       val survivors = docs.select("doc_id", "text", "source").join(gate, Seq("doc_id"))
       val pairs = NearDup.minHashDedup(survivors.select("doc_id", "text"),
         "doc_id", "text", threshold = 0.7)
@@ -1552,8 +1565,13 @@ object ScaleQueries {
     // embedding pass — fusion and verify are candidate-sized.
     "q_corpus_pipeline6" -> ((s, d) => {
       val docs = Tables.documents(s, d)
+      // cache(): the tiny gate dimension feeds BOTH retrieval legs (the
+      // BM25 corpus join and the embedding semi-join) — uncached, each leg
+      // re-ran the gopher explode + two exchanges (the q_corpus_pipeline5
+      // pattern)
       val gate = TextOps.gopherGate(docs, "doc_id", "text")
         .filter(col("pass")).select("doc_id")
+        .cache()
       val corpus = docs.select("doc_id", "text").join(gate, Seq("doc_id"))
       val evals = docs.select("doc_id", "text").filter(col("doc_id") % 163 === 0)
       val probes = evals.select(col("doc_id").as("q_id"),
@@ -1595,9 +1613,16 @@ object ScaleQueries {
       val docs = Tables.documents(s, d).select("doc_id", "source", "text")
       val noised = docs.select(col("doc_id"), col("source"),
         concat_ws(" ", lit(boiler), col("text")).as("text"))
+      // cache(): `gated` is referenced twice (the retrieval chunking and
+      // the final anti-join rollup); uncached, each reference re-ran the
+      // WHOLE chunk-dedup gate — chunk explode + fingerprint groupBy +
+      // doc rollup (the q_corpus_pipeline5 gate pattern, here with the
+      // priciest gate of the family). The fence holds only the tiny
+      // surviving-doc_id dimension.
       val kept = Chunking.chunkDedupStats(noised, "doc_id", "text",
         window = 16, stride = 8)
         .filter(col("kept_frac") >= 0.85).select("doc_id")
+        .cache()
       val gated = noised.join(kept, Seq("doc_id"))
       val probes = docs.filter(col("doc_id") % 89 === 0)
         .select(col("doc_id").as("q_id"),
@@ -1751,7 +1776,19 @@ object ScaleQueries {
   private def ownedCache(df: DataFrame, name: String): DataFrame =
     segCaches.synchronized {
       segCaches.remove(name).foreach(_.unpersist())
-      val cached = df.cache()
+      // Explicit fanout BEFORE caching: the segment builds end in an
+      // aggregation whose post-shuffle reads AQE coalesces by BYTES (these
+      // corpora are MBs), so the InMemoryRelation would otherwise hold ~4
+      // partitions and every probe pass over the cached index would run
+      // 4-wide on a 32-core host (StageProfile r14: the probe legs' CPU-
+      // dense stages sat at 2-4 tasks). The real artifact this cache
+      // stands in for is segment FILES, which a probe reads with input-
+      // split parallelism — the explicit REPARTITION_BY_NUM (which AQE
+      // preserves) makes the stand-in match it. Measured (IsolateBench,
+      // min of 3): q_chunk_index_upsert 5.44 -> 4.21 s, q_chunk_fused
+      // 10.95 -> 9.2 s; the repartition itself is MB-sized.
+      val n = df.sparkSession.sessionState.conf.numShufflePartitions
+      val cached = df.repartition(n).cache()
       segCaches.put(name, cached)
       cached
     }

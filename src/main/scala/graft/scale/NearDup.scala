@@ -243,6 +243,23 @@ object NearDup {
       .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
       .cache()
     var labels = ids.select(col("id"), col("id").as("root")).cache()
+    // Fixpoint test for integral ids: labels are MONOTONE NON-INCREASING
+    // under min-propagation, so "no label shrank" ⟺ the (row count, exact
+    // sum of roots) pair is unchanged — one cheap aggregate per round that
+    // doubles as the round's cache materialization, replacing the former
+    // join-with-previous + limit(1) probe job (r14 StageProfile: the probe
+    // machinery cost ~0.4 s/round of pure scheduling on MB-sized labels).
+    // The decimal sum is exact and order-independent (no float drift; no
+    // long overflow for any realistic id space). Non-integral ids (the
+    // operator accepts any orderable id) keep the join probe — a string
+    // root has no exact sum.
+    val integral = integralRoot(labels)
+    def stamp(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = df.agg(count(lit(1)),
+        sum(col("root").cast(DecimalType(38, 0)))).collect()(0)
+      (r.getLong(0), r.getDecimal(1))
+    }
+    var prev = if (integral) stamp(labels) else null
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
@@ -251,10 +268,15 @@ object NearDup {
       val next = labels.unionByName(prop)
         .groupBy("id").agg(min("root").as("root"))
         .cache()
-      // fixpoint test: did ANY label shrink this round? (limit(1) stops the
-      // scan at the first change; one tiny job per round)
-      converged = next.join(labels.withColumnRenamed("root", "prev"), Seq("id"))
-        .filter(col("root") < col("prev")).limit(1).isEmpty
+      if (integral) {
+        val cur = stamp(next)
+        converged = cur == prev
+        prev = cur
+      } else
+        // fixpoint test: did ANY label shrink this round? (limit(1) stops
+        // the scan at the first change; one tiny job per round)
+        converged = next.join(labels.withColumnRenamed("root", "prev"), Seq("id"))
+          .filter(col("root") < col("prev")).limit(1).isEmpty
       labels.unpersist()
       labels = next
       round += 1
@@ -263,6 +285,15 @@ object NearDup {
     labels.withColumn("is_canonical", col("id") === col("root"))
       .withColumnRenamed("root", "cluster_root")
   }
+
+  /** True iff the label frame's `root` column is an integral type whose
+    * sum-of-roots fixpoint stamp is exact (see [[clusterPairs]]).
+    */
+  private def integralRoot(labels: DataFrame): Boolean =
+    labels.schema("root").dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
 
   /** [[clusterPairs]]'s adversarial-graph counterpart: connected components
     * via alternating large-star/small-star contraction (the two-operation
