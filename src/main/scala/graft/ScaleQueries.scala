@@ -1217,7 +1217,8 @@ object ScaleQueries {
       // (segments on disk; probes re-scan files, not the build plan) —
       // the cache stands in for that materialization so the stats and
       // candidate passes don't each re-run the postings build
-      val segs = ownedCache(seg0.unionByName(seg1), "chunk-upsert")
+      val segs = ownedCache(seg0.unionByName(seg1), "chunk-upsert",
+        fanout = true)
       StreamingChunkIndex.chunkTopKLiveDocs(segs, dels,
         probes, "q_id", "term", kChunks = 20, kDocs = 5)
         .ordered("q_id", "rank")
@@ -1773,22 +1774,31 @@ object ScaleQueries {
     * sweep) evaluate queries strictly sequentially, which is the supported
     * mode; concurrent callers get correctness, not stable timings.
     */
-  private def ownedCache(df: DataFrame, name: String): DataFrame =
+  /** @param fanout repartition to numShufflePartitions BEFORE caching.
+    *   The segment builds end in aggregations whose post-shuffle reads AQE
+    *   coalesces by BYTES (these corpora are MBs), so the InMemoryRelation
+    *   otherwise holds ~4 partitions and every probe pass over the cached
+    *   index runs 4-wide on a 32-core host (StageProfile r14: the chunk
+    *   probe's CPU-dense stages sat at 2-4 tasks); segment FILES — the
+    *   artifact this cache stands in for — would be read with input-split
+    *   parallelism. OPT-IN because it pays a full extra shuffle on the
+    *   materialization path: measured a consistent win only where the
+    *   per-cached-row downstream work is CPU-dense (q_chunk_index_upsert
+    *   6.37/5.64 -> 5.43/5.11 s in both interleaved A/B rounds), and a
+    *   REGRESSION on small caches with cheap narrow scans (mid-round r14
+    *   sweep with fanout applied blanket: q_dedup_index_upsert 1.33x,
+    *   q_ann_index_upsert 1.15x, q_winnow_pairs 1.12x against a 0.87x
+    *   host-health median — all reverted to the plain cache).
+    */
+  private def ownedCache(df: DataFrame, name: String,
+                         fanout: Boolean = false): DataFrame =
     segCaches.synchronized {
       segCaches.remove(name).foreach(_.unpersist())
-      // Explicit fanout BEFORE caching: the segment builds end in an
-      // aggregation whose post-shuffle reads AQE coalesces by BYTES (these
-      // corpora are MBs), so the InMemoryRelation would otherwise hold ~4
-      // partitions and every probe pass over the cached index would run
-      // 4-wide on a 32-core host (StageProfile r14: the probe legs' CPU-
-      // dense stages sat at 2-4 tasks). The real artifact this cache
-      // stands in for is segment FILES, which a probe reads with input-
-      // split parallelism — the explicit REPARTITION_BY_NUM (which AQE
-      // preserves) makes the stand-in match it. Measured (IsolateBench,
-      // min of 3): q_chunk_index_upsert 5.44 -> 4.21 s, q_chunk_fused
-      // 10.95 -> 9.2 s; the repartition itself is MB-sized.
-      val n = df.sparkSession.sessionState.conf.numShufflePartitions
-      val cached = df.repartition(n).cache()
+      val base =
+        if (fanout)
+          df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+        else df
+      val cached = base.cache()
       segCaches.put(name, cached)
       cached
     }
