@@ -132,12 +132,38 @@ object TxAsofProfile {
           col("hh.row").as("row"))
     }
 
+    /** Packed-argmax + join-back form (the r13 assignBucketsScored rule):
+      * phase 1 reduces the probes⋈events expansion to the winning packed
+      * (commit_lsn, lsn) per (key, probe_lsn) — a NARROW HashAggregate, no
+      * sort, no payload riding the expansion — and phase 2 fetches the
+      * winner's (op, row) by joining back to the events on (key, packed).
+      * Requires non-negative LSNs so the Decimal(38,0) packing is
+      * order-isomorphic: commit_lsn·2⁶³ + lsn < 2¹²⁶ < 10³⁸.
+      */
+    def packedHeader(probes: DataFrame, le: DataFrame): DataFrame = {
+      val two63 = lit(BigDecimal(2).pow(63)).cast(org.apache.spark.sql.types.DecimalType(38, 0))
+      val lo = le.withColumn("_ord",
+        col("commit_lsn").cast(org.apache.spark.sql.types.DecimalType(38, 0)) * two63
+          + col("lsn"))
+      val win = probes.join(lo, Seq("key"))
+        .where(col("commit_lsn") <= col("probe_lsn"))
+        .groupBy("key", "probe_lsn")
+        .agg(max(col("_ord")).as("_ord"))
+      win.hint("shuffle_hash").join(lo, Seq("key", "_ord"))
+        .select(col("key"), col("probe_lsn"),
+          col("commit_lsn").as("left_lsn"), col("op").as("left_op"), col("row"))
+    }
+
     // equivalence gate before timing anything
     val a = replayWith(joinHeader)
     val b = replayWith(windowHeader)
     val diff = a.exceptAll(b).count() + b.exceptAll(a).count()
     println(s"PROFILE equivalence diff rows: $diff")
     require(diff == 0, "window header is not equivalent")
+    val c = replayWith(packedHeader)
+    val diffP = a.exceptAll(c).count() + c.exceptAll(a).count()
+    println(s"PROFILE packed equivalence diff rows: $diffP")
+    require(diffP == 0, "packed header is not equivalent")
     spark.catalog.clearCache()
 
     noop(replayWith(joinHeader)); spark.catalog.clearCache() // warmup
@@ -146,6 +172,8 @@ object TxAsofProfile {
       timed(s"join-header   rep$i")(noop(replayWith(joinHeader)))
       spark.catalog.clearCache()
       timed(s"window-header rep$i")(noop(replayWith(windowHeader)))
+      spark.catalog.clearCache()
+      timed(s"packed-header rep$i")(noop(replayWith(packedHeader)))
       spark.catalog.clearCache()
       timed(s"sorted-scan   rep$i")(noop(TxReplay.replaySorted(l, r, ends)))
       spark.catalog.clearCache()
