@@ -164,10 +164,19 @@ object Retrieval {
     */
   def buildBm25Index(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val n = docs.sparkSession.sessionState.conf.numShufflePartitions
+    // `dl` is STAGED below the explode: spelling it size(tokens(text))
+    // next to explode(tokens(text)) in one select puts the size() in the
+    // Project ABOVE the Generate (generator extraction keeps only the
+    // generator below), so the full text was re-tokenized once per
+    // EXPLODED TOKEN ROW — O(tokens²) per document, and the chunk-postings
+    // builds re-joined/re-split every chunk per chunk-token (r14
+    // StageProfile: the single hottest stage of the bm25/chunk family).
+    // With the token array projected first, dl is computed once per
+    // document below the Generate; value-identical output.
     docs.repartition(n)
-      .select(col(idCol).as("doc_id"),
-        size(TextOps.tokens(col(textCol))).cast(DoubleType).as("dl"),
-        explode(TextOps.tokens(col(textCol))).as("token"))
+      .select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("_toks"))
+      .select(col("doc_id"), size(col("_toks")).cast(DoubleType).as("dl"),
+        explode(col("_toks")).as("token"))
       .groupBy("token", "doc_id", "dl").agg(count(lit(1)).as("tf"))
   }
 
