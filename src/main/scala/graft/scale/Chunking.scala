@@ -139,9 +139,16 @@ object Chunking {
     * boilerplate seen elsewhere scores low; gating on `kept_frac` is the
     * chunk-granular analogue of [[TextOps.dedupLines]]' line filter.
     *
-    * Two shuffles: the chunk-fingerprint groupBy (min-winner per distinct
-    * chunk — map-side combinable) and the per-document rollup. Chunk TEXT
-    * never shuffles — only its 128-bit fingerprint does.
+    * Shape (r14): the per-document tallies need only COUNTS, so the former
+    * fingerprint join-back (chunks ⋈ winners on fp — the operator's widest
+    * shuffle, corpus-chunk-sized on BOTH sides, and a second evaluation of
+    * the chunk explode + fingerprint pipeline) is gone. Each distinct
+    * fingerprint elects exactly one winning (doc, chunk) instance, so
+    * `n_kept(doc) = |winners with w_doc = doc|` — a doc-keyed count over
+    * the winner table; `n_chunks` is a doc-keyed count of the exploded
+    * rows, which column pruning serves WITHOUT the fingerprint math. Chunk
+    * TEXT never shuffles — only its 128-bit fingerprint does — and the
+    * fingerprint is now computed exactly once per chunk.
     */
   def chunkDedupStats(df: DataFrame, idCol: String, textCol: String,
                       window: Int, stride: Int): DataFrame = {
@@ -151,21 +158,23 @@ object Chunking {
     // min(struct(doc, chunk)) fell back to SortAggregate); chunk_id is an
     // int sequence index, so TextOps.packedLexLongInt's range holds.
     // Non-integral doc ids keep the struct order (the packing would
-    // re-order string/decimal keys — see packedLexLongInt).
+    // re-order string/decimal keys — see packedLexLongInt). Only the
+    // winning doc id is needed for the tally, but the tiebreak must still
+    // rank (doc, chunk) pairs lexicographically.
     val winners =
       if (TextOps.integralIdType(df.schema(idCol).dataType)) {
         val ck = TextOps.packedLexLongInt(col(idCol), col("chunk_id"))
-        chunks.groupBy("fp")
-          .agg(min_by(col(idCol), ck).as("w_doc"), min_by(col("chunk_id"), ck).as("w_chunk"))
+        chunks.groupBy("fp").agg(min_by(col(idCol), ck).as("w_doc"))
       } else
         chunks.groupBy("fp")
           .agg(min(struct(col(idCol).as("i"), col("chunk_id").as("c"))).as("_w"))
-          .select(col("fp"), col("_w.i").as("w_doc"), col("_w.c").as("w_chunk"))
-    chunks.join(winners, "fp")
-      .withColumn("kept",
-        (col(idCol) === col("w_doc") && col("chunk_id") === col("w_chunk")).cast("int"))
-      .groupBy(idCol)
-      .agg(count(lit(1)).as("n_chunks"), sum("kept").as("n_kept"))
+          .select(col("fp"), col("_w.i").as("w_doc"))
+    val kept = winners.groupBy(col("w_doc").as(idCol))
+      .agg(count(lit(1)).as("n_kept"))
+    chunks.groupBy(idCol)
+      .agg(count(lit(1)).as("n_chunks"))
+      .join(kept, Seq(idCol), "left")
+      .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
       .withColumn("kept_frac", round(col("n_kept") / col("n_chunks"), 4))
   }
 }
