@@ -83,8 +83,14 @@ object StreamingChunkIndex {
     val qtokens = qterms.select("token").distinct()
 
     // ONE column-pruned chunk-level pass feeds versions and stats; the
-    // version table is per DOCUMENT (see class doc)
-    val chunkLevel = segs.select("doc_id", "ck", "dl", "batch").distinct()
+    // version table is per DOCUMENT (see class doc). cache(): consumed
+    // three times (both liveFilters' version maxima + the stats
+    // aggregate) — uncached, each consumer re-evaluates the whole chunk
+    // segment subtree (for inline builds, the full chunk explode +
+    // postings build per consumer; see StreamingRetrieval.bm25TopKLive).
+    // One narrow row per live (doc, chunk, version); derived fresh per
+    // probe call, so re-probes still read the current manifest.
+    val chunkLevel = segs.select("doc_id", "ck", "dl", "batch").distinct().cache()
     val versions = chunkLevel.select("doc_id", "batch").distinct()
     val liveChunks = SegmentStore.liveFilter(chunkLevel, versions, dels, "doc_id")
     val stats = liveChunks

@@ -83,8 +83,18 @@ object StreamingRetrieval {
     val qtokens = qterms.select("token").distinct()
 
     // ONE column-pruned doc-level pass feeds versions, stats, and (via
-    // liveFilter) df — the indexed probe's stats scan, liveness-aware
-    val docLevel = segs.select("doc_id", "dl", "batch").distinct()
+    // liveFilter) df — the indexed probe's stats scan, liveness-aware.
+    // cache(): the doc-level table is consumed THREE times (both
+    // liveFilters' version maxima + the stats aggregate), and each
+    // consumer would re-evaluate the whole segment subtree — for an
+    // inline-built segment frame that is the full corpus tokenization per
+    // consumer (r14 StageProfile: three near-identical postings-build
+    // stages per probe). The cached table is one narrow row per (doc,
+    // version) — bounded by corpus cardinality, not postings volume — and
+    // it is derived fresh inside every probe call, so the no-plan-cache
+    // re-probe contract (a new probe always reads the current manifest's
+    // segments) is untouched.
+    val docLevel = segs.select("doc_id", "dl", "batch").distinct().cache()
     val versions = docLevel.select("doc_id", "batch")
     val liveDocs = SegmentStore.liveFilter(docLevel, versions, dels, "doc_id")
     val stats = liveDocs
