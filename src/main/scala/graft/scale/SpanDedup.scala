@@ -60,7 +60,14 @@ object SpanDedup {
       "input must not already carry dedup_text/n_removed columns")
     val id = col(idCol)
 
-    val withToks = df.select(id, TextOps.tokens(col(textCol)).as("_toks"))
+    // round-robin fanout first (the dedupLines/withShingles discipline):
+    // the gram pipeline is CPU-dense and a single-row-group corpus file
+    // arrives as ONE input split — without the exchange the whole k-gram
+    // md5 pass runs serially on the scan task. Order-independent
+    // downstream (hash aggs and keyed joins), so determinism holds.
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    val withToks = df.repartition(n)
+      .select(id, TextOps.tokens(col(textCol)).as("_toks"))
     // (doc, pos, gram-hash) occurrences; `sequence` guarded by the size
     // filter (a negative end would count DOWN — same guard as
     // [[NearDup.shinglesFromTokens]])
