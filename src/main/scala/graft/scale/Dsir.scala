@@ -57,7 +57,13 @@ object Dsir {
     */
   private def docBuckets(df: DataFrame, idCol: String, textCol: String,
                          numBuckets: Int): DataFrame =
-    df.withColumn("_toks", split(col(textCol), " "))
+    // round-robin fanout first (the withShingles discipline): one
+    // md5Long60 per gram occurrence is the pass's CPU, and a
+    // single-input-split corpus would hash serially on the scan task
+    // (r14 StageProfile: both raw-side passes ran as one task). All
+    // consumers are hash aggregations — order-independent.
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+      .withColumn("_toks", split(col(textCol), " "))
       .select(col(idCol), unigramsAndBigrams(col("_toks")).as("_g"))
       // explode_outer + isNotNull ≡ explode here (split never yields null
       // elements, so only a null text row differs — dropped by both), but
