@@ -424,12 +424,19 @@ class PlanShapeSpec extends AnyFunSuite with Matchers {
     withClue(plan) {
       val shuffles = plan.linesIterator
         .filter(_.contains("Exchange hashpartitioning")).toSeq
-      shuffles should have size 2
-      // winner election shuffles the 128-bit fingerprint, the rollup the
-      // doc id — a partition key carrying chunk TEXT would ship the
+      // r14: three count-sized exchanges — fp (winner election), w_doc
+      // (winner tally), doc_id (per-doc chunk count). The former fp-keyed
+      // JOIN-BACK of the chunk table to its winners (corpus-chunk-sized on
+      // both sides, and a second evaluation of the explode+md5 pipeline)
+      // is gone; a partition key carrying chunk TEXT would ship the
       // window/stride-multiplied corpus through the exchange
+      shuffles should have size 3
       shuffles.count(_.contains("hashpartitioning(fp")) shouldBe 1
+      shuffles.count(_.contains("hashpartitioning(w_doc")) shouldBe 1
       shuffles.count(_.contains("hashpartitioning(doc_id")) shouldBe 1
+      // the chunk fingerprint is computed exactly once (the n_chunks
+      // branch is column-pruned to the bare explode, no md5)
+      plan.linesIterator.count(_.contains("md5(")) shouldBe 1
       // winner election is partial-aggregated map-side (skew-safe against
       // a corpus-wide boilerplate chunk: no single-partition fp window) —
       // and since r13 it is the PACKED arg-min (decimal ordering), so the
