@@ -427,6 +427,26 @@ object SegmentStore {
     if (m.dels.isEmpty) emptyDf(spark, delSchema(idCol))
     else spark.read.parquet(m.dels.map(d => s"$dir/_dels/$d"): _*)
 
+  /** True iff re-evaluating `df` repeats real computation — an uncached
+    * plan containing an aggregation, generator, join, or window. Probes
+    * use this to decide whether a small derived dimension consumed by
+    * several branches deserves its own cache fence: an INLINE-BUILT
+    * segment frame (postings/assignment builds composed in the query)
+    * re-runs its whole build per consumer, while an already-cached frame
+    * or a plain file-backed store scan re-reads cheaply and a fence is
+    * pure overhead (both regressions measured, r14).
+    */
+  def costlyToRecompute(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    df.storageLevel == org.apache.spark.storage.StorageLevel.NONE &&
+      df.queryExecution.optimizedPlan.collectFirst {
+        case a: Aggregate => a
+        case g: Generate => g
+        case j: Join => j
+        case w: Window => w
+      }.isDefined
+  }
+
   /** The two liveness predicates, as joins against churn-sized side tables
     * derived from the per-id version list `versions` ((idCol, batch),
     * distinct): a row is live iff it belongs to its id's LATEST version

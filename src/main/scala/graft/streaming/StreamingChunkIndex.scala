@@ -84,19 +84,19 @@ object StreamingChunkIndex {
 
     // ONE column-pruned chunk-level pass feeds versions and stats; the
     // version table is per DOCUMENT (see class doc). cache() — only when
-    // the segment frame is not itself already materialized: consumed
-    // three times (both liveFilters' version maxima + the stats
-    // aggregate) — uncached, each consumer re-evaluates the whole chunk
-    // segment subtree (for inline builds, the full chunk explode +
-    // postings build per consumer); for an already-cached segment frame
-    // the derivations are cheap cache scans and a second fence measured
-    // as a net regression (see StreamingRetrieval.bm25TopKLive). One
-    // narrow row per live (doc, chunk, version); derived fresh per probe
-    // call, so re-probes still read the current manifest.
+    // the segment frame embeds real computation
+    // ([[SegmentStore.costlyToRecompute]]): consumed three times (both
+    // liveFilters' version maxima + the stats aggregate) — uncached, each
+    // consumer re-evaluates the whole chunk segment subtree (for inline
+    // builds, the full chunk explode + postings build per consumer); for
+    // an already-cached frame or plain store files the derivations are
+    // cheap column-pruned scans and the fence measured as a net
+    // regression (see StreamingRetrieval.bm25TopKLive). One narrow row
+    // per live (doc, chunk, version); derived fresh per probe call, so
+    // re-probes still read the current manifest.
     val chunkLevel0 = segs.select("doc_id", "ck", "dl", "batch").distinct()
     val chunkLevel =
-      if (segs.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-        chunkLevel0.cache()
+      if (SegmentStore.costlyToRecompute(segs)) chunkLevel0.cache()
       else chunkLevel0
     val versions = chunkLevel.select("doc_id", "batch").distinct()
     val liveChunks = SegmentStore.liveFilter(chunkLevel, versions, dels, "doc_id")

@@ -84,24 +84,25 @@ object StreamingRetrieval {
 
     // ONE column-pruned doc-level pass feeds versions, stats, and (via
     // liveFilter) df — the indexed probe's stats scan, liveness-aware.
-    // cache() — but ONLY when the segment frame is not itself already
-    // materialized: the doc-level table is consumed three times (both
-    // liveFilters' version maxima + the stats aggregate), and each
-    // consumer re-evaluates the whole segment subtree — for an
-    // UNCACHED inline-built segment frame that is the full corpus
-    // tokenization per consumer (r14 StageProfile: three near-identical
-    // postings-build stages per probe). When the caller already cached
-    // the segments (the ownedCache stand-in for segment files), the
-    // derivations are cheap scans of that cache and a second fence
-    // measured as a net regression (interleaved A/B: q_bm25_upsert
-    // 3.89/4.41/5.11 s fenced vs 3.33/3.43/3.72 s unfenced). The fenced
-    // table is one narrow row per (doc, version); derived fresh inside
-    // every probe call, so the no-plan-cache re-probe contract (a new
-    // probe always reads the current manifest's segments) is untouched.
+    // cache() — but ONLY when the segment frame embeds real computation
+    // ([[SegmentStore.costlyToRecompute]]): the doc-level table is
+    // consumed three times (both liveFilters' version maxima + the stats
+    // aggregate), and each consumer re-evaluates the whole segment
+    // subtree — for an UNCACHED inline-built segment frame that is the
+    // full corpus tokenization per consumer (r14 StageProfile: three
+    // near-identical postings-build stages per probe). When the segments
+    // are an already-cached frame OR plain store files, the derivations
+    // are cheap column-pruned scans and the fence measured as a net
+    // regression (A/B: q_bm25_upsert 3.89/4.41/5.11 s fenced vs
+    // 3.33/3.43/3.72 unfenced; q_bm25_pinned 1.38× normalized in the
+    // mid-round sweep when the fence still applied to file scans). The
+    // fenced table is one narrow row per (doc, version); derived fresh
+    // inside every probe call, so the no-plan-cache re-probe contract (a
+    // new probe always reads the current manifest's segments) is
+    // untouched.
     val docLevel0 = segs.select("doc_id", "dl", "batch").distinct()
     val docLevel =
-      if (segs.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-        docLevel0.cache()
+      if (SegmentStore.costlyToRecompute(segs)) docLevel0.cache()
       else docLevel0
     val versions = docLevel.select("doc_id", "batch")
     val liveDocs = SegmentStore.liveFilter(docLevel, versions, dels, "doc_id")
