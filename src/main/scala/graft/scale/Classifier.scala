@@ -33,9 +33,16 @@ object Classifier {
   def hashedFeatures(docs: DataFrame, idCol: String, textCol: String,
                      nFeatures: Int): DataFrame = {
     require(nFeatures > 0, s"nFeatures must be positive, got $nFeatures")
+    // round-robin fanout first (the withShingles discipline): one md5 per
+    // gram occurrence is the pass's CPU, and a single-input-split corpus
+    // would hash serially on the scan task (r14 StageProfile: a 2-task
+    // 1.8 s stage). Both gram branches share the one exchange; the
+    // (doc, feature) counts downstream are order-independent.
+    val fanned = docs.repartition(
+      docs.sparkSession.sessionState.conf.numShufflePartitions)
     val toks = filter(split(lower(col(textCol)), " "), w => length(w) > 0)
-    val uni = docs.select(col(idCol), explode(toks).as("_g"))
-    val bi = docs
+    val uni = fanned.select(col(idCol), explode(toks).as("_g"))
+    val bi = fanned
       .select(col(idCol), toks.as("_t"))
       .where(size(col("_t")) >= 2)
       .select(col(idCol), explode(
